@@ -1,0 +1,184 @@
+"""Event-schema catalog and tagger configuration.
+
+The reference expresses event schemas as static Python modules selected by
+name at runtime (``get_event_template``, reference
+``dee/event_types/__init__.py:15-18``). Each template exports
+``event_type_fields_list = [(name, fields, triggers, min_field_num), ...]``
+and ``common_fields`` (reference ``dee/event_types/zheng2019_trigger_graph.py:
+430,442-464``). Here the catalog is plain data: a small dict that the engine
+broadcasts to executors. Five ChFinAnn event types with the published role
+inventories (Zheng et al. 2019, "Doc2EDAG", EMNLP).
+
+The BIO entity-label vocabulary is derived exactly as the reference does
+(``dee/helper/dee.py:204-220``): ``['O'] + [B-X, I-X for each field]`` over
+the union of common fields and all event roles, so B labels sit at odd
+indices and the matching I label at B+1 — the span decoder relies on this
+parity (see ``pyref/spans.py``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class EventType:
+    name: str
+    fields: tuple[str, ...]
+    # pseudo-trigger sets keyed by |R| (reference zheng2019_trigger_graph.py:72-111)
+    triggers: dict[int, tuple[str, ...]] = field(default_factory=dict)
+    min_field_num: int = 2
+    key_fields: tuple[str, ...] = ()
+
+
+COMMON_FIELDS: tuple[str, ...] = ("StockCode", "StockAbbr", "CompanyName", "OtherType")
+
+# ChFinAnn catalog — role lists as published in the Doc2EDAG paper and the
+# reference template (zheng2019_trigger_graph.py:69-464).
+CHFINANN_EVENT_TYPES: tuple[EventType, ...] = (
+    EventType(
+        "EquityFreeze",
+        (
+            "EquityHolder",
+            "FrozeShares",
+            "LegalInstitution",
+            "TotalHoldingShares",
+            "TotalHoldingRatio",
+            "StartDate",
+            "EndDate",
+            "UnfrozeDate",
+        ),
+        triggers={1: ("LegalInstitution",), 2: ("FrozeShares", "LegalInstitution")},
+        min_field_num=5,
+        key_fields=("EquityHolder",),
+    ),
+    EventType(
+        "EquityRepurchase",
+        (
+            "CompanyName",
+            "HighestTradingPrice",
+            "LowestTradingPrice",
+            "RepurchasedShares",
+            "ClosingDate",
+            "RepurchaseAmount",
+        ),
+        triggers={1: ("RepurchasedShares",), 2: ("RepurchasedShares", "ClosingDate")},
+        min_field_num=4,
+        key_fields=("CompanyName",),
+    ),
+    EventType(
+        "EquityUnderweight",
+        (
+            "EquityHolder",
+            "TradedShares",
+            "StartDate",
+            "EndDate",
+            "LaterHoldingShares",
+            "AveragePrice",
+        ),
+        triggers={1: ("TradedShares",), 2: ("EquityHolder", "TradedShares")},
+        min_field_num=4,
+        key_fields=("EquityHolder",),
+    ),
+    EventType(
+        "EquityOverweight",
+        (
+            "EquityHolder",
+            "TradedShares",
+            "StartDate",
+            "EndDate",
+            "LaterHoldingShares",
+            "AveragePrice",
+        ),
+        triggers={1: ("TradedShares",), 2: ("EquityHolder", "TradedShares")},
+        min_field_num=4,
+        key_fields=("EquityHolder",),
+    ),
+    EventType(
+        "EquityPledge",
+        (
+            "Pledger",
+            "PledgedShares",
+            "Pledgee",
+            "TotalHoldingShares",
+            "TotalHoldingRatio",
+            "TotalPledgedShares",
+            "StartDate",
+            "EndDate",
+            "ReleasedDate",
+        ),
+        triggers={1: ("Pledgee",), 2: ("PledgedShares", "Pledgee")},
+        min_field_num=7,
+        key_fields=("Pledger",),
+    ),
+)
+
+
+# role → regex-extractable type, mirroring RegexEntExtractor.field2type
+# (reference dee/utils.py:531-583). Used by the complementary-entity merge
+# (J3) and fix_ent-style snapping (J4).
+FIELD2REGEX_TYPE: dict[str, str] = {
+    "TotalHoldingShares": "share",
+    "TotalPledgedShares": "share",
+    "PledgedShares": "share",
+    "FrozeShares": "share",
+    "RepurchasedShares": "share",
+    "TradedShares": "share",
+    "LaterHoldingShares": "share",
+    "TotalHoldingRatio": "ratio",
+    "StartDate": "date",
+    "ReleasedDate": "date",
+    "EndDate": "date",
+    "ClosingDate": "date",
+    "UnfrozeDate": "date",
+    "RepurchaseAmount": "money",
+    "HighestTradingPrice": "money",
+    "LowestTradingPrice": "money",
+    "AveragePrice": "money",
+}
+
+
+def all_entity_fields(event_types: tuple[EventType, ...] = CHFINANN_EVENT_TYPES) -> list[str]:
+    """Union of common fields and event roles, insertion-ordered &
+    deduplicated — the entity-label universe (dee/helper/dee.py:204-214)."""
+    seen: dict[str, None] = {}
+    for f in COMMON_FIELDS:
+        seen.setdefault(f, None)
+    for et in event_types:
+        for f in et.fields:
+            seen.setdefault(f, None)
+    return list(seen)
+
+
+def bio_labels(event_types: tuple[EventType, ...] = CHFINANN_EVENT_TYPES) -> list[str]:
+    """['O', 'B-X', 'I-X', ...] — B at odd index, I at even (dee.py:215-220)."""
+    labels = ["O"]
+    for f in all_entity_fields(event_types):
+        labels.append("B-" + f)
+        labels.append("I-" + f)
+    return labels
+
+
+def label_index(event_types: tuple[EventType, ...] = CHFINANN_EVENT_TYPES) -> dict[str, int]:
+    return {lab: i for i, lab in enumerate(bio_labels(event_types))}
+
+
+def catalog_as_rows(event_types: tuple[EventType, ...] = CHFINANN_EVENT_TYPES):
+    """Catalog as plain rows for a broadcast-able Spark dimension table."""
+    return [
+        {
+            "event_type": et.name,
+            "fields": list(et.fields),
+            "min_field_num": et.min_field_num,
+            "key_fields": list(et.key_fields),
+        }
+        for et in event_types
+    ]
+
+
+# Reference truncation knobs (dee/tasks/dee_task.py:60-61) — enforced with
+# counters, never silently (SURVEY §2.2 T8 / A9).
+MAX_SENT_LEN = 128
+MAX_SENT_NUM = 64
+# Path cap for EDAG expansion on adversarial documents (SURVEY §7 risk 2).
+MAX_EDAG_PATHS = 1024

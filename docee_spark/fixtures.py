@@ -1,0 +1,261 @@
+"""Deterministic synthetic corpus: ChFinAnn-style annotated web pages.
+
+Generates, from a fixed seed, the three coupled fixtures of FIXTURES.md:
+  1. `webtext`  — (url, warc_ts, html, text, lang) rows; hosts drawn from a
+     Zipf-skewed pool (exercises salted repartitioning), html is a
+     deterministic boilerplate wrapper with ``extract(html) == text``
+     byte-identical per url (north-rule invariant);
+  2. `docs_gold` — per-document gold annotation in the reference's dataset
+     shape (guid/doc_type/sentences/spans/events — dee/helper/dee.py:116-124);
+  3. `triples_expected` — flattened (subj, pred, obj) golden output.
+
+Every reference code path is represented: o2o / o2m / m2m docs
+(dee/event_types/__init__.py:21-34), multi-mention spans, zero-span docs
+(drop path dee/helper/dee.py:763-765), regex-extractable share/ratio/date/
+money strings (dee/utils.py:602-623), and long-tail lengths past
+MAX_SENT_LEN/MAX_SENT_NUM to exercise truncation counters.
+"""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta, timezone
+
+from .config import CHFINANN_EVENT_TYPES, FIELD2REGEX_TYPE
+
+_EPOCH = datetime(2023, 1, 1, tzinfo=timezone.utc)
+
+_PERSONS = [
+    "张伟明", "李秀娟", "王建国", "刘晓芳", "陈志强", "杨丽华", "赵国栋",
+    "黄海燕", "周文斌", "吴雅婷", "徐正平", "孙立军", "马晓东", "朱丹凤",
+]
+_COMPANIES = [
+    "华夏科技股份有限公司", "东方电子集团", "南山矿业股份", "北辰投资控股",
+    "中天建设集团", "蓝海生物科技", "金鼎证券股份", "绿洲农业开发",
+]
+_INSTITUTIONS = ["上海市高级人民法院", "北京市第一中级人民法院", "深圳市中级人民法院"]
+
+
+def _date(rng: random.Random) -> str:
+    return f"{rng.randint(2015, 2023)}年{rng.randint(1, 12)}月{rng.randint(1, 28)}日"
+
+
+def _share(rng: random.Random) -> str:
+    return f"{rng.randint(1000, 99999) * 100}股"
+
+
+def _ratio(rng: random.Random) -> str:
+    return f"{rng.randint(1, 89)}.{rng.randint(0, 99):02d}%"
+
+
+def _money(rng: random.Random) -> str:
+    return f"{rng.randint(1, 999)}.{rng.randint(0, 99):02d}元"
+
+
+def _value_for(field: str, rng: random.Random) -> str:
+    typ = FIELD2REGEX_TYPE.get(field)
+    if typ == "share":
+        return _share(rng)
+    if typ == "ratio":
+        return _ratio(rng)
+    if typ == "date":
+        return _date(rng)
+    if typ == "money":
+        return _money(rng)
+    if field in ("EquityHolder", "Pledger"):
+        return rng.choice(_PERSONS)
+    if field in ("Pledgee",):
+        return rng.choice(_COMPANIES)
+    if field in ("CompanyName",):
+        return rng.choice(_COMPANIES)
+    if field in ("LegalInstitution",):
+        return rng.choice(_INSTITUTIONS)
+    return rng.choice(_COMPANIES)
+
+
+def _render_sentence(event_type: str, args: dict[str, str | None]) -> str:
+    """One sentence holding every non-null argument verbatim, ending in a
+    zh terminal punctuation so sent_seg round-trips it. Shares are never
+    sentence-final (the share regex needs a following char,
+    dee/utils.py:602-606)."""
+    parts: list[str] = [f"公告{event_type}事件："]
+    for role, val in args.items():
+        if val is not None:
+            parts.append(f"{role}为{val}，")
+    sent = "".join(parts)
+    return sent[:-1] + "。" if sent.endswith("，") else sent + "。"
+
+
+def _find_spans(
+    sentences: list[str], events: list[dict]
+) -> list[dict]:
+    """Locate every argument string in the sentences → gold span records
+    with all mention dranges (the invariant checked by the reference at
+    dee/helper/dee.py:140-145: sentences[i][s:e] == text)."""
+    arg_fields: dict[str, str] = {}
+    for ev in events:
+        for role, val in ev["args"].items():
+            if val is not None and val not in arg_fields:
+                arg_fields[val] = role
+    spans = []
+    for text, fieldname in arg_fields.items():
+        dranges = []
+        for si, sent in enumerate(sentences):
+            start = 0
+            while True:
+                pos = sent.find(text, start)
+                if pos < 0:
+                    break
+                dranges.append({"sent_idx": si, "char_s": pos, "char_e": pos + len(text)})
+                start = pos + len(text)
+        if dranges:
+            spans.append({"text": text, "field": fieldname, "dranges": dranges})
+    spans.sort(key=lambda s: (s["dranges"][0]["sent_idx"], s["dranges"][0]["char_s"]))
+    return spans
+
+
+def _make_doc(rng: random.Random, doc_idx: int) -> dict:
+    roll = rng.random()
+    if roll < 0.05:
+        doc_type, n_records = "unk", 0  # zero-event doc
+    elif roll < 0.55:
+        doc_type, n_records = "o2o", 1
+    elif roll < 0.8:
+        doc_type, n_records = "o2m", rng.randint(2, 3)  # same type, multi records
+    else:
+        doc_type, n_records = "m2m", rng.randint(2, 3)  # multiple types
+
+    events: list[dict] = []
+    sentences: list[str] = [f"证券代码{600000 + doc_idx}：本公司发布重要公告。"]
+    if doc_type == "o2o":
+        types = [rng.choice(CHFINANN_EVENT_TYPES)]
+    elif doc_type == "o2m":
+        types = [rng.choice(CHFINANN_EVENT_TYPES)] * n_records
+    elif doc_type == "m2m":
+        types = rng.sample(list(CHFINANN_EVENT_TYPES), min(n_records, len(CHFINANN_EVENT_TYPES)))
+    else:
+        types = []
+
+    used_values: set[str] = set()
+    for recguid, et in enumerate(types):
+        args: dict[str, str | None] = {}
+        n_null = rng.randint(0, max(0, len(et.fields) - et.min_field_num))
+        null_fields = set(rng.sample(list(et.fields), n_null))
+        for f in et.fields:
+            if f in null_fields:
+                args[f] = None
+                continue
+            # values unique within a doc so records stay clique-separable
+            for _ in range(32):
+                v = _value_for(f, rng)
+                if v not in used_values:
+                    break
+            used_values.add(v)
+            args[f] = v
+        events.append({"recguid": recguid, "type": et.name, "args": args})
+        sentences.append(_render_sentence(et.name, args))
+        # multi-mention: repeat the key entity in a trailing remark sentence
+        key_val = args.get(et.key_fields[0]) if et.key_fields else None
+        if key_val and rng.random() < 0.4:
+            sentences.append(f"{key_val}承诺将及时履行信息披露义务。")
+
+    # long-tail filler sentences (truncation path)
+    n_filler = rng.randint(0, 3) if rng.random() > 0.05 else 70
+    for i in range(n_filler):
+        if rng.random() < 0.05:
+            sentences.append("风险提示" + "，内容详见公告正文" * 30 + "。")
+        else:
+            sentences.append(f"第{i + 1}项其他事项说明。")
+
+    spans = _find_spans(sentences, events)
+    return {
+        "guid": f"doc{doc_idx:05d}",
+        "doc_type": doc_type,
+        "sentences": sentences,
+        "spans": spans,
+        "events": events,
+    }
+
+
+def _zipf_host(rng: random.Random, n_hosts: int = 50) -> str:
+    # Zipf-ish skew: host 0 ≫ host 1 ≫ ... — exercises salted repartitioning
+    z = min(int(rng.paretovariate(1.1)) - 1, n_hosts - 1)
+    return f"host{z:03d}.example.com"
+
+
+def make_html(text: str, title: str) -> bytes:
+    """Deterministic boilerplate wrapper; ``extract_text`` inverts it
+    byte-identically (pure function of html — north-rule invariant)."""
+    return (
+        "<html><head><title>" + title + "</title></head><body>"
+        "<nav><a href='/'>首页</a><a href='/news'>新闻</a></nav>"
+        "<article>" + text + "</article>"
+        "<footer>© example.com 版权所有</footer></body></html>"
+    ).encode("utf-8")
+
+
+def extract_text(html: bytes) -> str:
+    """The frozen extractor: pull the <article> payload. Byte-identical per
+    url by construction (golden-tested)."""
+    s = html.decode("utf-8")
+    start = s.index("<article>") + len("<article>")
+    end = s.index("</article>", start)
+    return s[start:end]
+
+
+def generate_corpus(n_docs: int = 200, seed: int = 7) -> tuple[list[dict], list[dict]]:
+    """Return (webtext_rows, docs_gold_rows)."""
+    rng = random.Random(seed)
+    webtext, gold = [], []
+    for i in range(n_docs):
+        doc = _make_doc(rng, i)
+        text = "".join(doc["sentences"])
+        url = f"https://{_zipf_host(rng)}/announce/{doc['guid']}"
+        doc["guid"] = url  # guid == url for joinability (FIXTURES.md §2)
+        webtext.append(
+            {
+                "url": url,
+                "warc_ts": _EPOCH + timedelta(seconds=i * 137),
+                "html": make_html(text, doc["guid"]),
+                "text": text,
+                "lang": "zh",
+            }
+        )
+        gold.append(doc)
+    return webtext, gold
+
+
+def expected_triples(docs_gold: list[dict]) -> list[dict]:
+    """Golden (subj, pred, obj) rows flattened from gold events
+    (FIXTURES.md §4): subj = first non-null key-field argument, pred =
+    event_type#role, obj = argument text."""
+    key_fields = {et.name: et.key_fields for et in CHFINANN_EVENT_TYPES}
+    fields_order = {et.name: et.fields for et in CHFINANN_EVENT_TYPES}
+    rows = []
+    for doc in docs_gold:
+        for ev in doc["events"]:
+            et = ev["type"]
+            subj = None
+            for kf in key_fields[et]:
+                if ev["args"].get(kf) is not None:
+                    subj = ev["args"][kf]
+                    break
+            if subj is None:  # fall back to first non-null arg in field order
+                for f in fields_order[et]:
+                    if ev["args"].get(f) is not None:
+                        subj = ev["args"][f]
+                        break
+            for role in fields_order[et]:
+                obj = ev["args"].get(role)
+                if obj is not None:
+                    rows.append(
+                        {
+                            "doc_id": doc["guid"],
+                            "event_type": et,
+                            "recguid": ev["recguid"],
+                            "subj": subj,
+                            "pred": f"{et}#{role}",
+                            "obj": obj,
+                        }
+                    )
+    return rows

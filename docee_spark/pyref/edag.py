@@ -1,0 +1,216 @@
+"""EDAG (entity-based directed acyclic graph) event-table decoding.
+
+The reference's Doc2EDAG decoder expands, per (document, event type), a
+frontier of partial role-assignment paths: fields are visited in schema
+order; every path scores all candidate spans and branches on each accepted
+span, or extends with None when no span is accepted
+(dee/models/doc2edag.py:532-604; the train-side trie over role-assignment
+prefixes is built at dee/helper/dee.py:583-611).
+
+This module gives the deterministic engine variant: the per-(path, field)
+"scorer" accepts a span iff (a) the tagger guessed this field for it and
+(b) it is adjacency-compatible with every span already on the path — so
+with an adjacency revealed from gold records (G1) the expansion exactly
+re-enumerates the gold record set. A path cap guards adversarial documents
+(SURVEY §7 risk 2).
+
+Also provides the clique-based decode (PTPCG-style: adjacency → maximal
+cliques → role assignment, reference trigger_aware.py:535-683) so the two
+families are switchable, mirroring the reference's model_type dispatch
+(dee/tasks/dee_task.py:381-402).
+"""
+
+from __future__ import annotations
+
+from .graph import AdjMat, max_cliques_bk
+
+
+def build_edag_trie(
+    records: list[list[int | None]],
+) -> dict[int, dict[tuple[int | None, ...], set[int | None]]]:
+    """Train-side EDAG index (dee/helper/dee.py:583-611): group records by
+    the prefix of role assignments — field_idx → {prefix_path: next-span
+    set}. Used for tests and for gold-path supervision parity."""
+    out: dict[int, dict[tuple[int | None, ...], set[int | None]]] = {}
+    if not records:
+        return out
+    nfields = len(records[0])
+    for fi in range(nfields):
+        level: dict[tuple[int | None, ...], set[int | None]] = {}
+        for rec in records:
+            prefix = tuple(rec[:fi])
+            level.setdefault(prefix, set()).add(rec[fi])
+        out[fi] = level
+    return out
+
+
+def edag_expand(
+    span_fields: list[str | None],
+    adj: AdjMat,
+    fields: list[str],
+    max_paths: int = 256,
+) -> list[tuple[int | None, ...]]:
+    """Frontier expansion → complete role paths (span indices or None).
+
+    span_fields[i] = guessed field of span i (tagger output);
+    adj = doc span adjacency (model-scored or record-revealed);
+    fields = the event type's ordered role list.
+    """
+    paths: list[tuple[int | None, ...]] = [()]
+    for field in fields:
+        nxt: list[tuple[int | None, ...]] = []
+        for path in paths:
+            chosen = [s for s in path if s is not None]
+            cands = [
+                i
+                for i, f in enumerate(span_fields)
+                if f == field and all(adj[i][c] == 1 for c in chosen)
+            ]
+            # branch on every accepted span AND on None: the reference's
+            # field classifier may reject all candidates for one record even
+            # though another record fills the field (doc2edag.py:563-585);
+            # spurious sub-record paths are removed by subset-dedup below.
+            for c in cands:
+                nxt.append(path + (c,))
+            nxt.append(path + (None,))
+        if len(nxt) > max_paths:
+            # prune to the most complete paths (deterministic: non-null
+            # count desc, then path order) — the cap exists only to bound
+            # adversarial documents (SURVEY §7 risk 2)
+            nxt.sort(
+                key=lambda p: (
+                    -sum(1 for s in p if s is not None),
+                    tuple(-1 if s is None else s for s in p),
+                )
+            )
+            nxt = nxt[:max_paths]
+        paths = nxt
+    # drop the all-None path and exact duplicates, keep first-seen order
+    seen: set[tuple[int | None, ...]] = set()
+    out = []
+    for p in paths:
+        if all(s is None for s in p) or p in seen:
+            continue
+        seen.add(p)
+        out.append(p)
+    return out
+
+
+def _fill_record(
+    clique: tuple[int, ...], span_fields: list[str | None], fields: list[str]
+) -> tuple[int | None, ...]:
+    """Deterministic role assignment inside a combination: the first
+    (doc-order) member whose guessed field matches the role fills it
+    (analog of predict_span_role, event_table.py:211-246)."""
+    return tuple(
+        next((i for i in clique if span_fields[i] == f), None) for f in fields
+    )
+
+
+def _subset_dedup(records: list[tuple[int | None, ...]]) -> list[tuple[int | None, ...]]:
+    """Drop records whose non-null arg set ⊆ another record of the same
+    type (U3, dee/tasks/dee_task.py:1340-1356)."""
+    kept: list[tuple[int | None, ...]] = []
+    for rec in sorted(
+        set(records),
+        key=lambda r: (
+            -sum(1 for a in r if a is not None),
+            tuple(-1 if x is None else x for x in r),
+        ),
+    ):
+        rset = {(i, a) for i, a in enumerate(rec) if a is not None}
+        if not any(
+            rset <= {(i, a) for i, a in enumerate(k) if a is not None} for k in kept
+        ):
+            kept.append(rec)
+    return kept
+
+
+# Deterministic event-type detection: keyword cues per type, the engine's
+# analog of the reference's trained event-type classifier
+# (dee/modules/event_table.py:47-57; M5). Keys are substring cues looked up
+# in each sentence. Extensible via config.
+DEFAULT_TYPE_KEYWORDS: dict[str, tuple[str, ...]] = {
+    "EquityFreeze": ("EquityFreeze", "冻结"),
+    "EquityRepurchase": ("EquityRepurchase", "回购"),
+    "EquityUnderweight": ("EquityUnderweight", "减持"),
+    "EquityOverweight": ("EquityOverweight", "增持"),
+    "EquityPledge": ("EquityPledge", "质押"),
+}
+
+
+def detect_types_per_sentence(
+    sentences: list[str],
+    type_keywords: dict[str, tuple[str, ...]] | None = None,
+) -> list[set[str]]:
+    kw = type_keywords or DEFAULT_TYPE_KEYWORDS
+    return [
+        {et for et, cues in kw.items() if any(c in sent for c in cues)}
+        for sent in sentences
+    ]
+
+
+def decode_doc(
+    sentences: list[str],
+    span_fields: list[str | None],
+    span_sent_idxs: list[list[int]],
+    adj: AdjMat,
+    event_fields: dict[str, list[str]],
+    min_field_num: dict[str, int] | None = None,
+    mode: str = "clique",
+    type_keywords: dict[str, tuple[str, ...]] | None = None,
+    max_paths: int = 256,
+) -> dict[str, list[tuple[int | None, ...]]]:
+    """Full per-document decode: event-type detection → combination
+    enumeration (cliques or EDAG expansion) → role assignment →
+    subset-dedup. Returns {event_type: [record tuples of span idx|None]}.
+
+    ``span_sent_idxs[i]`` = sentence indices where span i is mentioned.
+    A combination is typed by the sentence-keyword cues covering its
+    members (deterministic analog of M5 + key-sentence detection A8).
+    """
+    mins = min_field_num or {}
+    sent_types = detect_types_per_sentence(sentences, type_keywords)
+    out: dict[str, list[tuple[int | None, ...]]] = {}
+
+    if mode == "clique":
+        cliques = max_cliques_bk(adj, min_num_arg=1) if span_fields else []
+        for clique in cliques:
+            # candidate types = union of cues over the members' sentences
+            cand: set[str] = set()
+            for i in clique:
+                for si in span_sent_idxs[i]:
+                    cand |= sent_types[si]
+            best_type, best_rec, best_n = None, None, 0
+            for et in event_fields:  # catalog order = tie-break order
+                if et not in cand:
+                    continue
+                rec = _fill_record(clique, span_fields, event_fields[et])
+                n = sum(1 for a in rec if a is not None)
+                if n > best_n and n >= mins.get(et, 1):
+                    best_type, best_rec, best_n = et, rec, n
+            if best_type is not None:
+                out.setdefault(best_type, []).append(best_rec)
+    elif mode == "edag":
+        doc_types = set().union(*sent_types) if sent_types else set()
+        for et in event_fields:
+            if et not in doc_types:
+                continue
+            # restrict to spans mentioned in a sentence cueing this type,
+            # plus spans adjacency-linked to them (shared-argument case)
+            in_cue = [
+                any(et in sent_types[si] for si in span_sent_idxs[i])
+                for i in range(len(span_fields))
+            ]
+            gated = [
+                f if in_cue[i] else None for i, f in enumerate(span_fields)
+            ]
+            recs = edag_expand(gated, adj, event_fields[et], max_paths=max_paths)
+            recs = [r for r in recs
+                    if sum(1 for a in r if a is not None) >= mins.get(et, 1)]
+            if recs:
+                out[et] = recs
+    else:
+        raise ValueError(f"unknown decode mode: {mode}")
+
+    return {et: _subset_dedup(recs) for et, recs in out.items()}
