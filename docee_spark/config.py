@@ -138,6 +138,21 @@ FIELD2REGEX_TYPE: dict[str, str] = {
 }
 
 
+# role → coarse entity type for the no-model (dictionary+regex) tagger:
+# regex types from FIELD2REGEX_TYPE plus named-entity classes. Used by the
+# decoders' compatibility matching when the tagger supplies types rather
+# than exact roles (analog of ann_mspan2guess_field being a *guess*,
+# dee/helper/dee.py:120).
+ROLE_COARSE_TYPE: dict[str, str] = {
+    **FIELD2REGEX_TYPE,
+    "EquityHolder": "person",
+    "Pledger": "person",
+    "Pledgee": "company",
+    "CompanyName": "company",
+    "LegalInstitution": "institution",
+}
+
+
 def all_entity_fields(event_types: tuple[EventType, ...] = CHFINANN_EVENT_TYPES) -> list[str]:
     """Union of common fields and event roles, insertion-ordered &
     deduplicated — the entity-label universe (dee/helper/dee.py:204-214)."""
@@ -176,9 +191,12 @@ def catalog_as_rows(event_types: tuple[EventType, ...] = CHFINANN_EVENT_TYPES):
     ]
 
 
-# Reference truncation knobs (dee/tasks/dee_task.py:60-61) — enforced with
-# counters, never silently (SURVEY §2.2 T8 / A9).
-MAX_SENT_LEN = 128
-MAX_SENT_NUM = 64
+# Truncation knobs. The reference caps at 128/64 (dee/tasks/dee_task.py:
+# 60-61) because its BERT encoder needs fixed shapes; this engine has no
+# such model boundary — the caps only bound Arrow-batch memory in the UDF
+# stages, so they default higher. Enforced with counters, never silently
+# (SURVEY §2.2 T8 / A9).
+MAX_SENT_LEN = 512
+MAX_SENT_NUM = 256
 # Path cap for EDAG expansion on adversarial documents (SURVEY §7 risk 2).
 MAX_EDAG_PATHS = 1024

@@ -225,6 +225,17 @@ def generate_corpus(n_docs: int = 200, seed: int = 7) -> tuple[list[dict], list[
     return webtext, gold
 
 
+def heuristic_entity_dict() -> dict[str, str]:
+    """surface → coarse type dictionary for the no-model tagger (the
+    broadcast entity dictionary of the north rule). Types pair with
+    config.ROLE_COARSE_TYPE."""
+    d: dict[str, str] = {}
+    d.update({p: "person" for p in _PERSONS})
+    d.update({c: "company" for c in _COMPANIES})
+    d.update({i: "institution" for i in _INSTITUTIONS})
+    return d
+
+
 def expected_triples(docs_gold: list[dict]) -> list[dict]:
     """Golden (subj, pred, obj) rows flattened from gold events
     (FIXTURES.md §4): subj = first non-null key-field argument, pred =

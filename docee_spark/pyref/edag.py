@@ -22,7 +22,17 @@ families are switchable, mirroring the reference's model_type dispatch
 
 from __future__ import annotations
 
+from ..config import ROLE_COARSE_TYPE
 from .graph import AdjMat, max_cliques_bk
+
+
+def field_matches(span_field: str | None, role: str) -> bool:
+    """A span fills a role when its guessed field IS the role (gold/model
+    tagger) or its coarse type is the role's coarse type (dictionary+regex
+    tagger, which can only guess types — dee/helper/dee.py:120)."""
+    if span_field is None:
+        return False
+    return span_field == role or ROLE_COARSE_TYPE.get(role) == span_field
 
 
 def build_edag_trie(
@@ -49,6 +59,7 @@ def edag_expand(
     adj: AdjMat,
     fields: list[str],
     max_paths: int = 256,
+    always_branch_none: bool = True,
 ) -> list[tuple[int | None, ...]]:
     """Frontier expansion → complete role paths (span indices or None).
 
@@ -64,15 +75,22 @@ def edag_expand(
             cands = [
                 i
                 for i, f in enumerate(span_fields)
-                if f == field and all(adj[i][c] == 1 for c in chosen)
+                if field_matches(f, field)
+                and i not in chosen
+                and all(adj[i][c] == 1 for c in chosen)
             ]
-            # branch on every accepted span AND on None: the reference's
-            # field classifier may reject all candidates for one record even
-            # though another record fills the field (doc2edag.py:563-585);
-            # spurious sub-record paths are removed by subset-dedup below.
+            # branch on every accepted span AND (with exact field info) on
+            # None: the reference's field classifier may reject all
+            # candidates for one record even though another record fills
+            # the field (doc2edag.py:563-585); spurious sub-record paths
+            # are removed by subset-dedup. With only coarse-typed fields
+            # (dictionary+regex tagger) the None branch floods the frontier
+            # with unsupported combinations, so it is taken only when no
+            # candidate exists.
             for c in cands:
                 nxt.append(path + (c,))
-            nxt.append(path + (None,))
+            if always_branch_none or not cands:
+                nxt.append(path + (None,))
         if len(nxt) > max_paths:
             # prune to the most complete paths (deterministic: non-null
             # count desc, then path order) — the cap exists only to bound
@@ -100,11 +118,22 @@ def _fill_record(
     clique: tuple[int, ...], span_fields: list[str | None], fields: list[str]
 ) -> tuple[int | None, ...]:
     """Deterministic role assignment inside a combination: the first
-    (doc-order) member whose guessed field matches the role fills it
-    (analog of predict_span_role, event_table.py:211-246)."""
-    return tuple(
-        next((i for i in clique if span_fields[i] == f), None) for f in fields
-    )
+    (doc-order) unused member whose guessed field matches the role fills
+    it (analog of predict_span_role, event_table.py:211-246). Exact-field
+    matches win over coarse-type matches."""
+    used: set[int] = set()
+    rec: list[int | None] = []
+    for f in fields:
+        m = next((i for i in clique if i not in used and span_fields[i] == f), None)
+        if m is None:
+            m = next(
+                (i for i in clique if i not in used and field_matches(span_fields[i], f)),
+                None,
+            )
+        if m is not None:
+            used.add(m)
+        rec.append(m)
+    return tuple(rec)
 
 
 def _subset_dedup(records: list[tuple[int | None, ...]]) -> list[tuple[int | None, ...]]:
@@ -124,6 +153,27 @@ def _subset_dedup(records: list[tuple[int | None, ...]]) -> list[tuple[int | Non
         ):
             kept.append(rec)
     return kept
+
+
+def clique_decode(
+    span_fields: list[str | None],
+    adj: AdjMat,
+    fields: list[str],
+    min_field_num: int = 1,
+) -> list[tuple[int | None, ...]]:
+    """PTPCG-style decode for ONE event type: maximal cliques of the span
+    graph, role assignment per clique, subset-dedup (reference
+    adj_decoding + event_table predict_span_role, trigger_aware.py:652-683).
+    ``decode_doc`` is the typed multi-event wrapper."""
+    if not span_fields:
+        return []
+    records = []
+    for clique in max_cliques_bk(adj, min_num_arg=1):
+        rec = _fill_record(clique, span_fields, fields)
+        n = sum(1 for a in rec if a is not None)
+        if n >= max(1, min_field_num):
+            records.append(rec)
+    return _subset_dedup(records)
 
 
 # Deterministic event-type detection: keyword cues per type, the engine's
@@ -160,6 +210,7 @@ def decode_doc(
     mode: str = "clique",
     type_keywords: dict[str, tuple[str, ...]] | None = None,
     max_paths: int = 256,
+    exact_fields: bool = True,
 ) -> dict[str, list[tuple[int | None, ...]]]:
     """Full per-document decode: event-type detection → combination
     enumeration (cliques or EDAG expansion) → role assignment →
@@ -172,6 +223,14 @@ def decode_doc(
     mins = min_field_num or {}
     sent_types = detect_types_per_sentence(sentences, type_keywords)
     out: dict[str, list[tuple[int | None, ...]]] = {}
+
+    if mode == "edag" and not exact_fields:
+        # An unscored EDAG expansion over coarse-typed spans enumerates
+        # every type-consistent assignment (the reference's EDAG is only
+        # defined WITH its learned field classifier, doc2edag.py:563-585).
+        # The principled deterministic decode for coarse fields is the
+        # clique path — fall back.
+        mode = "clique"
 
     if mode == "clique":
         cliques = max_cliques_bk(adj, min_num_arg=1) if span_fields else []
@@ -205,7 +264,13 @@ def decode_doc(
             gated = [
                 f if in_cue[i] else None for i, f in enumerate(span_fields)
             ]
-            recs = edag_expand(gated, adj, event_fields[et], max_paths=max_paths)
+            recs = edag_expand(
+                gated,
+                adj,
+                event_fields[et],
+                max_paths=max_paths,
+                always_branch_none=exact_fields,
+            )
             recs = [r for r in recs
                     if sum(1 for a in r if a is not None) >= mins.get(et, 1)]
             if recs:

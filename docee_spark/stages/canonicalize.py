@@ -1,0 +1,146 @@
+"""Stage 6 — canonicalize: cross-document entity resolution → vertex/edge
+tables.
+
+The reference never joins across documents (SURVEY §2.4) — this stage is
+the graft's additive KG step (north rule): argument surface strings from
+all documents are canonicalized by
+  1. deterministic normalization (trim; lowercase for latin scripts),
+  2. MinHash-LSH blocking over character-shingle sets — near-duplicate
+     surfaces land in a shared band bucket and the bucket resolves to one
+     canonical id (single-pass banding; at 10^12-doc scale the iterative
+     union-find closure runs as a few extra self-joins, noted below),
+  3. broadcast entity-dictionary resolution: a curated surface → id
+     dictionary wins over LSH clusters (broadcast hash join, no shuffle on
+     the big side).
+
+Everything is built-in expressions: the MinHash signature is
+``array_min(transform(shingles, s -> md5(seed || s)))`` — lexicographic min
+of md5 hex digests, k independent permutations via k seeds. JVM-side,
+codegen'd, and byte-identical to the DuckDB oracle formulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Character n-gram shingle set (distinct), padded for short strings."""
+    padded = F.rpad(col, n, "_")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.length(padded) - n),
+            lambda i: padded.substr(i + 1, F.lit(n)),
+        )
+    )
+
+
+def minhash_signature(shingle_col: Column, k: int = 8) -> Column:
+    """k md5-min hashes (as hex strings) of the shingle set."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shingle_col, lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
+                )
+            )
+            for i in range(k)
+        ]
+    )
+
+
+def lsh_bands(sig_col: Column, bands: int = 4, rows: int = 2) -> Column:
+    """Signature → band keys: band i = 'i:' + concat(sig[i*r : (i+1)*r])."""
+    return F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(str(b)),
+                *[F.element_at(sig_col, b * rows + r + 1) for r in range(rows)],
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def normalize_surface(col: Column) -> Column:
+    return F.when(
+        col.rlike("^[\\x00-\\x7F]*$"), F.lower(F.trim(col))
+    ).otherwise(F.trim(col))
+
+
+def canonicalize(
+    triples_df: DataFrame,
+    entity_dict: DataFrame | None = None,
+    k: int = 8,
+    bands: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """→ (vertices, edges).
+
+    vertices: (entity_id, surface, n_mentions); edges: (src, pred, dst,
+    doc_id, recguid). ``entity_dict``: optional (surface, entity_id) —
+    joined broadcast.
+    """
+    rows = bands and max(1, k // bands)
+    mentions = (
+        triples_df.select(F.col("subj").alias("surface"))
+        .unionAll(triples_df.select(F.col("obj").alias("surface")))
+        .filter(F.col("surface").isNotNull())
+    )
+    surfaces = (
+        mentions.groupBy("surface")
+        .agg(F.count("*").alias("n_mentions"))
+        .withColumn("norm", normalize_surface(F.col("surface")))
+    )
+
+    # LSH blocking: surface → bands → min(norm) per band → min over bands.
+    # One groupBy per pass; transitive closure across bands would iterate
+    # this block until fixpoint (2-3 passes suffice in practice; each pass
+    # is a shuffle on the band key, never a cross join).
+    sig = minhash_signature(shingles(F.col("norm")), k=k)
+    banded = surfaces.withColumn("band", F.explode(lsh_bands(sig, bands, rows)))
+    band_rep = banded.groupBy("band").agg(F.min("norm").alias("band_rep"))
+    clustered = (
+        banded.join(band_rep, "band")
+        .groupBy("surface", "norm", "n_mentions")
+        .agg(F.min("band_rep").alias("lsh_rep"))
+    )
+
+    if entity_dict is not None:
+        clustered = clustered.join(
+            F.broadcast(entity_dict.select("surface", F.col("entity_id").alias("dict_id"))),
+            "surface",
+            "left",
+        )
+        canon = F.coalesce(F.col("dict_id"), F.col("lsh_rep"))
+    else:
+        canon = F.col("lsh_rep")
+    resolved = clustered.withColumn("entity_id", canon).select(
+        "surface", "entity_id", "n_mentions"
+    )
+
+    vertices = resolved.groupBy("entity_id").agg(
+        F.min("surface").alias("surface"),
+        F.sum("n_mentions").alias("n_mentions"),
+    )
+
+    # edges: resolve both endpoints; the resolved map is small relative to
+    # the triple set (distinct surfaces ≪ mentions) → broadcast both joins
+    res_map = F.broadcast(resolved.select("surface", "entity_id"))
+    edges = (
+        triples_df.join(
+            res_map.withColumnRenamed("surface", "subj").withColumnRenamed(
+                "entity_id", "src"
+            ),
+            "subj",
+        )
+        .join(
+            res_map.withColumnRenamed("surface", "obj").withColumnRenamed(
+                "entity_id", "dst"
+            ),
+            "obj",
+        )
+        .select("src", "pred", "dst", "doc_id", "recguid", "event_type")
+    )
+    return vertices, edges

@@ -1,0 +1,121 @@
+"""Stage 4 — decode: spans → event records, per document.
+
+The per-document combinatorial heart of the engine (reference G3-G9):
+adjacency construction, maximal-clique or EDAG-path enumeration, role
+assignment, subset-dedup. All of it is row-local — no cross-document
+state — so it runs as one Arrow-vectorized mapInPandas over length-
+bucketed doc rows; a 1000-executor cluster scales it linearly.
+
+Adjacency sources (the "model" slot):
+  * ``adjacency="sentence"`` — spans co-mentioned in a sentence are
+    linked (deterministic analog of the PTPCG adjacency scorer M6,
+    trigger_aware.py:375-387; same shape: spans → 0/1 matrix).
+  * ``adjacency="gold"`` — revealed from gold events (G1,
+    arg_rel.py:270-277); requires an ``events`` column (gold mode, used
+    for decoder-parity evaluation exactly like the reference's gold_span
+    runs).
+
+Decode mode: "clique" (PTPCG family) or "edag" (Doc2EDAG family,
+doc2edag.py:532-604), switched like the reference's model_type dispatch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from itertools import combinations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..config import CHFINANN_EVENT_TYPES, MAX_EDAG_PATHS
+from ..pyref.edag import decode_doc
+
+_EVENTS_FIELD = "events: array<struct<recguid:int,type:string,args:map<string,string>>>"
+
+
+def _sentence_adjacency(n: int, span_sents: list[list[int]]) -> list[list[int]]:
+    adj = [[0] * n for _ in range(n)]
+    by_sent: dict[int, list[int]] = {}
+    for i, sents in enumerate(span_sents):
+        adj[i][i] = 1
+        for s in sents:
+            by_sent.setdefault(s, []).append(i)
+    for members in by_sent.values():
+        for i, j in combinations(members, 2):
+            adj[i][j] = adj[j][i] = 1
+    return adj
+
+
+def _gold_adjacency(n: int, span_texts: list[str], events) -> list[list[int]]:
+    idx = {t: i for i, t in enumerate(span_texts)}
+    adj = [[0] * n for _ in range(n)]
+    for i in range(n):
+        adj[i][i] = 1
+    for ev in events:
+        members = sorted(
+            {idx[v] for v in dict(ev["args"]).values() if v is not None and v in idx}
+        )
+        for i, j in combinations(members, 2):
+            adj[i][j] = adj[j][i] = 1
+    return adj
+
+
+def decode(
+    tagged: DataFrame,
+    mode: str = "clique",
+    adjacency: str = "sentence",
+    max_paths: int = MAX_EDAG_PATHS,
+) -> DataFrame:
+    """→ doc rows + ``events`` column (schema.EVENTS)."""
+    event_fields = {et.name: list(et.fields) for et in CHFINANN_EVENT_TYPES}
+    min_fields = {et.name: et.min_field_num for et in CHFINANN_EVENT_TYPES}
+    use_gold_adj = adjacency == "gold"
+    if use_gold_adj and "events" not in tagged.columns:
+        raise ValueError("adjacency='gold' requires an `events` column")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            events_col = []
+            gold_events = pdf["events"] if use_gold_adj else [None] * len(pdf)
+            for sentences, spans, gold in zip(pdf["sentences"], pdf["spans"], gold_events):
+                sents = list(sentences)
+                span_texts = [s["text"] for s in spans]
+                span_fields = [s["field"] for s in spans]
+                span_sents = [
+                    sorted({d["sent_idx"] for d in s["dranges"]}) for s in spans
+                ]
+                n = len(span_texts)
+                if use_gold_adj:
+                    adj = _gold_adjacency(n, span_texts, gold)
+                else:
+                    adj = _sentence_adjacency(n, span_sents)
+                decoded = decode_doc(
+                    sents,
+                    span_fields,
+                    span_sents,
+                    adj,
+                    event_fields,
+                    min_fields,
+                    mode=mode,
+                    max_paths=max_paths,
+                    exact_fields=use_gold_adj,
+                )
+                recs = []
+                recguid = 0
+                for et in event_fields:  # deterministic catalog order
+                    for rec in decoded.get(et, []):
+                        args = {
+                            f: (span_texts[i] if i is not None else None)
+                            for f, i in zip(event_fields[et], rec)
+                        }
+                        recs.append({"recguid": recguid, "type": et, "args": args})
+                        recguid += 1
+                events_col.append(recs)
+            out = pdf.drop(columns=["events"]) if use_gold_adj else pdf
+            yield out.assign(events=events_col)
+
+    base_fields = [f for f in tagged.schema.fields if f.name != "events"]
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in base_fields
+    )
+    return tagged.mapInPandas(run, schema=out_schema + ", " + _EVENTS_FIELD)

@@ -1,0 +1,135 @@
+"""Stage 7 — evaluate: pred events vs gold events, reference metric semantics.
+
+Two layers, exactly like the reference harness:
+  1. per-(doc, event_type) greedy record matching (J2, dee/metrics.py:42-79)
+     — order-sensitive by design, run row-locally inside a cogrouped
+     applyInPandas (the only non-relational piece);
+  2. relational rollups (A1, dee/metrics.py:443-545): role → event-type →
+     overall sums are a plain ``rollup`` over the emitted counts, with
+     P/R/F1 as scalar column expressions (metrics.py:156-165); doc_type
+     slicing (F6, helper/__init__.py:230-239) is a ``cube`` dimension.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import CHFINANN_EVENT_TYPES
+from ..pyref.matching import event_role_tpfpfn
+
+_STATS_SCHEMA = (
+    "doc_id string, doc_type string, event_type string, role string, "
+    "tp long, fp long, fn long"
+)
+
+
+def _records_by_type(events, fields_of) -> dict[str, list[tuple]]:
+    out: dict[str, list[tuple]] = {}
+    if events is None:
+        events = []
+    for ev in events:
+        et = ev["type"]
+        args = dict(ev["args"])
+        out.setdefault(et, []).append(tuple(args.get(f) for f in fields_of[et]))
+    return out
+
+
+def role_stats(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """→ one row per (doc, event_type, role) with tp/fp/fn counts.
+
+    ``pred``: (doc_id, events); ``gold``: (doc_id, doc_type, events).
+    Cogrouped on doc_id so a document's pred and gold meet row-locally —
+    a co-partitioned shuffle each side, nothing collected to the driver.
+    """
+    fields_of = {et.name: list(et.fields) for et in CHFINANN_EVENT_TYPES}
+
+    def match(key, pred_pdf: pd.DataFrame, gold_pdf: pd.DataFrame) -> pd.DataFrame:
+        doc_id = key[0]
+        pred_events = pred_pdf["events"].iloc[0] if len(pred_pdf) else []
+        gold_events = gold_pdf["events"].iloc[0] if len(gold_pdf) else []
+        doc_type = gold_pdf["doc_type"].iloc[0] if len(gold_pdf) else "unk"
+        preds = _records_by_type(pred_events, fields_of)
+        golds = _records_by_type(gold_events, fields_of)
+        rows = []
+        for et, fields in fields_of.items():
+            p = preds.get(et)
+            g = golds.get(et)
+            if p is None and g is None:
+                continue
+            stats = event_role_tpfpfn(p, g, len(fields))
+            for role, (tp, fp, fn) in zip(fields, stats):
+                rows.append((doc_id, doc_type, et, role, tp, fp, fn))
+        return pd.DataFrame(
+            rows, columns=["doc_id", "doc_type", "event_type", "role", "tp", "fp", "fn"]
+        )
+
+    return (
+        pred.select("doc_id", "events")
+        .groupBy("doc_id")
+        .cogroup(gold.select("doc_id", "doc_type", "events").groupBy("doc_id"))
+        .applyInPandas(match, schema=_STATS_SCHEMA)
+    )
+
+
+def _prf1_cols(df: DataFrame) -> DataFrame:
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    p = F.when(tp + fp > 0, tp / (tp + fp)).otherwise(F.lit(0.0))
+    r = F.when(tp + fn > 0, tp / (tp + fn)).otherwise(F.lit(0.0))
+    df = df.withColumn("precision", p).withColumn("recall", r)
+    pr = F.col("precision") + F.col("recall")
+    return df.withColumn(
+        "f1",
+        F.when(pr > 0, 2 * F.col("precision") * F.col("recall") / pr).otherwise(
+            F.lit(0.0)
+        ),
+    )
+
+
+def micro_rollup(stats: DataFrame) -> DataFrame:
+    """rollup(event_type, role): per-role, per-type, and grand-total rows
+    (null dims = subtotal, like the reference's micro rollup)."""
+    agg = stats.rollup("event_type", "role").agg(
+        F.sum("tp").alias("tp"), F.sum("fp").alias("fp"), F.sum("fn").alias("fn")
+    )
+    return _prf1_cols(agg)
+
+
+def doc_type_rollup(stats: DataFrame) -> DataFrame:
+    """F6 doc-type slicing: metrics over o2o/o2m/m2m subsets + overall."""
+    agg = stats.cube("doc_type").agg(
+        F.sum("tp").alias("tp"), F.sum("fp").alias("fp"), F.sum("fn").alias("fn")
+    )
+    return _prf1_cols(agg)
+
+
+def macro_f1(stats: DataFrame) -> DataFrame:
+    """A1 macro: mean of per-event-type F1 (metrics.py:465-545)."""
+    per_type = _prf1_cols(
+        stats.groupBy("event_type").agg(
+            F.sum("tp").alias("tp"), F.sum("fp").alias("fp"), F.sum("fn").alias("fn")
+        )
+    )
+    return per_type.agg(
+        F.avg("precision").alias("macro_precision"),
+        F.avg("recall").alias("macro_recall"),
+        F.avg("f1").alias("macro_f1"),
+    )
+
+
+def micro_scores(stats: DataFrame) -> dict[str, float]:
+    """Driver-side convenience: the single micro P/R/F1 triple."""
+    row = (
+        micro_rollup(stats)
+        .filter(F.col("event_type").isNull() & F.col("role").isNull())
+        .collect()[0]
+    )
+    return {
+        "precision": row["precision"],
+        "recall": row["recall"],
+        "f1": row["f1"],
+        "tp": row["tp"],
+        "fp": row["fp"],
+        "fn": row["fn"],
+    }

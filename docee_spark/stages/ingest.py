@@ -1,0 +1,74 @@
+"""Stage 1 — ingest: webtext (url, warc_ts, html, text, lang) → clean docs.
+
+Reference analog: the dataset loaders (S1/S2, dee/utils.py:74-77,
+dee/helper/dee.py:391-402). The graft-specific addition is boilerplate
+stripping ``html → text`` as a *pure function of html*, byte-identical per
+url (north-rule invariant): the extraction runs only when ``text`` is null
+and is a deterministic Arrow-vectorized UDF — no per-row Python.
+
+At 100 TB the input is an Iceberg table partitioned by (crawl date, lang);
+this stage's filter/projection push into the scan (verified in
+tests/test_plans.py). Host-skew is broken by salted repartitioning *after*
+the scan so partition pruning still applies.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..fixtures import extract_text
+
+
+@F.pandas_udf(T.StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    """Arrow-batched boilerplate strip; pure function of the html bytes."""
+    return html.map(lambda b: extract_text(b) if b is not None else None)
+
+
+def host_of(url: Column) -> Column:
+    """Host component of a url — the skew key (Zipf-distributed hosts)."""
+    return F.regexp_extract(url, r"^[a-z]+://([^/]+)/", 1)
+
+
+def salted_repartition(df: DataFrame, n_partitions: int, salt_buckets: int = 16) -> DataFrame:
+    """Break host-level skew: repartition on (host, salt) so one hot host
+    spreads over ``salt_buckets`` partitions (SURVEY §7 risk 5). The salt
+    is deterministic (hash of url) — reruns place rows identically."""
+    return df.repartition(
+        n_partitions,
+        host_of(F.col("url")),
+        F.pmod(F.xxhash64("url"), F.lit(salt_buckets)),
+    )
+
+
+def ingest(
+    webtext: DataFrame,
+    langs: tuple[str, ...] | None = None,
+    use_html: bool = True,
+) -> DataFrame:
+    """→ (doc_id, lang, text, warc_ts). Filters push into the source scan.
+
+    ``use_html=True`` extracts text from html for rows with null text;
+    pass False when the source guarantees text — the html column is then
+    never referenced and column pruning drops it from the scan entirely
+    (binary html dominates the bytes at 100 TB, so this is the single
+    biggest I/O knob in the pipeline).
+    """
+    df = webtext
+    if langs:
+        df = df.filter(F.col("lang").isin(*langs))
+    if use_html:
+        text = F.when(
+            F.col("text").isNull(), extract_text_udf(F.col("html"))
+        ).otherwise(F.col("text"))
+    else:
+        text = F.col("text")
+    return df.select(
+        F.col("url").alias("doc_id"),
+        F.col("lang"),
+        text.alias("text"),
+        F.col("warc_ts"),
+    ).filter(F.col("text").isNotNull() & (F.length("text") > 0))

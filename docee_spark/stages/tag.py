@@ -1,0 +1,178 @@
+"""Stage 3 — tag: sentences → entity spans (the "NER" slot).
+
+Three interchangeable taggers behind one output contract
+(doc rows + ``spans`` column, schema.SPANS), mirroring the reference's
+model_type dispatch (dee/tasks/dee_task.py:381-402):
+
+  * ``tag_heuristic`` — typed regex extractors (T6, dee/utils.py:602-663)
+    + broadcast entity-dictionary matching, merged with the complementary-
+    entity rules (J3, dee/helper/dee.py:49-113): a regex entity is added
+    only when it does not overlap an existing dictionary span, and
+    incomplete ratios (digit immediately before) are dropped (F5,
+    dee.py:102-113). This is the no-model path.
+  * ``tag_gold`` — "gold_span mode" (dee_task.py:809-832): join gold span
+    annotations, synthesize char-BIO labels (T7, ner.py:20-55) and decode
+    them back through the runtime BIO→span decoder
+    (doc_info.py:22-79) — isolating decoder correctness exactly like the
+    reference's gold-span evaluation.
+  * a trained-model tagger drops into the same mapInPandas slot (iterator
+    pandas UDF, model loaded once per executor) — out of scope here, the
+    plumbing is identical.
+
+All taggers are Arrow-vectorized mapInPandas over doc rows; no per-row
+Python. Before the UDF, rows are length-bucketed + salt-repartitioned so
+one executor never receives a batch of only-huge documents (north rule).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import label_index
+from ..pyref import textproc
+from ..pyref.spans import decode_spans, labels_from_spans
+
+_SPANS_FIELD = "spans: array<struct<text:string,field:string,dranges:array<struct<sent_idx:int,char_s:int,char_e:int>>>>"
+
+
+def length_bucketed(df: DataFrame, n_partitions: int, salt_buckets: int = 16) -> DataFrame:
+    """Repartition by (doc-length bucket, salt): batches arriving at the
+    Arrow UDF have homogeneous size → no straggler executors on the long
+    tail of huge documents (analog of the reference's batch padding waste
+    avoidance, SURVEY §4)."""
+    bucket = F.floor(F.log2(F.size("sentences") + F.lit(1)))
+    salt = F.pmod(F.xxhash64("doc_id"), F.lit(salt_buckets))
+    return df.repartition(n_partitions, bucket, salt)
+
+
+def _find_dict_spans(sentences: list[str], surfaces: dict[str, str]):
+    """All occurrences of dictionary surfaces; longest-match-first so a
+    surface embedded in a longer matched surface is not double-tagged."""
+    out = []
+    taken: dict[int, list[tuple[int, int]]] = {}
+    for text in sorted(surfaces, key=len, reverse=True):
+        fieldname = surfaces[text]
+        dranges = []
+        for si, sent in enumerate(sentences):
+            start = 0
+            while True:
+                pos = sent.find(text, start)
+                if pos < 0:
+                    break
+                span = (pos, pos + len(text))
+                if not any(s < span[1] and span[0] < e for s, e in taken.get(si, [])):
+                    dranges.append(
+                        {"sent_idx": si, "char_s": span[0], "char_e": span[1]}
+                    )
+                    taken.setdefault(si, []).append(span)
+                start = pos + len(text)
+        if dranges:
+            out.append({"text": text, "field": fieldname, "dranges": dranges})
+    return out, taken
+
+
+def _merge_regex_spans(sentences, spans, taken):
+    """Complementary-entity merge (J3): typed regex entities unioned in
+    unless overlapping an existing drange; ratio-completeness filter (F5)."""
+    existing = {s["text"] for s in spans}
+    extracted = textproc.extract_doc(sentences, exclude_ents=list(existing))
+    by_text: dict[str, dict] = {}
+    for typ, matches in extracted.items():
+        for text, (si, cs, ce) in matches:
+            if typ == "ratio" and not textproc.ratio_span_is_complete(
+                sentences[si], cs
+            ):
+                continue
+            if any(s < ce and cs < e for s, e in taken.get(si, [])):
+                continue
+            ent = by_text.setdefault(text, {"text": text, "field": typ, "dranges": []})
+            ent["dranges"].append({"sent_idx": si, "char_s": cs, "char_e": ce})
+            taken.setdefault(si, []).append((cs, ce))
+    merged = spans + list(by_text.values())
+    merged.sort(key=lambda s: (s["dranges"][0]["sent_idx"], s["dranges"][0]["char_s"]))
+    return merged
+
+
+def tag_heuristic(docs: DataFrame, entity_dict: dict[str, str]) -> DataFrame:
+    """Dictionary + regex tagger. ``entity_dict``: surface → field; it is
+    closed over and shipped once per task via Arrow (small: broadcast-dict
+    resolution for big dictionaries lives in canonicalize)."""
+    spark = docs.sparkSession
+    bc = spark.sparkContext.broadcast(entity_dict)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        surfaces = bc.value
+        for pdf in batches:
+            spans_col = []
+            for sentences in pdf["sentences"]:
+                sents = list(sentences)
+                spans, taken = _find_dict_spans(sents, surfaces)
+                spans = _merge_regex_spans(sents, spans, taken)
+                spans_col.append(spans)
+            yield pdf.assign(spans=spans_col)
+
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in docs.schema.fields)
+    return docs.mapInPandas(run, schema=out_schema + ", " + _SPANS_FIELD)
+
+
+def tag_gold(docs: DataFrame, gold: DataFrame) -> DataFrame:
+    """Gold-span mode: equi-join annotations on doc_id, then round-trip
+    gold spans through BIO synthesis + runtime BIO→span decoding so the
+    downstream sees exactly what a perfect tagger would emit."""
+    annotated = docs.join(
+        gold.select(
+            F.col("guid").alias("doc_id"),
+            F.col("spans").alias("gold_spans"),
+        ),
+        "doc_id",
+    )
+    l2i = label_index()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            spans_col = []
+            for sentences, gold_spans in zip(pdf["sentences"], pdf["gold_spans"]):
+                sents = list(sentences)
+                span_tuples = [
+                    (
+                        s["text"],
+                        s["field"],
+                        [
+                            (d["sent_idx"], d["char_s"], d["char_e"])
+                            for d in s["dranges"]
+                        ],
+                    )
+                    for s in gold_spans
+                ]
+                labels = labels_from_spans(sents, span_tuples, l2i)
+                tokens = [list(s) for s in sents]
+                texts, dranges, labs = decode_spans(tokens, labels)
+                field_of = {t: f for t, f, _ in span_tuples}
+                spans_col.append(
+                    [
+                        {
+                            "text": t,
+                            "field": field_of.get(t),
+                            "dranges": [
+                                {"sent_idx": a, "char_s": b, "char_e": c}
+                                for a, b, c in drs
+                            ],
+                        }
+                        for t, drs in zip(texts, dranges)
+                    ]
+                )
+            yield pdf.drop(columns=["gold_spans"]).assign(spans=spans_col)
+
+    base_fields = [f for f in annotated.schema.fields if f.name != "gold_spans"]
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in base_fields)
+    return annotated.mapInPandas(run, schema=out_schema + ", " + _SPANS_FIELD)
+
+
+def drop_empty_span_docs(df: DataFrame) -> DataFrame:
+    """F3 (dee/helper/dee.py:763-765): docs with zero spans are dropped
+    before the expensive decode stage — count them upstream if needed."""
+    return df.filter(F.size("spans") > 0)

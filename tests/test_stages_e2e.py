@@ -1,0 +1,181 @@
+"""End-to-end Spark pipeline tests: webtext → triples → eval, compared
+against the pure-Python oracle and golden triples (FIXTURES.md §4)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from docee_spark.fixtures import (
+    expected_triples,
+    heuristic_entity_dict,
+    make_html,
+)
+from docee_spark.stages.evaluate import doc_type_rollup, micro_scores
+from docee_spark.stages.ingest import ingest
+from docee_spark.stages.pipeline import StageStore, run_pipeline
+from docee_spark.stages.segment import segment
+
+
+@pytest.fixture(scope="module")
+def gold_run(web_df, gold_df):
+    return run_pipeline(web_df, gold=gold_df, mode="clique", adjacency="gold")
+
+
+class TestGoldPath:
+    def test_micro_prf_is_one(self, gold_run):
+        s = micro_scores(gold_run["stats"])
+        assert s["precision"] == 1.0 and s["recall"] == 1.0
+
+    def test_triples_match_golden_exactly(self, gold_run, corpus):
+        _, gold_rows = corpus
+        got = {
+            (r.doc_id, r.event_type, r.subj, r.pred, r.obj)
+            for r in gold_run["triples"].collect()
+        }
+        want = {
+            (t["doc_id"], t["event_type"], t["subj"], t["pred"], t["obj"])
+            for t in expected_triples(gold_rows)
+        }
+        assert got == want
+
+    def test_doc_type_rollup_covers_slices(self, gold_run):
+        rows = doc_type_rollup(gold_run["stats"]).collect()
+        slices = {r["doc_type"] for r in rows}
+        assert {"o2o", None} <= slices  # None row = overall
+
+    def test_edag_mode_also_perfect(self, web_df, gold_df):
+        res = run_pipeline(web_df, gold=gold_df, mode="edag", adjacency="gold")
+        s = micro_scores(res["stats"])
+        assert s["precision"] == 1.0 and s["recall"] == 1.0
+
+
+class TestHeuristicPath:
+    def test_dictionary_regex_tagger_f1(self, web_df, gold_df):
+        res = run_pipeline(
+            web_df,
+            gold=gold_df,
+            entity_dict=heuristic_entity_dict(),
+            mode="clique",
+            adjacency="sentence",
+        )
+        s = micro_scores(res["stats"])
+        assert s["f1"] >= 0.85, s
+
+
+class TestIngest:
+    def test_html_extraction_when_text_null(self, spark):
+        rows = [
+            ("https://a.example.com/1", None, make_html("正文内容。", "t"), None, "zh"),
+        ]
+        df = spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+        )
+        out = ingest(df).collect()
+        assert out[0]["text"] == "正文内容。"
+
+    def test_lang_filter_and_empty_drop(self, spark):
+        rows = [
+            ("https://a/1", None, None, "hello.", "en"),
+            ("https://a/2", None, None, "", "zh"),
+            ("https://a/3", None, None, "好。", "zh"),
+        ]
+        df = spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+        )
+        out = ingest(df, langs=("zh",), use_html=False).collect()
+        assert [r["doc_id"] for r in out] == ["https://a/3"]
+
+
+class TestSegment:
+    def test_matches_pyref_on_corpus(self, spark, corpus):
+        from docee_spark.pyref.textproc import sent_seg
+
+        web_rows, _ = corpus
+        df = spark.createDataFrame(
+            [(w["url"], w["text"], w["lang"]) for w in web_rows[:30]],
+            "doc_id string, text string, lang string",
+        )
+        for row in segment(df).collect():
+            text = next(w["text"] for w in web_rows if w["url"] == row["doc_id"])
+            assert list(row["sentences"]) == sent_seg(text, lang="zh")[: len(row["sentences"])]
+
+    def test_truncation_counted_not_silent(self, spark):
+        long_text = "句子。" * 500
+        df = spark.createDataFrame(
+            [("d1", long_text, "zh")], "doc_id string, text string, lang string"
+        )
+        row = segment(df, max_sent_num=64).collect()[0]
+        assert row["n_sents"] == 64
+        assert row["n_sents_dropped"] == 500 - 64
+
+    def test_clip_long_sentences(self, spark):
+        df = spark.createDataFrame(
+            [("d1", "x" * 700 + "。", "zh")], "doc_id string, text string, lang string"
+        )
+        row = segment(df, max_sent_len=128).collect()[0]
+        assert row["n_sents_clipped"] == 1
+        assert len(row["sentences"][0]) == 128
+
+
+class TestResume:
+    def test_stage_store_skips_committed(self, tmp_path, web_df, gold_df):
+        store = StageStore(str(tmp_path))
+        fp = "fingerprint-v1"
+        run_pipeline(
+            web_df, gold=gold_df, mode="clique", adjacency="gold",
+            store=store, input_fingerprint=fp,
+        )
+        assert store.is_committed("segment", fp)
+        assert store.is_committed("decode", fp)
+        assert not store.is_committed("segment", "other-input")
+        # second run resumes: stage tables reused (manifest timestamps stable)
+        before = {m["stage"]: m["committed_at"] for m in store.counters()}
+        run_pipeline(
+            web_df, gold=gold_df, mode="clique", adjacency="gold",
+            store=store, input_fingerprint=fp,
+        )
+        after = {m["stage"]: m["committed_at"] for m in store.counters()}
+        assert before == after
+
+
+class TestCanonicalize:
+    def test_vertices_edges_consistent(self, gold_run):
+        vertices = gold_run["vertices"]
+        edges = gold_run["edges"]
+        vids = {r["entity_id"] for r in vertices.collect()}
+        erows = edges.select("src", "dst").collect()
+        assert erows, "no edges produced"
+        assert all(r["src"] in vids and r["dst"] in vids for r in erows)
+
+    def test_near_duplicate_surfaces_cluster(self, spark):
+        from docee_spark.stages.canonicalize import canonicalize
+
+        trip = spark.createDataFrame(
+            [
+                ("d1", "T", 0, "Acme Corporation Ltd", "T#r", "Acme Corporation Ltd"),
+                ("d2", "T", 0, "Acme Corporation Ltd.", "T#r", "Acme Corporation Ltd."),
+                ("d3", "T", 0, "Zenith Bank", "T#r", "Zenith Bank"),
+            ],
+            "doc_id string, event_type string, recguid int, subj string, pred string, obj string",
+        )
+        vertices, _ = canonicalize(trip)
+        ids = {
+            r["surface"]: r["entity_id"]
+            for r in vertices.select("entity_id", "surface").collect()
+        }
+        n_clusters = len(set(ids.values()))
+        assert n_clusters == 2, ids  # the two Acme variants merged
+
+    def test_dictionary_wins_over_lsh(self, spark):
+        from docee_spark.stages.canonicalize import canonicalize
+
+        trip = spark.createDataFrame(
+            [("d1", "T", 0, "张三", "T#r", "张三")],
+            "doc_id string, event_type string, recguid int, subj string, pred string, obj string",
+        )
+        ed = spark.createDataFrame(
+            [("张三", "Q1001")], "surface string, entity_id string"
+        )
+        vertices, edges = canonicalize(trip, entity_dict=ed)
+        assert vertices.collect()[0]["entity_id"] == "Q1001"
+        e = edges.collect()[0]
+        assert e["src"] == "Q1001" and e["dst"] == "Q1001"
