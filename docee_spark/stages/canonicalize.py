@@ -36,28 +36,26 @@ def shingles(col: Column, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingle_col: Column, k: int = 8) -> Column:
-    """k md5-min hashes (as hex strings) of the shingle set."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    shingle_col, lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
-                )
-            )
-            for i in range(k)
-        ]
-    )
+def minhash_cols(shingle_col: Column, k: int = 8) -> list[Column]:
+    """k md5-min hashes (hex strings) of the shingle set, as separate
+    columns — never index a signature array with element_at (projection
+    collapse re-evaluates the array per reference; measured 10× blowup)."""
+    return [
+        F.array_min(
+            F.transform(shingle_col, lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))
+        )
+        for i in range(k)
+    ]
 
 
-def lsh_bands(sig_col: Column, bands: int = 4, rows: int = 2) -> Column:
-    """Signature → band keys: band i = 'i:' + concat(sig[i*r : (i+1)*r])."""
+def band_keys(bands: int, rows: int) -> Column:
+    """Band keys from m0..m{k-1} columns: band b = 'b:' + m[b*r] ⧺ …"""
     return F.array(
         *[
             F.concat_ws(
                 ":",
                 F.lit(str(b)),
-                *[F.element_at(sig_col, b * rows + r + 1) for r in range(rows)],
+                *[F.col(f"m{b * rows + r}") for r in range(rows)],
             )
             for b in range(bands)
         ]
@@ -98,8 +96,13 @@ def canonicalize(
     # One groupBy per pass; transitive closure across bands would iterate
     # this block until fixpoint (2-3 passes suffice in practice; each pass
     # is a shuffle on the band key, never a cross join).
-    sig = minhash_signature(shingles(F.col("norm")), k=k)
-    banded = surfaces.withColumn("band", F.explode(lsh_bands(sig, bands, rows)))
+    mh = minhash_cols(shingles(F.col("norm")), k=k)
+    sigd = surfaces.select(
+        "*", *[m.alias(f"m{i}") for i, m in enumerate(mh)]
+    )
+    banded = sigd.withColumn("band", F.explode(band_keys(bands, rows))).drop(
+        *[f"m{i}" for i in range(k)]
+    )
     band_rep = banded.groupBy("band").agg(F.min("norm").alias("band_rep"))
     clustered = (
         banded.join(band_rep, "band")

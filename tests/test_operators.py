@@ -1,0 +1,177 @@
+"""Operator unit tests: dedup recall, similarity vs numpy oracle,
+multimodal plumbing, textstats edge cases."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("today", "tomorrow")),  # near dup
+        (3, "completely different content about spark query engines at scale"),
+        (4, ""),  # empty doc edge case
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestDedup:
+    def test_exact_finds_identical(self, near_dup_docs):
+        from docee_spark.operators.dedup import exact_duplicates
+
+        clusters = {r["keep_id"]: r["n_docs"] for r in exact_duplicates(near_dup_docs).collect()}
+        assert clusters[0] == 2  # docs 0,1 collapse
+
+    def test_minhash_finds_near_dup(self, near_dup_docs):
+        from docee_spark.operators.dedup import minhash_lsh_pairs
+
+        pairs = {
+            (r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(near_dup_docs).collect()
+        }
+        assert (0, 1) in pairs  # exact dups always collide
+        assert not any(3 in p for p in pairs)  # distinct doc never pairs
+
+    def test_ngram_jaccard_scores(self, near_dup_docs):
+        from docee_spark.operators.dedup import ngram_jaccard_pairs
+
+        rows = ngram_jaccard_pairs(near_dup_docs, threshold_e4=1000).collect()
+        j = {(r["doc_a"], r["doc_b"]): r["jaccard_e4"] for r in rows}
+        assert j[(0, 1)] == 10000  # identical
+        assert 1000 <= j[(0, 2)] < 10000  # near dup scores below exact
+
+    def test_simhash_identical_docs_equal(self, near_dup_docs):
+        from docee_spark.operators.dedup import simhash_duplicates
+
+        rows = simhash_duplicates(near_dup_docs).collect()
+        by_keep = {r["keep_id"]: r["n_docs"] for r in rows}
+        # exact dups 0,1 always share a simhash; near-dup 2 may too (that
+        # is the point of simhash); distinct doc 3 must not
+        assert by_keep[0] >= 2
+        assert by_keep.get(3, 1) == 1
+
+    def test_embedding_cosine_pairs(self, spark):
+        from docee_spark.operators.dedup import embedding_cosine_pairs
+
+        v = [1.0, 0.5, 0.25, 0.1, 0.9, 0.3]
+        rows = [
+            (0, v),
+            (1, [x * 1.0001 for x in v]),  # same direction → cosine ≈ 1
+            (2, [0.2, -1.0, 0.4, -0.3, 0.1, -0.8]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        pairs = embedding_cosine_pairs(df, threshold_e6=990_000).collect()
+        assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}
+
+
+class TestSimilarity:
+    def test_bruteforce_matches_numpy(self, spark):
+        rng = np.random.RandomState(3)
+        vecs = rng.randn(40, 16).astype("float64")
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        df = spark.createDataFrame(
+            [(i, vecs[i].tolist()) for i in range(40)],
+            "vec_id long, embedding array<double>",
+        )
+        from docee_spark.operators.similarity import brute_force_topk
+
+        out = brute_force_topk(df, df.filter(F.col("vec_id") < 3), k=5).collect()
+        got = {}
+        for r in out:
+            got.setdefault(r["query_id"], []).append(r["neighbor_id"])
+        sims = vecs @ vecs.T
+        for q in range(3):
+            order = [
+                i for i in np.lexsort((np.arange(40), -np.floor(sims[q] * 1e6)))
+                if i != q
+            ][:5]
+            assert got[q] == order, (q, got[q], order)
+
+    def test_lsh_recall_within_bucket(self, spark):
+        # vectors in the same orthant must find each other via LSH
+        rows = [
+            (0, [1.0, 1.0, 1.0, 0.5]),
+            (1, [0.9, 1.1, 0.8, 0.4]),
+            (2, [-1.0, -1.0, -1.0, -0.5]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        from docee_spark.operators.similarity import lsh_topk
+
+        out = lsh_topk(df, df, k=2, n_bits=4).collect()
+        got = {(r["query_id"], r["neighbor_id"]) for r in out}
+        assert (0, 1) in got and (1, 0) in got
+        assert not any(q == 2 or n == 2 for q, n in got if (q, n) != (2, 2))
+
+
+class TestMultimodal:
+    def test_feature_extraction_plumbing(self, spark):
+        from docee_spark.operators.multimodal import MEDIA_SCHEMA, extract_features
+
+        rows = [
+            ("m1", "image", b"\x89PNGfake", 64, 64, None),
+            ("m2", "audio", b"RIFFfake", None, None, 2000),
+            ("m3", "image", None, None, None, None),  # null media
+        ]
+        df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        out = {r["media_id"]: r["features"] for r in extract_features(df, dim=8).collect()}
+        assert set(out) == {"m1", "m2", "m3"}
+        assert all(len(v) == 8 for v in out.values())
+        # deterministic: same bytes → same features
+        out2 = {r["media_id"]: r["features"] for r in extract_features(df, dim=8).collect()}
+        assert out == out2
+
+    def test_real_decode_is_stubbed(self):
+        from docee_spark.operators.multimodal import real_decode
+
+        with pytest.raises(NotImplementedError):
+            real_decode("image", b"x")
+
+    def test_injected_decoder_used(self, spark):
+        from docee_spark.operators import multimodal as mm
+
+        mm.set_decoder("image", lambda b: [float(len(b))] * 4)
+        try:
+            df = spark.createDataFrame(
+                [("m1", "image", b"abcd", None, None, None)], mm.MEDIA_SCHEMA
+            )
+            out = mm.extract_features(df, dim=4).collect()[0]["features"]
+            assert out == [4.0, 4.0, 4.0, 4.0]
+        finally:
+            mm._DECODERS.clear()
+
+    def test_frame_sample_plan(self, spark):
+        from docee_spark.operators.multimodal import MEDIA_SCHEMA, frame_sample_plan
+
+        df = spark.createDataFrame(
+            [("v1", "video", b"x", None, None, 3500), ("i1", "image", b"y", 1, 1, None)],
+            MEDIA_SCHEMA,
+        )
+        rows = frame_sample_plan(df, every_ms=1000).collect()
+        assert [(r["media_id"], r["ts_ms"]) for r in rows] == [
+            ("v1", 0), ("v1", 1000), ("v1", 2000), ("v1", 3000),
+        ]
+
+
+class TestTextstatsEdge:
+    def test_empty_doc_all_zero(self, spark):
+        from docee_spark.operators.textstats import quality_scores
+
+        df = spark.createDataFrame([(1, "")], "doc_id long, text string")
+        r = quality_scores(df).collect()[0]
+        assert (r["n_tokens"], r["stopword_ratio_e4"], r["punct_ratio_e4"]) == (0, 0, 0)
+
+    def test_rolling_hash_matches_python(self, spark):
+        from docee_spark.operators.textstats import rolling_hash
+
+        text = "hello world 你好"
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        got = df.select(rolling_hash(F.col("text")).alias("h")).collect()[0]["h"]
+        # NB: F.split(text, '') yields one element per character; ascii()
+        # returns the codepoint of the first char (unicode-aware in Spark 4)
+        h = 0
+        for ch in text:
+            h = (h * 31 + ord(ch)) % 1_000_000_007
+        assert got == h
