@@ -72,12 +72,13 @@ def run_bench(cpus: int = CPUS, sf_dir: str = SF_DIR) -> dict:
     web_rows, _ = generate_corpus(PIPELINE_DOCS, seed=7)
     web = spark.createDataFrame(web_rows, WEBTEXT).cache()
     web.count()
-    # warmup: one small pass amortizes Python-worker + Arrow startup so
-    # the timed pass measures steady-state throughput (the reference's
-    # speed test also times only the decode loop, run_dee_task.py:249-253)
+    # warmup: one full untimed pass brings every Python UDF worker up
+    # (pool spawn + imports + JIT); the timed pass then measures steady-
+    # state throughput — the reference speed test does the same (resume,
+    # then time only the decode epochs, run_dee_task.py:249-253)
     _force(
         run_pipeline(
-            web.limit(64),
+            web,
             entity_dict=heuristic_entity_dict(),
             mode="clique",
             adjacency="sentence",
@@ -112,10 +113,22 @@ def run_bench(cpus: int = CPUS, sf_dir: str = SF_DIR) -> dict:
 
 
 def run_scaling(n: int) -> dict:
-    """Same workload at local[n] and local[4n] in fresh JVMs."""
+    """Same workload at local[n] and local[4n] in fresh JVMs.
+
+    Uses a corpus large enough to saturate 4n cores (scheduling and
+    Python-worker startup amortize out) — at 2k docs the job is overhead-
+    dominated and anti-scales; 64k docs ≈ 30 s of real work at local[8].
+    Run this with the machine otherwise idle: a concurrent process skews
+    the 4n measurement far more than the n one."""
+    docs = os.environ.get("BENCH_SCALING_DOCS", "64000")
     out = {}
     for cpus in (n, 4 * n):
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=SF_DIR)
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_CPUS=str(cpus),
+            SPARK_GRAFT_SF_DIR=SF_DIR,
+            BENCH_PIPELINE_DOCS=docs,
+        )
         proc = subprocess.run(
             [sys.executable, __file__],
             env=env,

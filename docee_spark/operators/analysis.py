@@ -1,0 +1,169 @@
+"""Corpus-analysis jobs over annotated/decoded documents.
+
+Spark re-expressions of the reference's offline aggregation scripts:
+  * doc_type assignment        → dee/event_types/__init__.py:21-34
+  * dataset statistics (A6)    → Data/stat.py:96-232
+  * pseudo-trigger importance  → Data/trigger.py:26-112 (existence ×
+    (A7)                         distinguishability per role group)
+
+All pure DataFrame ops: explodes + groupBy + window. The reference loops
+documents in Python; here every aggregate is map-side-combined and the
+role-group explosion is a generated column, so the jobs scale to the full
+corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def doc_type_of(events: Column) -> Column:
+    """o2o / o2m / m2m / unk from the event list (one expression)."""
+    n = F.size(events)
+    ntypes = F.size(F.array_distinct(F.transform(events, lambda e: e["type"])))
+    return (
+        F.when(n <= 0, F.lit("unk"))
+        .when(n == 1, F.lit("o2o"))
+        .when(ntypes == 1, F.lit("o2m"))
+        .otherwise(F.lit("m2m"))
+    )
+
+
+def dataset_stats(gold: DataFrame) -> DataFrame:
+    """Per doc_type: docs, events, spans, sentence count distribution
+    (Data/stat.py:96-232 shape). doc_type is recomputed from events —
+    asserting parity with a stored column is a test concern."""
+    d = gold.select(
+        doc_type_of(F.col("events")).alias("doc_type"),
+        F.size("sentences").alias("n_sents"),
+        F.size("spans").alias("n_spans"),
+        F.size("events").alias("n_events"),
+    )
+    return d.groupBy("doc_type").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_events").alias("n_events"),
+        F.sum("n_spans").alias("n_spans"),
+        F.round(F.avg("n_sents") * 100).cast("long").alias("avg_sents_e2"),
+        F.max("n_sents").alias("max_sents"),
+        F.expr("percentile_approx(n_sents, 0.5)").alias("median_sents"),
+    )
+
+
+def trigger_importance(gold: DataFrame, max_group: int = 1) -> DataFrame:
+    """Pseudo-trigger importance per (event_type, role_group), |R| = 1:
+
+      existence          = P(arg non-null over instances of the type)
+      distinguishability = P(arg NOT shared with another instance of the
+                             same document)
+      importance         = existence × distinguishability
+      rank               = descending importance within event_type
+
+    (Data/trigger.py:36-112; the reference's auto_select picks the top-
+    ranked group per |R| — that is ``rank = 1`` here.) Scores ×10⁴.
+    """
+    inst = gold.select(
+        F.col("guid").alias("doc_id"),
+        F.posexplode("events").alias("event_idx", "ev"),
+    ).select(
+        "doc_id",
+        "event_idx",
+        F.col("ev.type").alias("event_type"),
+        F.col("ev.args").alias("args"),
+    )
+    # args of the OTHER instances of the same doc (any type — the
+    # reference compares against all_ents of the whole document, and a
+    # None argument counts as "in" another instance whose value set also
+    # contains None: trigger.py:15-23 membership is over raw values)
+    doc_all = inst.select(
+        "doc_id",
+        F.col("event_idx").alias("other_idx"),
+        F.array_distinct(
+            F.filter(F.map_values("args"), lambda v: v.isNotNull())
+        ).alias("other_ents"),
+        F.array_contains(
+            F.transform(F.map_values("args"), lambda v: v.isNull()), True
+        ).alias("other_has_null"),
+    )
+    role_args = inst.select(
+        "doc_id", "event_idx", "event_type", F.explode("args").alias("role", "ent")
+    )
+    joined = role_args.join(doc_all, "doc_id").filter(
+        F.col("event_idx") != F.col("other_idx")
+    )
+    shared = joined.withColumn(
+        "hit",
+        F.when(F.col("ent").isNull(), F.col("other_has_null").cast("int")).otherwise(
+            F.coalesce(
+                F.array_contains("other_ents", F.col("ent")).cast("int"), F.lit(0)
+            )
+        ),
+    ).groupBy("doc_id", "event_idx", "event_type", "role", "ent").agg(
+        F.max("hit").alias("is_shared")
+    )
+    # single-instance docs have no "other" rows → left join, not shared
+    per_role = role_args.join(
+        shared.select("doc_id", "event_idx", "role", "is_shared"),
+        ["doc_id", "event_idx", "role"],
+        "left",
+    ).fillna({"is_shared": 0})
+
+    agg = per_role.groupBy("event_type", "role").agg(
+        F.count("*").alias("n_instances"),
+        F.sum(F.when(F.col("ent").isNotNull(), 1).otherwise(0)).alias("n_exist"),
+        F.sum("is_shared").alias("n_shared"),
+    )
+    scored = agg.select(
+        "event_type",
+        "role",
+        "n_instances",
+        F.floor(F.col("n_exist") * 10000 / F.col("n_instances")).alias("existence_e4"),
+        F.floor(
+            (F.col("n_instances") - F.col("n_shared")) * 10000 / F.col("n_instances")
+        ).alias("disting_e4"),
+    ).withColumn(
+        "importance_e4",
+        F.floor(F.col("existence_e4") * F.col("disting_e4") / 10000),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("importance_e4"), F.asc("role")
+    )
+    return scored.withColumn("rank", F.row_number().over(w))
+
+
+def pipeline_counters(result: dict[str, DataFrame]) -> DataFrame:
+    """A9/A11 metrics table: per-stage row counts + truncation counters,
+    computed in one pass per stage table."""
+    docs = result["docs"]
+    rows = [
+        docs.agg(
+            F.lit("segment").alias("stage"),
+            F.count("*").alias("n_rows"),
+            F.sum("n_sents_dropped").alias("sents_dropped"),
+            F.sum("n_sents_clipped").alias("sents_clipped"),
+        )
+    ]
+    if "tagged" in result:
+        rows.append(
+            result["tagged"].agg(
+                F.lit("tag").alias("stage"),
+                F.count("*").alias("n_rows"),
+                F.sum(F.size("spans")).alias("sents_dropped"),
+                F.lit(None).cast("long").alias("sents_clipped"),
+            )
+        )
+    if "triples" in result:
+        rows.append(
+            result["triples"].agg(
+                F.lit("triples").alias("stage"),
+                F.count("*").alias("n_rows"),
+                F.lit(None).cast("long").alias("sents_dropped"),
+                F.lit(None).cast("long").alias("sents_clipped"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

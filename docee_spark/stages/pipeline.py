@@ -124,11 +124,12 @@ def run_pipeline(
         df = build()
         return store.commit(name, df, input_fingerprint)
 
+    # one shuffle total before the UDF stages: ingest+segment are cheap
+    # codegen'd projections, so the only repartition sits right before the
+    # Arrow UDF work — keyed on (doc-length bucket, salted host) to even
+    # out both host skew and document-size skew in the same exchange.
     docs = staged(
-        "segment",
-        lambda: segment(
-            salted_repartition(ingest(webtext, use_html=use_html), nparts)
-        ),
+        "segment", lambda: segment(ingest(webtext, use_html=use_html))
     )
 
     def build_tagged() -> DataFrame:

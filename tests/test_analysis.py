@@ -1,0 +1,163 @@
+"""Analysis operators vs their pure-Python oracles (A6/A7, U4, J8, U6,
+T2 sentence re-arrangement)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from docee_spark.fixtures import generate_corpus
+from docee_spark.pyref.analysis import (
+    closest_match,
+    doc_type,
+    merge_non_conflicting,
+    negative_combinations,
+    trigger_importance_k1,
+)
+from docee_spark.pyref.rearrange import rearrange_sentences
+
+
+class TestDocType:
+    def test_assignment_rules(self):
+        assert doc_type([]) == "unk"
+        assert doc_type([{"type": "A"}]) == "o2o"
+        assert doc_type([{"type": "A"}, {"type": "A"}]) == "o2m"
+        assert doc_type([{"type": "A"}, {"type": "B"}]) == "m2m"
+
+    def test_spark_expr_matches_pyref_on_corpus(self, spark, gold_df, corpus):
+        from docee_spark.operators.analysis import doc_type_of
+
+        _, gold_rows = corpus
+        got = {
+            r["guid"]: r["dt"]
+            for r in gold_df.select(
+                "guid", doc_type_of(F.col("events")).alias("dt")
+            ).collect()
+        }
+        for g in gold_rows:
+            assert got[g["guid"]] == doc_type(g["events"]), g["guid"]
+
+
+class TestTriggerImportance:
+    def test_spark_matches_pyref(self, spark, gold_df, corpus):
+        from docee_spark.operators.analysis import trigger_importance
+
+        _, gold_rows = corpus
+        oracle = trigger_importance_k1(gold_rows)
+        rows = trigger_importance(gold_df).collect()
+        assert rows
+        for r in rows:
+            o = oracle[r["event_type"]][r["role"]]
+            assert r["existence_e4"] == int(o["existence"] * 10000 // 1), r
+            assert r["disting_e4"] == int(o["distinguishability"] * 10000 // 1), r
+
+    def test_rank_one_is_best(self, spark, gold_df):
+        from docee_spark.operators.analysis import trigger_importance
+
+        rows = trigger_importance(gold_df).collect()
+        by_type = {}
+        for r in rows:
+            by_type.setdefault(r["event_type"], []).append(r)
+        for et, rs in by_type.items():
+            best = max(rs, key=lambda r: (r["importance_e4"], ))
+            top = next(r for r in rs if r["rank"] == 1)
+            assert top["importance_e4"] == best["importance_e4"]
+
+
+class TestDatasetStats:
+    def test_counts(self, spark, gold_df, corpus):
+        from docee_spark.operators.analysis import dataset_stats
+
+        _, gold_rows = corpus
+        rows = {r["doc_type"]: r for r in dataset_stats(gold_df).collect()}
+        want = {}
+        for g in gold_rows:
+            dt = doc_type(g["events"])
+            want[dt] = want.get(dt, 0) + 1
+        assert {k: v["n_docs"] for k, v in rows.items()} == want
+
+
+class TestRecordMerge:
+    def test_merges_complementary(self):
+        a = ["x", None, "z"]
+        b = ["x", "y", None]
+        out = merge_non_conflicting([a, b], min_coo=1)
+        assert out == [["x", "y", "z"]]
+
+    def test_conflict_blocks_merge(self):
+        a = ["x", "y1", None]
+        b = ["x", "y2", None]
+        out = merge_non_conflicting([a, b], min_coo=1)
+        assert a in out and b in out and len(out) == 2
+
+    def test_min_coo_threshold(self):
+        a = ["x", None]
+        b = [None, "y"]  # no co-occurring equal role
+        out = merge_non_conflicting([a, b], min_coo=1)
+        assert len(out) == 2
+
+
+class TestCombUtils:
+    def test_closest_match_argmax_and_tie(self):
+        golds = [(0, 1), (1, 2, 3), (4,)]
+        comb = (1, 2)
+        g, n = closest_match(comb, golds)
+        assert g == (1, 2, 3) and n == 2
+        # tie → earliest gold
+        g, n = closest_match((9,), golds)
+        assert g == (0, 1) and n == 0
+
+    def test_negative_combinations(self):
+        assert negative_combinations(5, [(0, 2), (2, 3)]) == (1, 4)
+
+
+class TestRearrange:
+    def test_long_sentence_split_and_spans_remap(self):
+        sents = ["甲方为张三，乙方为李四，金额100元，日期不详。", "短句。"]
+        spans = [
+            ("张三", "Pledger", [(0, 3, 5)]),
+            ("李四", "Pledgee", [(0, 9, 11)]),
+            ("100元", "money", [(0, 14, 18)]),
+        ]
+        new_sents, new_spans = rearrange_sentences(sents, spans, max_len=10)
+        assert all(len(s) <= 10 for s in new_sents)
+        for text, _f, dranges in new_spans:
+            for si, s, e in dranges:
+                assert new_sents[si][s:e] == text
+
+    def test_never_cuts_inside_span(self):
+        # span containing a comma must stay intact
+        sents = ["AAAA，BBBB，CCCC，DDDD。"]
+        spans = [("BBBB，CCCC", "X", [(0, 5, 14)])]
+        new_sents, new_spans = rearrange_sentences(sents, spans, max_len=8)
+        [(_, _, [(si, s, e)])] = new_spans
+        assert new_sents[si][s:e] == "BBBB，CCCC"
+
+    def test_short_docs_untouched(self):
+        sents = ["短句。", "另一句。"]
+        new_sents, new_spans = rearrange_sentences(sents, [], max_len=128)
+        assert new_sents == sents
+
+    def test_greedy_remerge_fills_to_cap(self):
+        sents = ["a，b，c，d，e，f。"]
+        new_sents, _ = rearrange_sentences(sents, [], max_len=6)
+        assert all(len(s) <= 6 for s in new_sents)
+        assert "".join(new_sents) == sents[0]
+        # greedy: first piece should have absorbed up to the cap
+        assert len(new_sents[0]) > 2
+
+
+@pytest.mark.parametrize("seed", [7, 11])
+def test_rearrange_roundtrip_on_corpus(seed):
+    _, gold_rows = generate_corpus(40, seed=seed)
+    for g in gold_rows:
+        spans = [
+            (
+                s["text"],
+                s["field"],
+                [(d["sent_idx"], d["char_s"], d["char_e"]) for d in s["dranges"]],
+            )
+            for s in g["spans"]
+        ]
+        new_sents, new_spans = rearrange_sentences(g["sentences"], spans, max_len=64)
+        for text, _f, dranges in new_spans:
+            for si, s, e in dranges:
+                assert new_sents[si][s:e] == text, (g["guid"], text)

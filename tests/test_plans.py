@@ -1,0 +1,147 @@
+"""Physical-plan quality gates: these assert the properties that keep the
+engine fast at 100 TB — filter/column pushdown into the parquet scan,
+broadcast joins on dimensions, no redundant exchanges, whole-stage
+codegen on the scan path."""
+
+import re
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _n_nodes(plan: str, node: str) -> int:
+    """Count physical nodes by their detail headers '(k) Node'."""
+    return len(re.findall(r"\(\d+\) " + node + r"\b", plan))
+
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestPushdown:
+    def test_filter_pushed_to_parquet(self, spark):
+        df = (
+            spark.read.parquet(f"{SF}/orders.parquet")
+            .filter(F.col("o_orderstatus") == "O")
+            .select("o_orderkey")
+        )
+        plan = _plan(df)
+        assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,O)]" in plan
+
+    def test_column_pruning_reads_only_projection(self, spark):
+        df = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+            "l_orderkey", "l_quantity"
+        )
+        plan = _plan(df)
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert m and set(m.group(1).split(",")) == {
+            "l_orderkey:bigint",
+            "l_quantity:double",
+        }, plan
+
+    def test_ingest_lang_filter_pushed(self, spark):
+        from docee_spark.stages.ingest import ingest
+
+        web = spark.read.parquet(f"{SF}/documents.parquet").select(
+            F.concat(F.lit("https://h/"), F.col("doc_id").cast("string")).alias("url"),
+            F.lit(None).cast("timestamp").alias("warc_ts"),
+            F.lit(None).cast("binary").alias("html"),
+            "text",
+            "lang",
+        )
+        plan = _plan(ingest(web, langs=("en",), use_html=False))
+        assert "EqualTo(lang,en)" in plan
+
+    def test_ingest_without_html_prunes_binary(self, spark):
+        """use_html=False must keep the (huge) binary column out of the
+        scan entirely — the single biggest I/O knob at 100 TB."""
+        from docee_spark.stages.ingest import ingest
+
+        web = spark.read.parquet(f"{SF}/documents.parquet").select(
+            F.concat(F.lit("https://h/"), F.col("doc_id").cast("string")).alias("url"),
+            F.lit(None).cast("timestamp").alias("warc_ts"),
+            F.to_binary(F.col("text"), F.lit("utf-8")).alias("html"),
+            "text",
+            "lang",
+        )
+        plan = _plan(ingest(web, use_html=False).select("doc_id", "text"))
+        # html not referenced anywhere in the physical plan
+        assert "html" not in plan
+
+
+class TestJoins:
+    def test_triples_catalog_join_is_broadcast(self, spark, gold_df):
+        from docee_spark.stages.triples import triples
+
+        decoded = gold_df.select(F.col("guid").alias("doc_id"), "events")
+        plan = _plan(triples(decoded))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_similarity_query_side_broadcast(self, spark):
+        from docee_spark.operators.similarity import brute_force_topk
+
+        em = spark.read.parquet(f"{SF}/embeddings.parquet")
+        plan = _plan(brute_force_topk(em, em.filter(F.col("vec_id") < 5), k=3))
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+    def test_dim_joins_broadcast_in_region_revenue(self, spark):
+        import __spark_entry__ as em
+
+        plan = _plan(em.q_join_region_revenue(spark, SF))
+        assert plan.count("BroadcastHashJoin") >= 2
+
+
+class TestShuffleBudget:
+    def test_pipeline_has_single_pre_udf_exchange(self, spark, web_df):
+        """ingest→segment→length_bucket→tag must contain exactly one
+        Exchange before the first Arrow UDF (the combined length/salt
+        repartition) — no redundant shuffles."""
+        from docee_spark.stages.ingest import ingest
+        from docee_spark.stages.segment import segment
+        from docee_spark.stages.tag import length_bucketed, tag_heuristic
+
+        tagged = tag_heuristic(
+            length_bucketed(segment(ingest(web_df, use_html=False)), 8), {}
+        )
+        plan = _plan(tagged)
+        assert _n_nodes(plan, "Exchange") == 1, plan
+
+    def test_minhash_pairs_single_aggregation_path(self, spark):
+        from docee_spark.operators.dedup import minhash_lsh_pairs
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        plan = _plan(minhash_lsh_pairs(docs))
+        # no join at all: groupBy band + in-array pair expansion
+        assert "Join" not in plan
+
+    def test_exact_dedup_partial_aggregation(self, spark):
+        from docee_spark.operators.dedup import exact_duplicates
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        plan = _plan(exact_duplicates(docs))
+        # map-side combine: two HashAggregates around one Exchange
+        assert _n_nodes(plan, "HashAggregate") == 2
+        assert _n_nodes(plan, "Exchange") == 1
+
+
+class TestCodegen:
+    def test_segment_stays_in_wholestage_codegen(self, spark, web_df):
+        from docee_spark.stages.ingest import ingest
+        from docee_spark.stages.segment import segment
+
+        plan = _plan(segment(ingest(web_df, use_html=False)))
+        # formatted mode marks codegen'd nodes with '*'; no Python eval
+        assert "* Filter" in plan or "* Project" in plan or "* Scan" in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_textstats_no_python(self, spark):
+        from docee_spark.operators.textstats import quality_scores
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        plan = _plan(quality_scores(docs))
+        assert "EvalPython" not in plan
