@@ -225,6 +225,48 @@ def generate_corpus(n_docs: int = 200, seed: int = 7) -> tuple[list[dict], list[
     return webtext, gold
 
 
+def make_doc_indexed(doc_idx: int, seed: int = 7) -> tuple[dict, dict]:
+    """Index-pure single-document generator: doc i is a function of
+    (seed, i) only — enables distributed corpus generation where each
+    executor synthesizes its own slice (no driver-side materialization).
+    Statistically like generate_corpus but a different stream."""
+    rng = random.Random((seed << 32) ^ (doc_idx * 0x9E3779B9))
+    doc = _make_doc(rng, doc_idx)
+    text = "".join(doc["sentences"])
+    url = f"https://{_zipf_host(rng)}/announce/{doc['guid']}"
+    doc["guid"] = url
+    web = {
+        "url": url,
+        "warc_ts": _EPOCH + timedelta(seconds=doc_idx * 137),
+        "html": make_html(text, doc["guid"]),
+        "text": text,
+        "lang": "zh",
+    }
+    return web, doc
+
+
+def distributed_corpus(spark, n_docs: int, seed: int = 7, with_html: bool = False):
+    """Webtext DataFrame generated ON THE EXECUTORS via mapInPandas over
+    spark.range — the 100 TB-shaped input path (no driver bottleneck)."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                web, _ = make_doc_indexed(int(i), seed)
+                if not with_html:
+                    web = dict(web, html=None)
+                rows.append(web)
+            yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    nparts = spark.sparkContext.defaultParallelism
+    return spark.range(0, n_docs, 1, nparts).mapInPandas(
+        gen,
+        schema="url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+
+
 def heuristic_entity_dict() -> dict[str, str]:
     """surface → coarse type dictionary for the no-model tagger (the
     broadcast entity dictionary of the north rule). Types pair with

@@ -1,0 +1,77 @@
+"""Fused tag+decode: one Arrow UDF for the whole per-document path.
+
+The staged pipeline keeps tag and decode separate so each can materialize
+as a resumable snapshot table and so a model tagger can slot in. When
+neither is needed (heuristic tagger, no intermediate materialization),
+chaining two ``mapInPandas`` costs an extra Arrow round-trip of the
+nested spans structs and a second Python worker per task. This fused
+stage does sentences → spans → events in ONE batch iterator — ~2× less
+serialization on the hot path. Semantics are identical (delegates to the
+same pyref routines); asserted in tests against the staged pipeline.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..config import CHFINANN_EVENT_TYPES, MAX_EDAG_PATHS
+from ..pyref.edag import decode_doc
+from .decode import _sentence_adjacency
+from .tag import _find_dict_spans, _merge_regex_spans
+
+_EVENTS_FIELD = "events: array<struct<recguid:int,type:string,args:map<string,string>>>"
+
+
+def tag_decode_fused(
+    docs: DataFrame,
+    entity_dict: dict[str, str],
+    mode: str = "clique",
+    max_paths: int = MAX_EDAG_PATHS,
+) -> DataFrame:
+    """docs (with sentences) → + events, skipping the spans round-trip."""
+    spark = docs.sparkSession
+    bc = spark.sparkContext.broadcast(entity_dict)
+    event_fields = {et.name: list(et.fields) for et in CHFINANN_EVENT_TYPES}
+    min_fields = {et.name: et.min_field_num for et in CHFINANN_EVENT_TYPES}
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        surfaces = bc.value
+        for pdf in batches:
+            events_col = []
+            for sentences in pdf["sentences"]:
+                sents = list(sentences)
+                spans, taken = _find_dict_spans(sents, surfaces)
+                spans = _merge_regex_spans(sents, spans, taken)
+                span_texts = [s["text"] for s in spans]
+                span_fields = [s["field"] for s in spans]
+                span_sents = [
+                    sorted({d["sent_idx"] for d in s["dranges"]}) for s in spans
+                ]
+                if not spans:
+                    events_col.append([])
+                    continue
+                adj = _sentence_adjacency(len(spans), span_sents)
+                decoded = decode_doc(
+                    sents, span_fields, span_sents, adj, event_fields,
+                    min_fields, mode=mode, max_paths=max_paths,
+                    exact_fields=False,
+                )
+                recs, recguid = [], 0
+                for et in event_fields:
+                    for rec in decoded.get(et, []):
+                        args = {
+                            f: (span_texts[i] if i is not None else None)
+                            for f, i in zip(event_fields[et], rec)
+                        }
+                        recs.append({"recguid": recguid, "type": et, "args": args})
+                        recguid += 1
+                events_col.append(recs)
+            yield pdf.assign(events=events_col)
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in docs.schema.fields
+    )
+    return docs.mapInPandas(run, schema=out_schema + ", " + _EVENTS_FIELD)

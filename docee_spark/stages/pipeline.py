@@ -22,17 +22,16 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-try:  # Iceberg is the production path; absent in this sandbox
-    from pyspark.sql.utils import AnalysisException  # noqa: F401
-
-    _HAVE_ICEBERG = False  # would probe spark.catalog for an iceberg catalog
-except Exception:  # pragma: no cover
-    _HAVE_ICEBERG = False
+# Iceberg is the production sink/snapshot layer; its jars are not on this
+# image's classpath, so StageStore below emulates the snapshot contract
+# with parquet + manifest. Swap: df.writeTo(table).append() + snapshot id
+# as the fingerprint.
+_HAVE_ICEBERG = False
 
 from .canonicalize import canonicalize
 from .decode import decode
 from .evaluate import micro_scores, role_stats
-from .ingest import ingest, salted_repartition
+from .ingest import ingest, salted_repartition  # noqa: F401 (salted: scale path)
 from .segment import segment
 from .tag import drop_empty_span_docs, length_bucketed, tag_gold, tag_heuristic
 from .triples import triples
@@ -106,6 +105,7 @@ def run_pipeline(
     n_partitions: int | None = None,
     input_fingerprint: str = "",
     use_html: bool = True,
+    fused: bool = False,
 ) -> dict[str, DataFrame]:
     """webtext (+optional gold) → {docs, tagged, decoded, triples,
     vertices, edges[, stats]}.
@@ -131,6 +131,39 @@ def run_pipeline(
     docs = staged(
         "segment", lambda: segment(ingest(webtext, use_html=use_html))
     )
+
+    if fused:
+        # one Arrow UDF for tag+decode (heuristic path, no stage tables):
+        # ~2× less nested-struct serialization (stages/fused.py)
+        if gold is not None or adjacency == "gold" or store is not None:
+            raise ValueError("fused=True is the heuristic, store-less path")
+        from .fused import tag_decode_fused
+
+        # Partitioning: round-robin only when the scan is under-split —
+        # NOT length-bucketed (bucketing groups the heavy long-tail docs
+        # into the same partitions, which is right for fixed-shape model
+        # batching but wrong for per-doc python decode), and NO exchange
+        # at all when the source already has enough even splits (an
+        # exchange of 1M nested rows costs more than it balances).
+        from ..operators.dedup import ensure_parallelism
+
+        decoded = tag_decode_fused(
+            ensure_parallelism(docs, nparts), entity_dict or {}, mode=mode
+        )
+        trip = triples(decoded)
+        dict_df = None
+        if entity_dict:
+            dict_df = spark.createDataFrame(
+                [(s, s) for s in entity_dict], "surface string, entity_id string"
+            )
+        vertices, edges = canonicalize(trip, entity_dict=dict_df)
+        return {
+            "docs": docs,
+            "decoded": decoded,
+            "triples": trip,
+            "vertices": vertices,
+            "edges": edges,
+        }
 
     def build_tagged() -> DataFrame:
         bucketed = length_bucketed(docs, nparts)
