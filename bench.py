@@ -105,7 +105,7 @@ def run_bench(cpus: int = CPUS, sf_dir: str = SF_DIR) -> dict:
             src if src is not None else web,
             entity_dict=heuristic_entity_dict(),
             mode="clique",
-            fused=True,
+            fused="deep",
             use_html=False,
             n_partitions=2 * cpus,
         )

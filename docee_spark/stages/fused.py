@@ -17,8 +17,9 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from ..config import CHFINANN_EVENT_TYPES, MAX_EDAG_PATHS
+from ..config import CHFINANN_EVENT_TYPES, MAX_EDAG_PATHS, MAX_SENT_NUM
 from ..pyref.edag import decode_doc
+from ..pyref.textproc import sent_seg
 from .decode import _sentence_adjacency
 from .tag import _find_dict_spans, _merge_regex_spans
 
@@ -75,3 +76,62 @@ def tag_decode_fused(
         f"{f.name} {f.dataType.simpleString()}" for f in docs.schema.fields
     )
     return docs.mapInPandas(run, schema=out_schema + ", " + _EVENTS_FIELD)
+
+
+def segment_tag_decode_fused(
+    docs: DataFrame,
+    entity_dict: dict[str, str],
+    mode: str = "clique",
+    max_paths: int = MAX_EDAG_PATHS,
+) -> DataFrame:
+    """Deepest fusion: raw ``text`` in → ``events`` out, one Arrow UDF.
+
+    Sentence segmentation runs in-UDF via the pyref port (same semantics
+    as the JVM segment stage — asserted equal in tests), so the
+    array<string> sentences column never crosses the Arrow boundary:
+    payload in is one string per doc, payload out is the events list.
+    Python-side segmentation costs ~15 µs/doc; the saved Arrow
+    serialization of sentence arrays is far larger.
+    """
+    spark = docs.sparkSession
+    bc = spark.sparkContext.broadcast(entity_dict)
+    event_fields = {et.name: list(et.fields) for et in CHFINANN_EVENT_TYPES}
+    min_fields = {et.name: et.min_field_num for et in CHFINANN_EVENT_TYPES}
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        surfaces = bc.value
+        for pdf in batches:
+            events_col = []
+            for text, lang in zip(pdf["text"], pdf["lang"]):
+                sents = sent_seg(text or "", lang=lang or "zh")[:MAX_SENT_NUM]
+                spans, taken = _find_dict_spans(sents, surfaces)
+                spans = _merge_regex_spans(sents, spans, taken)
+                if not spans:
+                    events_col.append([])
+                    continue
+                span_texts = [s["text"] for s in spans]
+                span_fields = [s["field"] for s in spans]
+                span_sents = [
+                    sorted({d["sent_idx"] for d in s["dranges"]}) for s in spans
+                ]
+                adj = _sentence_adjacency(len(spans), span_sents)
+                decoded = decode_doc(
+                    sents, span_fields, span_sents, adj, event_fields,
+                    min_fields, mode=mode, max_paths=max_paths,
+                    exact_fields=False,
+                )
+                recs, recguid = [], 0
+                for et in event_fields:
+                    for rec in decoded.get(et, []):
+                        args = {
+                            f: (span_texts[i] if i is not None else None)
+                            for f, i in zip(event_fields[et], rec)
+                        }
+                        recs.append({"recguid": recguid, "type": et, "args": args})
+                        recguid += 1
+                events_col.append(recs)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "events": events_col}
+            )
+
+    return docs.mapInPandas(run, schema="doc_id string, " + _EVENTS_FIELD)

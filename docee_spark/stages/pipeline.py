@@ -105,7 +105,7 @@ def run_pipeline(
     n_partitions: int | None = None,
     input_fingerprint: str = "",
     use_html: bool = True,
-    fused: bool = False,
+    fused: bool | str = False,
 ) -> dict[str, DataFrame]:
     """webtext (+optional gold) → {docs, tagged, decoded, triples,
     vertices, edges[, stats]}.
@@ -133,12 +133,12 @@ def run_pipeline(
     )
 
     if fused:
-        # one Arrow UDF for tag+decode (heuristic path, no stage tables):
-        # ~2× less nested-struct serialization (stages/fused.py)
+        # one Arrow UDF for (segment+)tag+decode (heuristic path, no stage
+        # tables): chained Python UDFs anti-scale, and every column that
+        # crosses the Arrow boundary costs serialization — fused="deep"
+        # keeps even the sentences array inside the UDF (stages/fused.py)
         if gold is not None or adjacency == "gold" or store is not None:
-            raise ValueError("fused=True is the heuristic, store-less path")
-        from .fused import tag_decode_fused
-
+            raise ValueError("fused requires the heuristic, store-less path")
         # Partitioning: round-robin only when the scan is under-split —
         # NOT length-bucketed (bucketing groups the heavy long-tail docs
         # into the same partitions, which is right for fixed-shape model
@@ -146,10 +146,18 @@ def run_pipeline(
         # at all when the source already has enough even splits (an
         # exchange of 1M nested rows costs more than it balances).
         from ..operators.dedup import ensure_parallelism
+        from .fused import segment_tag_decode_fused, tag_decode_fused
 
-        decoded = tag_decode_fused(
-            ensure_parallelism(docs, nparts), entity_dict or {}, mode=mode
-        )
+        if fused == "deep":
+            decoded = segment_tag_decode_fused(
+                ensure_parallelism(ingest(webtext, use_html=use_html), nparts),
+                entity_dict or {},
+                mode=mode,
+            )
+        else:
+            decoded = tag_decode_fused(
+                ensure_parallelism(docs, nparts), entity_dict or {}, mode=mode
+            )
         trip = triples(decoded)
         dict_df = None
         if entity_dict:

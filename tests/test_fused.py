@@ -23,6 +23,32 @@ def test_fused_matches_staged(spark, web_df):
     }
 
 
+def test_deep_fusion_matches_staged(spark, web_df):
+    """segment_tag_decode_fused (in-UDF segmentation) must produce the
+    same events as the JVM-segment + fused path."""
+    from pyspark.sql import functions as F
+
+    from docee_spark.stages.fused import segment_tag_decode_fused, tag_decode_fused
+    from docee_spark.stages.ingest import ingest
+    from docee_spark.stages.segment import segment
+
+    docs = segment(ingest(web_df, use_html=False))
+    a = tag_decode_fused(docs, heuristic_entity_dict())
+    b = segment_tag_decode_fused(
+        ingest(web_df, use_html=False), heuristic_entity_dict()
+    )
+
+    def flat(df):
+        return {
+            (r["doc_id"], r["ev"]["type"], tuple(sorted(
+                (k, v) for k, v in r["ev"]["args"].items() if v is not None
+            )))
+            for r in df.select("doc_id", F.explode("events").alias("ev")).collect()
+        }
+
+    assert flat(a) == flat(b)
+
+
 def test_fused_rejects_gold_mode(spark, web_df, gold_df):
     import pytest
 
