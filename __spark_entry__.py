@@ -417,6 +417,28 @@ def q_docee_triples_heuristic(spark, sf):
     )["triples"]
 
 
+def q_docee_triples_greedy(spark, sf):
+    """M10 GreedyDec analog: one record per detected type, greedy fill."""
+    from docee_spark.fixtures import heuristic_entity_dict
+    from docee_spark.stages.pipeline import run_pipeline
+
+    web, _ = _fixture_webtext_and_gold(spark)
+    return run_pipeline(
+        web, entity_dict=heuristic_entity_dict(), mode="greedy", fused=True
+    )["triples"]
+
+
+def q_docee_triples_dcfee(spark, sf):
+    """M9 DCFEE-O analog: key-sentence records + nearest-argument fill."""
+    from docee_spark.fixtures import heuristic_entity_dict
+    from docee_spark.stages.pipeline import run_pipeline
+
+    web, _ = _fixture_webtext_and_gold(spark)
+    return run_pipeline(
+        web, entity_dict=heuristic_entity_dict(), mode="dcfee", fused=True
+    )["triples"]
+
+
 def q_docee_vertices(spark, sf):
     """Canonicalized KG vertex table from the gold pipeline."""
     from docee_spark.stages.pipeline import run_pipeline
@@ -455,6 +477,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_mentions": q_doc_mentions,
         "docee_triples_gold": q_docee_triples_gold,
         "docee_triples_heuristic": q_docee_triples_heuristic,
+        "docee_triples_greedy": q_docee_triples_greedy,
+        "docee_triples_dcfee": q_docee_triples_dcfee,
         "docee_vertices": q_docee_vertices,
     }
 

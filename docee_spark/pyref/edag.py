@@ -232,6 +232,55 @@ def decode_doc(
         # clique path — fall back.
         mode = "clique"
 
+    if mode == "greedy":
+        # M10 GreedyDec analog (doc2edag.py:812-969): one record per
+        # detected event type, roles filled greedily from ALL doc spans
+        # in doc order — the cheapest fallback extractor.
+        doc_types = set().union(*sent_types) if sent_types else set()
+        for et in event_fields:
+            if et not in doc_types:
+                continue
+            rec = _fill_record(
+                tuple(range(len(span_fields))), span_fields, event_fields[et]
+            )
+            if sum(1 for a in rec if a is not None) >= mins.get(et, 1):
+                out[et] = [rec]
+        return {et: _subset_dedup(recs) for et, recs in out.items()}
+
+    if mode == "dcfee":
+        # M9 DCFEE-O analog (dcfee.py:10-99,334-457): every cue sentence
+        # is a key sentence producing one record; roles fill first from
+        # spans mentioned in the key sentence, then from the nearest
+        # mention by sentence distance (nearest-argument completion).
+        for si, types_here in enumerate(sent_types):
+            for et in types_here:
+                fields = event_fields[et]
+                in_sent = [
+                    i for i in range(len(span_fields)) if si in span_sent_idxs[i]
+                ]
+                used: set[int] = set()
+                rec: list[int | None] = []
+                for f in fields:
+                    m = next(
+                        (i for i in in_sent
+                         if i not in used and field_matches(span_fields[i], f)),
+                        None,
+                    )
+                    if m is None:
+                        # nearest-argument fill across the document
+                        cands = [
+                            (min(abs(s - si) for s in span_sent_idxs[i]), i)
+                            for i in range(len(span_fields))
+                            if i not in used and field_matches(span_fields[i], f)
+                        ]
+                        m = min(cands)[1] if cands else None
+                    if m is not None:
+                        used.add(m)
+                    rec.append(m)
+                if sum(1 for a in rec if a is not None) >= mins.get(et, 1):
+                    out.setdefault(et, []).append(tuple(rec))
+        return {et: _subset_dedup(recs) for et, recs in out.items()}
+
     if mode == "clique":
         cliques = max_cliques_bk(adj, min_num_arg=1) if span_fields else []
         for clique in cliques:

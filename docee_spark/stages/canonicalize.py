@@ -73,12 +73,20 @@ def canonicalize(
     entity_dict: DataFrame | None = None,
     k: int = 8,
     bands: int = 4,
+    closure_passes: int = 2,
 ) -> tuple[DataFrame, DataFrame]:
     """→ (vertices, edges).
 
     vertices: (entity_id, surface, n_mentions); edges: (src, pred, dst,
     doc_id, recguid). ``entity_dict``: optional (surface, entity_id) —
     joined broadcast.
+
+    ``closure_passes``: label-propagation iterations over the band
+    bipartite graph — pass 1 merges surfaces sharing a band; extra passes
+    close chains (A~B in band₁, B~C in band₂ → one cluster). Each pass is
+    one groupBy on the band key + one on surface, never a cross join;
+    cluster diameter beyond ~3 is vanishingly rare for near-dup surfaces,
+    so 2 passes is the default (a fixpoint loop is the same code).
     """
     rows = bands and max(1, k // bands)
     mentions = (
@@ -92,23 +100,28 @@ def canonicalize(
         .withColumn("norm", normalize_surface(F.col("surface")))
     )
 
-    # LSH blocking: surface → bands → min(norm) per band → min over bands.
-    # One groupBy per pass; transitive closure across bands would iterate
-    # this block until fixpoint (2-3 passes suffice in practice; each pass
-    # is a shuffle on the band key, never a cross join).
     mh = minhash_cols(shingles(F.col("norm")), k=k)
     sigd = surfaces.select(
         "*", *[m.alias(f"m{i}") for i, m in enumerate(mh)]
     )
-    banded = sigd.withColumn("band", F.explode(band_keys(bands, rows))).drop(
-        *[f"m{i}" for i in range(k)]
+    membership = sigd.withColumn("band", F.explode(band_keys(bands, rows))).select(
+        "surface", "norm", "band"
     )
-    band_rep = banded.groupBy("band").agg(F.min("norm").alias("band_rep"))
-    clustered = (
-        banded.join(band_rep, "band")
-        .groupBy("surface", "norm", "n_mentions")
-        .agg(F.min("band_rep").alias("lsh_rep"))
-    )
+    # label propagation: rep(surface) := min over its bands of
+    # min(rep of band members); seed rep = normalized surface
+    rep = membership.select("surface", F.col("norm").alias("lsh_rep")).distinct()
+    for _ in range(max(1, closure_passes)):
+        band_min = (
+            membership.join(rep, "surface")
+            .groupBy("band")
+            .agg(F.min("lsh_rep").alias("band_min"))
+        )
+        rep = (
+            membership.join(band_min, "band")
+            .groupBy("surface")
+            .agg(F.min("band_min").alias("lsh_rep"))
+        )
+    clustered = surfaces.join(rep, "surface")
 
     if entity_dict is not None:
         clustered = clustered.join(

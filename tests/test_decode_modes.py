@@ -1,0 +1,101 @@
+"""GreedyDec (M10) and DCFEE-O (M9) decode modes + canonicalize
+transitive closure."""
+
+from pyspark.sql import functions as F
+
+from docee_spark.config import CHFINANN_EVENT_TYPES
+from docee_spark.pyref.edag import decode_doc
+from docee_spark.pyref.graph import adjacency_from_records
+
+FIELDS_OF = {et.name: list(et.fields) for et in CHFINANN_EVENT_TYPES}
+
+
+def _doc():
+    sents = [
+        "公告EquityUnderweight事件：张三减持，TradedShares为1000股，好。",
+        "StartDate为2020年1月1日。",
+    ]
+    span_fields = ["person", "share", "date"]
+    span_sents = [[0], [0], [1]]
+    adj = adjacency_from_records(3, [[0, 1, 2]])
+    return sents, span_fields, span_sents, adj
+
+
+class TestGreedyMode:
+    def test_one_record_per_type(self):
+        sents, sf, ss, adj = _doc()
+        out = decode_doc(sents, sf, ss, adj, FIELDS_OF, {}, mode="greedy",
+                         exact_fields=False)
+        assert list(out) == ["EquityUnderweight"]
+        [rec] = out["EquityUnderweight"]
+        # EquityHolder←person(0), TradedShares←share(1), StartDate←date(2)
+        assert rec[0] == 0 and rec[1] == 1 and rec[2] == 2
+
+    def test_type_gating(self):
+        sents = ["无事件句子。"]
+        out = decode_doc(sents, ["person"], [[0]],
+                         [[1]], FIELDS_OF, {}, mode="greedy", exact_fields=False)
+        assert out == {}
+
+
+class TestDcfeeMode:
+    def test_key_sentence_plus_nearest_fill(self):
+        sents, sf, ss, adj = _doc()
+        out = decode_doc(sents, sf, ss, adj, FIELDS_OF, {}, mode="dcfee",
+                         exact_fields=False)
+        [rec] = out["EquityUnderweight"]
+        # person+share from the key sentence; date filled from nearest
+        # sentence (distance 1)
+        assert rec[0] == 0 and rec[1] == 1 and rec[2] == 2
+
+    def test_two_key_sentences_two_records(self):
+        sents = [
+            "公告EquityUnderweight事件：减持一。",
+            "公告EquityUnderweight事件：减持二。",
+        ]
+        span_fields = ["person", "share", "person", "share"]
+        span_sents = [[0], [0], [1], [1]]
+        adj = adjacency_from_records(4, [[0, 1], [2, 3]])
+        out = decode_doc(sents, span_fields, span_sents, adj, FIELDS_OF, {},
+                         mode="dcfee", exact_fields=False)
+        assert len(out["EquityUnderweight"]) == 2
+
+
+class TestDecodeStageModes:
+    def test_all_modes_run_on_spark(self, spark, web_df):
+        from docee_spark.fixtures import heuristic_entity_dict
+        from docee_spark.stages.pipeline import run_pipeline
+
+        for mode in ("greedy", "dcfee"):
+            res = run_pipeline(
+                web_df.limit(30),
+                entity_dict=heuristic_entity_dict(),
+                mode=mode,
+                fused=True,
+            )
+            assert res["triples"].count() > 0, mode
+
+
+class TestClosureChaining:
+    def test_closure_monotone_and_separating(self, spark):
+        from docee_spark.stages.canonicalize import canonicalize
+
+        base = "acme corporation limited shanghai branch"
+        near = [base, base + "x", base + " inc", base.replace("shanghai", "beijing")]
+        far = "zenith quantum holdings group"
+        trip = spark.createDataFrame(
+            [
+                (f"d{i}", "T", 0, s, "T#r", s)
+                for i, s in enumerate(near + [far])
+            ],
+            "doc_id string, event_type string, recguid int, subj string, pred string, obj string",
+        )
+        v1, _ = canonicalize(trip, closure_passes=1)
+        v3, _ = canonicalize(trip, closure_passes=3)
+        n1, n3 = v1.count(), v3.count()
+        # label propagation only merges: clusters non-increasing in passes
+        assert n3 <= n1
+        # the four near-dup variants collapse; the distinct surface stays
+        assert n3 == 2
+        ids = {r["surface"]: r["entity_id"] for r in v3.collect()}
+        assert far in ids.values() or any(far == s for s in ids)
