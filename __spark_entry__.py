@@ -74,7 +74,7 @@ def entry(spark: SparkSession) -> DataFrame:
     web = web_from_docs.unionByName(fixture_web)
     result = run_pipeline(
         web, entity_dict=heuristic_entity_dict(), mode="clique",
-        adjacency="sentence", use_html=False,
+        fused=True, use_html=False,
     )
     return result["triples"]
 
@@ -185,7 +185,14 @@ def q_sorted_lineitems(spark, sf):
     )
 
 
+def _pin_utc(spark: SparkSession) -> None:
+    """Timestamp-formatting queries must agree with DuckDB's UTC-naive
+    reading of parquet instants regardless of the driver session's TZ."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def q_priority_stats(spark, sf):
+    _pin_utc(spark)
     o = _read(spark, sf, "orders")
     return o.groupBy("o_orderpriority").agg(
         F.count("*").alias("n"),
@@ -210,6 +217,7 @@ def q_sessionize(spark, sf):
 
 
 def q_events_hourly(spark, sf):
+    _pin_utc(spark)
     e = _read(spark, sf, "events")
     return (
         e.groupBy(

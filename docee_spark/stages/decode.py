@@ -70,14 +70,25 @@ def decode(
     event_fields = {et.name: list(et.fields) for et in CHFINANN_EVENT_TYPES}
     min_fields = {et.name: et.min_field_num for et in CHFINANN_EVENT_TYPES}
     use_gold_adj = adjacency == "gold"
+    use_matrix_adj = adjacency == "matrix"
     if use_gold_adj and "events" not in tagged.columns:
         raise ValueError("adjacency='gold' requires an `events` column")
+    if use_matrix_adj and "adj" not in tagged.columns:
+        # the model slot: a trained PTPCG-style scorer (M6,
+        # trigger_aware.py:375-387) emits a per-doc 0/1 matrix as
+        # `adj: array<array<int>>`; decode consumes it unchanged
+        raise ValueError("adjacency='matrix' requires an `adj` column")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             events_col = []
-            gold_events = pdf["events"] if use_gold_adj else [None] * len(pdf)
-            for sentences, spans, gold in zip(pdf["sentences"], pdf["spans"], gold_events):
+            if use_gold_adj:
+                aux = pdf["events"]
+            elif use_matrix_adj:
+                aux = pdf["adj"]
+            else:
+                aux = [None] * len(pdf)
+            for sentences, spans, extra in zip(pdf["sentences"], pdf["spans"], aux):
                 sents = list(sentences)
                 span_texts = [s["text"] for s in spans]
                 span_fields = [s["field"] for s in spans]
@@ -86,7 +97,9 @@ def decode(
                 ]
                 n = len(span_texts)
                 if use_gold_adj:
-                    adj = _gold_adjacency(n, span_texts, gold)
+                    adj = _gold_adjacency(n, span_texts, extra)
+                elif use_matrix_adj:
+                    adj = [list(row) for row in extra]
                 else:
                     adj = _sentence_adjacency(n, span_sents)
                 decoded = decode_doc(
@@ -111,10 +124,16 @@ def decode(
                         recs.append({"recguid": recguid, "type": et, "args": args})
                         recguid += 1
                 events_col.append(recs)
-            out = pdf.drop(columns=["events"]) if use_gold_adj else pdf
+            out = pdf
+            if use_gold_adj:
+                out = out.drop(columns=["events"])
+            if use_matrix_adj:
+                out = out.drop(columns=["adj"])
             yield out.assign(events=events_col)
 
-    base_fields = [f for f in tagged.schema.fields if f.name != "events"]
+    base_fields = [
+        f for f in tagged.schema.fields if f.name not in ("events", "adj")
+    ]
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in base_fields
     )
