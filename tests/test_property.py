@@ -81,13 +81,32 @@ def test_counts_conserved(preds, golds):
 
 @settings(max_examples=80, deadline=None)
 @given(_records)
-def test_pred_order_invariance(recs):
-    """The sort-before-match exists exactly so record order can't change
-    the score (dee/metrics.py:42-46)."""
+def test_pred_order_invariance_distinct_counts(recs):
+    """The sort-before-match (dee/metrics.py:42-46) makes the score
+    order-invariant ONLY across records with distinct non-null counts —
+    the reference's sorted() is stable, so equal-count records keep input
+    order and CAN tie-break differently (a faithful-port subtlety, pinned
+    by test_equal_count_tie_is_order_sensitive below)."""
+    counts = [sum(1 for a in r if a is not None) for r in recs]
+    if len(set(counts)) != len(counts):
+        return  # equal counts: order-sensitivity is reference behavior
     gold = [("a", "b", "c"), ("a", None, None)]
     s1 = event_role_tpfpfn(list(recs), list(gold), 3)
     s2 = event_role_tpfpfn(list(reversed(recs)), list(gold), 3)
     assert s1 == s2
+
+
+def test_equal_count_tie_is_order_sensitive():
+    """Regression pin: two preds with the same non-null count keep input
+    order through the stable sort, so swapping them changes which gold
+    each grabs — exactly what the reference does."""
+    gold = [(None, None), ("a", "a")]
+    p1, p2 = (None, "a"), (None, "b")
+    s_fwd = event_role_tpfpfn([p1, p2], list(gold), 2)
+    s_rev = event_role_tpfpfn([p2, p1], list(gold), 2)
+    assert s_fwd != s_rev  # order-sensitive by (reference) design
+    assert s_fwd == [[0, 0, 1], [0, 2, 1]]
+    assert s_rev == [[0, 0, 1], [1, 1, 0]]
 
 
 @settings(max_examples=50, deadline=None)
