@@ -28,6 +28,35 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
     return html.map(lambda b: extract_text(b) if b is not None else None)
 
 
+import re as _re
+
+_DROP_BLOCKS = _re.compile(
+    r"(?is)<(script|style|nav|header|footer|aside|noscript)\b.*?</\1\s*>"
+)
+_TAGS = _re.compile(r"(?s)<[^>]+>")
+_WS = _re.compile(r"[ \t\r\f\v]+")
+
+
+def strip_boilerplate(html: bytes) -> str:
+    """Generic extractor for arbitrary pages: drop script/style/nav/
+    header/footer/aside blocks, strip remaining tags, normalize
+    whitespace. Pure function of the bytes (frozen + golden-tested —
+    SURVEY §7 risk 3); the fixture extractor (``fixtures.extract_text``)
+    stays the byte-identity reference for annotated corpora."""
+    s = html.decode("utf-8", errors="replace")
+    s = _DROP_BLOCKS.sub(" ", s)
+    s = _TAGS.sub(" ", s)
+    s = _WS.sub(" ", s)
+    return "\n".join(
+        line.strip() for line in s.split("\n") if line.strip()
+    ).strip()
+
+
+@F.pandas_udf(T.StringType())
+def strip_boilerplate_udf(html: pd.Series) -> pd.Series:
+    return html.map(lambda b: strip_boilerplate(b) if b is not None else None)
+
+
 def host_of(url: Column) -> Column:
     """Host component of a url — the skew key (Zipf-distributed hosts)."""
     return F.regexp_extract(url, r"^[a-z]+://([^/]+)/", 1)

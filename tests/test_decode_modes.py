@@ -76,6 +76,56 @@ class TestDecodeStageModes:
             assert res["triples"].count() > 0, mode
 
 
+class TestMatrixAdjacency:
+    def test_model_scored_adjacency_column(self, spark):
+        """decode(adjacency='matrix') consumes a per-doc adj matrix — the
+        integration point for a trained PTPCG scorer (M6)."""
+        from docee_spark.stages.decode import decode
+
+        def span(text, field):
+            return {"text": text, "field": field,
+                    "dranges": [{"sent_idx": 0, "char_s": 0, "char_e": len(text)}]}
+
+        row = {
+            "doc_id": "d1",
+            "sentences": ["公告EquityUnderweight事件：减持。"],
+            "spans": [
+                span("张三", "EquityHolder"),
+                span("100股", "TradedShares"),
+                span("2020年1月1日", "StartDate"),
+                span("2020年2月1日", "EndDate"),
+            ],
+            "adj": [[1] * 4 for _ in range(4)],  # min_field_num=4 satisfied
+        }
+        from docee_spark.schema import SPANS
+
+        import pyspark.sql.types as T
+
+        schema = T.StructType([
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("sentences", T.ArrayType(T.StringType())),
+            T.StructField("spans", SPANS),
+            T.StructField("adj", T.ArrayType(T.ArrayType(T.IntegerType()))),
+        ])
+        df = spark.createDataFrame([row], schema)
+        out = decode(df, mode="clique", adjacency="matrix").collect()[0]
+        assert "adj" not in out.asDict()
+        [ev] = out["events"]
+        assert ev["type"] == "EquityUnderweight"
+        assert ev["args"]["EquityHolder"] == "张三"
+        assert ev["args"]["TradedShares"] == "100股"
+
+    def test_matrix_mode_requires_column(self, spark, gold_df):
+        import pytest
+
+        from docee_spark.stages.decode import decode
+        from pyspark.sql import functions as F
+
+        df = gold_df.select(F.col("guid").alias("doc_id"), "sentences", "spans")
+        with pytest.raises(ValueError):
+            decode(df, adjacency="matrix")
+
+
 class TestClosureChaining:
     def test_closure_monotone_and_separating(self, spark):
         from docee_spark.stages.canonicalize import canonicalize

@@ -179,3 +179,24 @@ class TestCanonicalize:
         assert vertices.collect()[0]["entity_id"] == "Q1001"
         e = edges.collect()[0]
         assert e["src"] == "Q1001" and e["dst"] == "Q1001"
+
+
+class TestGenericExtractor:
+    def test_strip_boilerplate_pure_and_deterministic(self):
+        from docee_spark.stages.ingest import strip_boilerplate
+
+        html = (
+            b"<html><head><style>x{}</style><script>var a=1;</script></head>"
+            b"<body><nav><a href='/'>home</a></nav>"
+            b"<p>First paragraph.</p><div>Second block.</div>"
+            b"<footer>(c) corp</footer></body></html>"
+        )
+        out = strip_boilerplate(html)
+        assert "First paragraph." in out and "Second block." in out
+        assert "var a=1" not in out and "home" not in out and "corp" not in out
+        assert strip_boilerplate(html) == out  # frozen/deterministic
+
+    def test_invalid_utf8_never_raises(self):
+        from docee_spark.stages.ingest import strip_boilerplate
+
+        assert isinstance(strip_boilerplate(b"\xff\xfe<p>ok</p>"), str)
