@@ -1,0 +1,88 @@
+"""spark-submit entrypoint: webtext parquet in → KG tables out.
+
+Cluster submission (the north-rule shape)::
+
+    zip -r docee_spark.zip docee_spark
+    spark-submit --py-files docee_spark.zip docee_spark/cli.py \\
+        --input s3://bucket/webtext --output s3://bucket/kg \\
+        --mode clique --store s3://bucket/stages --fingerprint <snapshot-id>
+
+Local smoke::
+
+    python -m docee_spark.cli --synth 1000 --output /tmp/kg_out
+
+Resumability: pass ``--store`` + ``--fingerprint`` (the input table's
+snapshot id) — stages whose manifest records the same fingerprint are
+skipped on rerun (stages/pipeline.py::StageStore).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description="DocEE-style webtext → KG pipeline")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="webtext parquet path/table")
+    src.add_argument("--synth", type=int, help="synthesize N fixture docs instead")
+    p.add_argument("--output", required=True, help="output dir for KG tables")
+    p.add_argument("--mode", default="clique",
+                   choices=["clique", "edag", "greedy", "dcfee"])
+    p.add_argument("--fused", action="store_true",
+                   help="deep-fused heuristic path (fastest; no stage tables)")
+    p.add_argument("--langs", default=None, help="comma-separated lang filter")
+    p.add_argument("--store", default=None, help="stage-table dir (resumable)")
+    p.add_argument("--fingerprint", default="", help="input snapshot id")
+    p.add_argument("--entity-dict", default=None,
+                   help="json file: surface → coarse type")
+    args = p.parse_args(argv)
+
+    from .fixtures import distributed_corpus, heuristic_entity_dict
+    from .session import get_spark
+    from .stages.pipeline import StageStore, run_pipeline
+    from .stages.sinks import write_kg
+
+    spark = get_spark("docee_kg")
+    if args.input:
+        web = spark.read.parquet(args.input)
+    else:
+        web = distributed_corpus(spark, args.synth)
+
+    if args.entity_dict:
+        with open(args.entity_dict) as f:
+            entity_dict = json.load(f)
+    else:
+        entity_dict = heuristic_entity_dict()
+
+    t0 = time.time()
+    result = run_pipeline(
+        web,
+        entity_dict=entity_dict,
+        mode=args.mode,
+        fused="deep" if args.fused else False,
+        langs=tuple(args.langs.split(",")) if args.langs else None,
+        store=StageStore(args.store) if args.store else None,
+        input_fingerprint=args.fingerprint,
+        use_html=True,
+    )
+    write_kg(result, args.output)
+    n = spark.read.parquet(f"{args.output}/triples").count()
+    print(
+        json.dumps(
+            {
+                "triples": n,
+                "seconds": round(time.time() - t0, 1),
+                "mode": args.mode,
+                "output": args.output,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -106,6 +106,7 @@ def run_pipeline(
     input_fingerprint: str = "",
     use_html: bool = True,
     fused: bool | str = False,
+    langs: tuple[str, ...] | None = None,
 ) -> dict[str, DataFrame]:
     """webtext (+optional gold) → {docs, tagged, decoded, triples,
     vertices, edges[, stats]}.
@@ -129,7 +130,8 @@ def run_pipeline(
     # Arrow UDF work — keyed on (doc-length bucket, salted host) to even
     # out both host skew and document-size skew in the same exchange.
     docs = staged(
-        "segment", lambda: segment(ingest(webtext, use_html=use_html))
+        "segment",
+        lambda: segment(ingest(webtext, langs=langs, use_html=use_html)),
     )
 
     if fused:
@@ -150,7 +152,9 @@ def run_pipeline(
 
         if fused == "deep":
             decoded = segment_tag_decode_fused(
-                ensure_parallelism(ingest(webtext, use_html=use_html), nparts),
+                ensure_parallelism(
+                    ingest(webtext, langs=langs, use_html=use_html), nparts
+                ),
                 entity_dict or {},
                 mode=mode,
             )
