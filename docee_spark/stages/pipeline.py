@@ -125,10 +125,10 @@ def run_pipeline(
         df = build()
         return store.commit(name, df, input_fingerprint)
 
-    # one shuffle total before the UDF stages: ingest+segment are cheap
-    # codegen'd projections, so the only repartition sits right before the
-    # Arrow UDF work — keyed on (doc-length bucket, salted host) to even
-    # out both host skew and document-size skew in the same exchange.
+    # ingest+segment are cheap codegen'd projections; the single exchange
+    # of the staged path sits right before the Arrow UDF work (inside
+    # build_tagged: length-bucket + salt), and the fused path avoids even
+    # that when the scan is already well-split.
     docs = staged(
         "segment",
         lambda: segment(ingest(webtext, langs=langs, use_html=use_html)),
