@@ -247,6 +247,31 @@ def decode_doc(
                 out[et] = [rec]
         return {et: _subset_dedup(recs) for et, recs in out.items()}
 
+    if mode == "product":
+        # M10 ProductDec / DCFEE-M analog (modules/__init__.py:63-101,
+        # dcfee.py DCFEE-M): per key sentence, the cross-product of role
+        # candidates within that sentence, capped at max_paths.
+        for si, types_here in enumerate(sent_types):
+            for et in types_here:
+                fields = event_fields[et]
+                in_sent = [
+                    i for i in range(len(span_fields)) if si in span_sent_idxs[i]
+                ]
+                partial: list[tuple[int | None, ...]] = [()]
+                for f in fields:
+                    cands = [i for i in in_sent if field_matches(span_fields[i], f)]
+                    nxt = [
+                        p + (c,)
+                        for p in partial
+                        for c in (cands if cands else [None])
+                        if c is None or c not in p
+                    ] or [p + (None,) for p in partial]
+                    partial = nxt[:max_paths]
+                for rec in partial:
+                    if sum(1 for a in rec if a is not None) >= mins.get(et, 1):
+                        out.setdefault(et, []).append(rec)
+        return {et: _subset_dedup(recs) for et, recs in out.items()}
+
     if mode == "dcfee":
         # M9 DCFEE-O analog (dcfee.py:10-99,334-457): every cue sentence
         # is a key sentence producing one record; roles fill first from

@@ -118,6 +118,37 @@ def macro_f1(stats: DataFrame) -> DataFrame:
     )
 
 
+def event_type_stats(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """A2 — multi-label event-type classification P/R/F1 (reference
+    dee/metrics.py:168-227): a doc's predicted type set vs its gold type
+    set, counted per type. Pure relational: distinct (doc, type) both
+    sides → full outer join → TP/FP/FN sums → P/R/F1 columns."""
+    def types_of(df: DataFrame, doc_col: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(doc_col).alias("doc_id"),
+                F.explode(
+                    F.array_distinct(
+                        F.transform(F.col("events"), lambda e: e["type"])
+                    )
+                ).alias("event_type"),
+            )
+            .distinct()
+        )
+
+    p = types_of(pred, "doc_id").withColumn("in_pred", F.lit(1))
+    g = types_of(gold, "doc_id").withColumn("in_gold", F.lit(1))
+    joined = p.join(g, ["doc_id", "event_type"], "full").fillna(
+        {"in_pred": 0, "in_gold": 0}
+    )
+    agg = joined.groupBy("event_type").agg(
+        F.sum(F.col("in_pred") * F.col("in_gold")).alias("tp"),
+        F.sum(F.col("in_pred") * (1 - F.col("in_gold"))).alias("fp"),
+        F.sum((1 - F.col("in_pred")) * F.col("in_gold")).alias("fn"),
+    )
+    return _prf1_cols(agg)
+
+
 def micro_scores(stats: DataFrame) -> dict[str, float]:
     """Driver-side convenience: the single micro P/R/F1 triple."""
     row = (

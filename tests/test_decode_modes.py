@@ -149,3 +149,58 @@ class TestClosureChaining:
         assert n3 == 2
         ids = {r["surface"]: r["entity_id"] for r in v3.collect()}
         assert far in ids.values() or any(far == s for s in ids)
+
+
+class TestProductMode:
+    def test_cross_product_fill(self):
+        sents = ["公告EquityUnderweight事件：两个减持价。"]
+        # two share candidates in the key sentence → two records
+        span_fields = ["person", "share", "share"]
+        span_sents = [[0], [0], [0]]
+        adj = [[1] * 3 for _ in range(3)]
+        out = decode_doc(sents, span_fields, span_sents, adj, FIELDS_OF, {},
+                         mode="product", exact_fields=False)
+        recs = out["EquityUnderweight"]
+        shares_used = {r[1] for r in recs}
+        assert shares_used == {1, 2}  # TradedShares filled by each candidate
+
+    def test_capped(self):
+        sents = ["公告EquityUnderweight事件：减持。"]
+        n = 10
+        span_fields = ["share"] * n
+        span_sents = [[0]] * n
+        adj = [[1] * n for _ in range(n)]
+        out = decode_doc(sents, span_fields, span_sents, adj, FIELDS_OF, {},
+                         mode="product", exact_fields=False, max_paths=16)
+        assert len(out.get("EquityUnderweight", [])) <= 16
+
+
+class TestEventTypeStats:
+    def test_type_level_prf(self, spark, gold_df):
+        from docee_spark.stages.evaluate import event_type_stats
+        from pyspark.sql import functions as F
+
+        pred = gold_df.select(F.col("guid").alias("doc_id"), "events")
+        gold = gold_df.select(F.col("guid").alias("doc_id"), "events")
+        rows = event_type_stats(pred, gold).collect()
+        assert rows
+        for r in rows:
+            assert r["fp"] == 0 and r["fn"] == 0 and r["f1"] == 1.0
+
+    def test_type_level_counts_disagreement(self, spark):
+        from docee_spark.stages.evaluate import event_type_stats
+
+        def mk(doc_types):
+            return spark.createDataFrame(
+                [
+                    (d, [{"recguid": 0, "type": t, "args": {}} for t in ts])
+                    for d, ts in doc_types
+                ],
+                "doc_id string, events array<struct<recguid:int,type:string,args:map<string,string>>>",
+            )
+
+        pred = mk([("d1", ["EquityPledge"]), ("d2", ["EquityFreeze"])])
+        gold = mk([("d1", ["EquityPledge", "EquityFreeze"]), ("d2", [])])
+        rows = {r["event_type"]: r for r in event_type_stats(pred, gold).collect()}
+        assert rows["EquityPledge"]["tp"] == 1
+        assert rows["EquityFreeze"]["fp"] == 1 and rows["EquityFreeze"]["fn"] == 1
