@@ -149,6 +149,48 @@ def event_type_stats(pred: DataFrame, gold: DataFrame) -> DataFrame:
     return _prf1_cols(agg)
 
 
+def instance_stats(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """A4 — instance-level (whole-record) P/R/F1 (reference
+    dee/metrics.py:260-307; canonical forms dee/utils.py:241-267): a
+    record matches only if its full (type, role→arg) assignment is
+    identical. Canonical key = event_type + sorted non-null (role, arg)
+    pairs; distinct per doc (set-of-sets semantics), then full outer
+    join and per-type TP/FP/FN."""
+    def keys_of(df: DataFrame) -> DataFrame:
+        ev = df.select("doc_id", F.explode("events").alias("ev"))
+        pairs = F.array_sort(
+            F.filter(
+                F.transform(
+                    F.map_keys(F.col("ev.args")),
+                    lambda k: F.concat_ws(
+                        "=", k, F.element_at(F.col("ev.args"), k)
+                    ),
+                ),
+                # null args: concat_ws skips nulls → bare "role" with no
+                # '=' — excluded (a null role is absent from the instance
+                # key, matching the reference's canonical form)
+                lambda s: s.contains("="),
+            )
+        )
+        return ev.select(
+            "doc_id",
+            F.col("ev.type").alias("event_type"),
+            F.concat_ws("|", pairs).alias("record_key"),
+        ).distinct()
+
+    p = keys_of(pred).withColumn("in_pred", F.lit(1))
+    g = keys_of(gold).withColumn("in_gold", F.lit(1))
+    joined = p.join(g, ["doc_id", "event_type", "record_key"], "full").fillna(
+        {"in_pred": 0, "in_gold": 0}
+    )
+    agg = joined.groupBy("event_type").agg(
+        F.sum(F.col("in_pred") * F.col("in_gold")).alias("tp"),
+        F.sum(F.col("in_pred") * (1 - F.col("in_gold"))).alias("fp"),
+        F.sum((1 - F.col("in_pred")) * F.col("in_gold")).alias("fn"),
+    )
+    return _prf1_cols(agg)
+
+
 def micro_scores(stats: DataFrame) -> dict[str, float]:
     """Driver-side convenience: the single micro P/R/F1 triple."""
     row = (

@@ -204,3 +204,42 @@ class TestEventTypeStats:
         rows = {r["event_type"]: r for r in event_type_stats(pred, gold).collect()}
         assert rows["EquityPledge"]["tp"] == 1
         assert rows["EquityFreeze"]["fp"] == 1 and rows["EquityFreeze"]["fn"] == 1
+
+
+class TestInstanceStats:
+    def test_identical_records_all_tp(self, spark, gold_df):
+        from docee_spark.stages.evaluate import instance_stats
+
+        pred = gold_df.select(F.col("guid").alias("doc_id"), "events")
+        rows = instance_stats(pred, pred).collect()
+        assert rows and all(r["fp"] == 0 and r["fn"] == 0 for r in rows)
+
+    def test_one_wrong_arg_breaks_instance_match(self, spark):
+        from docee_spark.stages.evaluate import instance_stats
+
+        def mk(arg):
+            return spark.createDataFrame(
+                [("d1", [{"recguid": 0, "type": "EquityPledge",
+                          "args": {"Pledger": arg, "Pledgee": "乙"}}])],
+                "doc_id string, events array<struct<recguid:int,type:string,args:map<string,string>>>",
+            )
+
+        rows = instance_stats(mk("甲"), mk("丙")).collect()
+        [r] = rows
+        assert (r["tp"], r["fp"], r["fn"]) == (0, 1, 1)
+
+    def test_null_args_excluded_from_key(self, spark):
+        from docee_spark.stages.evaluate import instance_stats
+
+        a = spark.createDataFrame(
+            [("d1", [{"recguid": 0, "type": "EquityPledge",
+                      "args": {"Pledger": "甲", "Pledgee": None}}])],
+            "doc_id string, events array<struct<recguid:int,type:string,args:map<string,string>>>",
+        )
+        b = spark.createDataFrame(
+            [("d1", [{"recguid": 0, "type": "EquityPledge",
+                      "args": {"Pledger": "甲"}}])],
+            "doc_id string, events array<struct<recguid:int,type:string,args:map<string,string>>>",
+        )
+        [r] = instance_stats(a, b).collect()
+        assert (r["tp"], r["fp"], r["fn"]) == (1, 0, 0)
