@@ -133,6 +133,47 @@ def trigger_importance(gold: DataFrame, max_group: int = 1) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w))
 
 
+def graph_density(decoded: DataFrame) -> DataFrame:
+    """A10 — corpus span-graph density (reference dee/helper/arg_rel.py:
+    1027-1061,1121): Σ per-doc record-edge count over Σ n², where n =
+    #distinct args per doc. Relational: explode records → pairwise edge
+    counts from combination sizes (k·(k−1) directed pairs per record)."""
+    per_doc = decoded.select(
+        "doc_id",
+        F.size(
+            F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        "events",
+                        lambda e: F.filter(
+                            F.map_values(e["args"]), lambda v: v.isNotNull()
+                        ),
+                    )
+                )
+            )
+        ).alias("n_args"),
+        F.aggregate(
+            F.transform(
+                "events",
+                lambda e: F.size(
+                    F.filter(F.map_values(e["args"]), lambda v: v.isNotNull())
+                ),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, k: acc + k * (k - 1),
+        ).alias("n_connections"),
+    )
+    return per_doc.agg(
+        F.sum("n_connections").alias("total_connections"),
+        F.sum(F.col("n_args") * F.col("n_args")).alias("total_rels"),
+        F.floor(
+            F.sum("n_connections")
+            * 10000
+            / F.greatest(F.sum(F.col("n_args") * F.col("n_args")), F.lit(1))
+        ).alias("density_e4"),
+    )
+
+
 def pipeline_counters(result: dict[str, DataFrame]) -> DataFrame:
     """A9/A11 metrics table: per-stage row counts + truncation counters,
     computed in one pass per stage table."""

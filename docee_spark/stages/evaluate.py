@@ -191,6 +191,31 @@ def instance_stats(pred: DataFrame, gold: DataFrame) -> DataFrame:
     return _prf1_cols(agg)
 
 
+def entity_stats(pred_spans: DataFrame, gold_spans: DataFrame) -> DataFrame:
+    """A3 — entity-set P/R/F1 (reference dee/metrics.py:230-257): per-doc
+    predicted span-surface set vs gold set; one global TP/FP/FN row.
+    ``*_spans``: (doc_id, spans) with schema.SPANS columns."""
+    def surfaces(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.transform("spans", lambda s: s["text"]))
+            ).alias("surface"),
+        ).distinct()
+
+    p = surfaces(pred_spans).withColumn("in_pred", F.lit(1))
+    g = surfaces(gold_spans).withColumn("in_gold", F.lit(1))
+    joined = p.join(g, ["doc_id", "surface"], "full").fillna(
+        {"in_pred": 0, "in_gold": 0}
+    )
+    agg = joined.agg(
+        F.sum(F.col("in_pred") * F.col("in_gold")).alias("tp"),
+        F.sum(F.col("in_pred") * (1 - F.col("in_gold"))).alias("fp"),
+        F.sum((1 - F.col("in_pred")) * F.col("in_gold")).alias("fn"),
+    )
+    return _prf1_cols(agg)
+
+
 def micro_scores(stats: DataFrame) -> dict[str, float]:
     """Driver-side convenience: the single micro P/R/F1 triple."""
     row = (

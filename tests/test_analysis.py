@@ -161,3 +161,48 @@ def test_rearrange_roundtrip_on_corpus(seed):
         for text, _f, dranges in new_spans:
             for si, s, e in dranges:
                 assert new_sents[si][s:e] == text, (g["guid"], text)
+
+
+class TestEntityStats:
+    def test_identical_sets_perfect(self, spark, gold_df):
+        from docee_spark.stages.evaluate import entity_stats
+
+        spans = gold_df.select(F.col("guid").alias("doc_id"), "spans")
+        [r] = entity_stats(spans, spans).collect()
+        assert r["fp"] == 0 and r["fn"] == 0 and r["f1"] == 1.0 and r["tp"] > 0
+
+    def test_counts_asymmetric_sets(self, spark):
+        from docee_spark.stages.evaluate import entity_stats
+
+        def mk(surfaces):
+            return spark.createDataFrame(
+                [("d1", [{"text": s, "field": "X", "dranges": []} for s in surfaces])],
+                "doc_id string, spans array<struct<text:string,field:string,dranges:array<struct<sent_idx:int,char_s:int,char_e:int>>>>",
+            )
+
+        [r] = entity_stats(mk(["a", "b"]), mk(["b", "c"])).collect()
+        assert (r["tp"], r["fp"], r["fn"]) == (1, 1, 1)
+
+
+class TestGraphDensity:
+    def test_single_complete_record(self, spark):
+        from docee_spark.operators.analysis import graph_density
+
+        df = spark.createDataFrame(
+            [("d1", [{"recguid": 0, "type": "T", "args": {"a": "x", "b": "y", "c": "z"}}])],
+            "doc_id string, events array<struct<recguid:int,type:string,args:map<string,string>>>",
+        )
+        [r] = graph_density(df).collect()
+        # 3 args → 3·2 = 6 connections over 3² = 9 rels
+        assert (r["total_connections"], r["total_rels"]) == (6, 9)
+        assert r["density_e4"] == 6666
+
+    def test_empty_docs_zero_density(self, spark):
+        from docee_spark.operators.analysis import graph_density
+
+        df = spark.createDataFrame(
+            [("d1", [])],
+            "doc_id string, events array<struct<recguid:int,type:string,args:map<string,string>>>",
+        )
+        [r] = graph_density(df).collect()
+        assert r["total_connections"] == 0 and r["density_e4"] == 0
