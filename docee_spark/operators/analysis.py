@@ -133,6 +133,48 @@ def trigger_importance(gold: DataFrame, max_group: int = 1) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w))
 
 
+def key_sentences(gold: DataFrame) -> DataFrame:
+    """A8/W2 — key-sentence detection: per gold record, the sentence with
+    the most argument mentions (reference dee/helper/dee.py:534-563 uses
+    Counter.most_common; ties → lowest sentence index). Pure window job:
+    explode (record, arg) → join arg mentions to span dranges → count per
+    (doc, recguid, sent) → row_number window."""
+    from pyspark.sql import Window
+
+    rec_args = gold.select(
+        F.col("guid").alias("doc_id"),
+        F.explode("events").alias("ev"),
+    ).select(
+        "doc_id",
+        F.col("ev.recguid").alias("recguid"),
+        F.explode(
+            F.filter(F.map_values("ev.args"), lambda v: v.isNotNull())
+        ).alias("arg"),
+    )
+    mentions = gold.select(
+        F.col("guid").alias("doc_id"), F.explode("spans").alias("sp")
+    ).select(
+        "doc_id",
+        F.col("sp.text").alias("arg"),
+        F.explode(
+            F.transform("sp.dranges", lambda d: d["sent_idx"])
+        ).alias("sent_idx"),
+    )
+    counts = (
+        rec_args.join(mentions, ["doc_id", "arg"])
+        .groupBy("doc_id", "recguid", "sent_idx")
+        .agg(F.count("*").alias("n_mentions"))
+    )
+    w = Window.partitionBy("doc_id", "recguid").orderBy(
+        F.desc("n_mentions"), F.asc("sent_idx")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "recguid", F.col("sent_idx").alias("key_sentence"), "n_mentions")
+    )
+
+
 def graph_density(decoded: DataFrame) -> DataFrame:
     """A10 — corpus span-graph density (reference dee/helper/arg_rel.py:
     1027-1061,1121): Σ per-doc record-edge count over Σ n², where n =

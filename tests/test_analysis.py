@@ -206,3 +206,34 @@ class TestGraphDensity:
         )
         [r] = graph_density(df).collect()
         assert r["total_connections"] == 0 and r["density_e4"] == 0
+
+
+class TestKeySentences:
+    def test_modal_sentence_matches_python_oracle(self, spark, gold_df, corpus):
+        from collections import Counter
+
+        from docee_spark.operators.analysis import key_sentences
+
+        _, gold_rows = corpus
+        got = {
+            (r["doc_id"], r["recguid"]): r["key_sentence"]
+            for r in key_sentences(gold_df).collect()
+        }
+        for g in gold_rows:
+            span_sents = {}
+            for sp in g["spans"]:
+                span_sents.setdefault(sp["text"], []).extend(
+                    d["sent_idx"] for d in sp["dranges"]
+                )
+            for ev in g["events"]:
+                c = Counter()
+                for v in ev["args"].values():
+                    if v is not None:
+                        for si in span_sents.get(v, []):
+                            c[si] += 1
+                if not c:
+                    continue
+                best = min(
+                    (si for si in c if c[si] == max(c.values()))
+                )
+                assert got[(g["guid"], ev["recguid"])] == best, (g["guid"], ev)
