@@ -457,6 +457,41 @@ def q_docee_vertices(spark, sf):
     ].select("entity_id", "surface", "n_mentions")
 
 
+def q_docee_eval_rollup(spark, sf):
+    """Reference-metric rollup (A1): per-role/type/overall TP/FP/FN +
+    P/R/F1 from the gold-mode pipeline (greedy matching J2 inside)."""
+    from docee_spark.stages.evaluate import micro_rollup
+    from docee_spark.stages.pipeline import run_pipeline
+
+    web, gold = _fixture_webtext_and_gold(spark)
+    res = run_pipeline(web, gold=gold, mode="clique", adjacency="gold")
+    return micro_rollup(res["stats"])
+
+
+def q_docee_trigger_importance(spark, sf):
+    """A7 pseudo-trigger importance over the gold fixture corpus."""
+    from docee_spark.operators.analysis import trigger_importance
+
+    _, gold = _fixture_webtext_and_gold(spark)
+    return trigger_importance(gold)
+
+
+def q_docee_dataset_stats(spark, sf):
+    """A6 dataset statistics (doc_type assignment + distributions)."""
+    from docee_spark.operators.analysis import dataset_stats
+
+    _, gold = _fixture_webtext_and_gold(spark)
+    return dataset_stats(gold)
+
+
+def q_docee_key_sentences(spark, sf):
+    """A8/W2 per-record key-sentence detection."""
+    from docee_spark.operators.analysis import key_sentences
+
+    _, gold = _fixture_webtext_and_gold(spark)
+    return key_sentences(gold)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_rollup": q_agg_rollup,
@@ -488,6 +523,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docee_triples_greedy": q_docee_triples_greedy,
         "docee_triples_dcfee": q_docee_triples_dcfee,
         "docee_vertices": q_docee_vertices,
+        "docee_eval_rollup": q_docee_eval_rollup,
+        "docee_trigger_importance": q_docee_trigger_importance,
+        "docee_dataset_stats": q_docee_dataset_stats,
+        "docee_key_sentences": q_docee_key_sentences,
     }
 
 

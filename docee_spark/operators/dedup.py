@@ -63,6 +63,25 @@ def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def drop_exact_duplicates(
+    df: DataFrame, id_col: str = "url", text_col: str = "text"
+) -> DataFrame:
+    """Corpus pre-dedup: keep exactly one document per distinct content
+    (the min-id representative). The standard first stage of a webtext
+    training pipeline — a window over the fingerprint, one shuffle, no
+    join back to the full table."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(fingerprint_md5(F.col(text_col))).orderBy(
+        F.col(id_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def minhash_signature(shingle_col: Column, k: int = 4) -> Column:
     """k lexicographic-min md5 digests — k permutation min-hashes.
 

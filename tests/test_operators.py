@@ -175,3 +175,24 @@ class TestTextstatsEdge:
         for ch in text:
             h = (h * 31 + ord(ch)) % 1_000_000_007
         assert got == h
+
+
+class TestDropExactDuplicates:
+    def test_keeps_min_id_per_content(self, spark):
+        from docee_spark.operators.dedup import drop_exact_duplicates
+
+        rows = [
+            ("u3", "same content"),
+            ("u1", "same content"),
+            ("u2", "other content"),
+        ]
+        df = spark.createDataFrame(rows, "url string, text string")
+        out = sorted(r["url"] for r in drop_exact_duplicates(df).collect())
+        assert out == ["u1", "u2"]
+
+    def test_whitespace_normalized_content_collapses(self, spark):
+        from docee_spark.operators.dedup import drop_exact_duplicates
+
+        rows = [("a", "x  y"), ("b", "x y ")]
+        df = spark.createDataFrame(rows, "url string, text string")
+        assert drop_exact_duplicates(df).count() == 1
