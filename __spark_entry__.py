@@ -719,7 +719,7 @@ select o_orderpriority, count(*) as n,
 from orders group by o_orderpriority
 """,
         "sessionize": """
-select user_id, sum(new_session) as n_sessions, count(*) as n_events from (
+select user_id, cast(sum(new_session) as bigint) as n_sessions, count(*) as n_events from (
   select user_id,
          case when lag(ts) over w is null
                    or date_diff('second', lag(ts) over w, ts) > 1800
@@ -735,7 +735,7 @@ from events group by 1, 2
 """,
         "props_extract": """
 select event_type,
-       sum(cast(regexp_extract(props, '"k":\\s*(\\d+)', 1) as bigint)) as sum_k,
+       cast(sum(cast(regexp_extract(props, '"k":\\s*(\\d+)', 1) as bigint)) as bigint) as sum_k,
        count(*) as n
 from events group by event_type
 """,
