@@ -459,13 +459,24 @@ def q_docee_vertices(spark, sf):
 
 def q_docee_eval_rollup(spark, sf):
     """Reference-metric rollup (A1): per-role/type/overall TP/FP/FN +
-    P/R/F1 from the gold-mode pipeline (greedy matching J2 inside)."""
+    P/R/F1 from the gold-mode pipeline (greedy matching J2 inside).
+    Scores ×10⁴ (driver hashes values → integerize floats)."""
     from docee_spark.stages.evaluate import micro_rollup
     from docee_spark.stages.pipeline import run_pipeline
 
     web, gold = _fixture_webtext_and_gold(spark)
     res = run_pipeline(web, gold=gold, mode="clique", adjacency="gold")
-    return micro_rollup(res["stats"])
+    roll = micro_rollup(res["stats"])
+    return roll.select(
+        "event_type",
+        "role",
+        "tp",
+        "fp",
+        "fn",
+        F.floor(F.col("precision") * 10000).cast("long").alias("precision_e4"),
+        F.floor(F.col("recall") * 10000).cast("long").alias("recall_e4"),
+        F.floor(F.col("f1") * 10000).cast("long").alias("f1_e4"),
+    )
 
 
 def q_docee_trigger_importance(spark, sf):
@@ -654,10 +665,206 @@ from ranked where rank <= 3
 """
 
 
+# --------------------------------------------------------------------------
+# DocEE golden-fixture oracles (docee_spark/golden.py writes the parquet)
+# --------------------------------------------------------------------------
+
+def _golden_dir() -> str:
+    from docee_spark.golden import ensure_golden
+
+    return ensure_golden()
+
+
+def _docee_triples_sql(mode: str) -> str:
+    return f"""
+select doc_id, event_type, recguid, subj, pred, obj
+from read_parquet('{{g}}/triples_{mode}.parquet')
+"""
+
+
+def _docee_vertices_sql() -> str:
+    """Independent DuckDB re-implementation of stages.canonicalize
+    (minhash = lexicographic min of md5 hex; 8 hashes, 4 bands × 2 rows,
+    2 label-propagation passes) over the golden gold-mode triples."""
+    m_cols = ",\n    ".join(
+        f"list_min(list_transform(shingles, s -> md5('{i}|' || s))) as m{i}"
+        for i in range(8)
+    )
+    bands = "\n  union all ".join(
+        f"select surface, '{b}:' || m{2 * b} || ':' || m{2 * b + 1} as band from sig"
+        for b in range(4)
+    )
+    return f"""
+with trips as (select subj, obj from read_parquet('{{g}}/triples_gold.parquet')),
+mentions as (
+  select subj as surface from trips where subj is not null
+  union all
+  select obj from trips where obj is not null
+),
+surfaces as (
+  select surface, count(*) as n_mentions,
+         case when regexp_matches(surface, '^[\\x00-\\x7f]*$')
+              then lower(trim(surface)) else trim(surface) end as norm
+  from mentions group by surface
+),
+sh as (
+  select surface, norm,
+         list_distinct(list_transform(
+             range(1, len(rpad(norm, 3, '_')) - 1),
+             i -> substring(rpad(norm, 3, '_'), cast(i as int), 3))) as shingles
+  from surfaces
+),
+sig as (
+  select surface, norm,
+    {m_cols}
+  from sh
+),
+membership as (
+  {bands}
+),
+rep0 as (select surface, norm as lsh_rep from sig),
+bmin1 as (select band, min(lsh_rep) as band_min
+          from membership join rep0 using (surface) group by band),
+rep1 as (select surface, min(band_min) as lsh_rep
+         from membership join bmin1 using (band) group by surface),
+bmin2 as (select band, min(lsh_rep) as band_min
+          from membership join rep1 using (surface) group by band),
+rep2 as (select surface, min(band_min) as lsh_rep
+         from membership join bmin2 using (band) group by surface)
+select r.lsh_rep as entity_id, min(s.surface) as surface,
+       cast(sum(s.n_mentions) as bigint) as n_mentions
+from surfaces s join rep2 r using (surface)
+group by 1
+"""
+
+
+def _docee_eval_rollup_sql() -> str:
+    return """
+with r as (
+  select event_type, role,
+         cast(sum(tp) as bigint) as tp, cast(sum(fp) as bigint) as fp,
+         cast(sum(fn) as bigint) as fn
+  from read_parquet('{g}/eval_stats.parquet')
+  group by rollup(event_type, role)
+),
+m as (
+  select *,
+    case when tp + fp > 0 then tp / cast(tp + fp as double) else 0.0 end as p,
+    case when tp + fn > 0 then tp / cast(tp + fn as double) else 0.0 end as rc
+  from r
+)
+select event_type, role, tp, fp, fn,
+  cast(floor(p * 10000) as bigint) as precision_e4,
+  cast(floor(rc * 10000) as bigint) as recall_e4,
+  cast(floor(case when p + rc > 0 then 2 * p * rc / (p + rc)
+             else 0.0 end * 10000) as bigint) as f1_e4
+from m
+"""
+
+
+def _docee_trigger_importance_sql() -> str:
+    return """
+with inst as (
+  select doc_id, recguid as event_idx, event_type, role, arg as ent
+  from read_parquet('{g}/gold_args.parquet')
+),
+doc_all as (
+  select doc_id, event_idx as other_idx,
+         list(distinct ent) filter (where ent is not null) as other_ents,
+         bool_or(ent is null) as other_has_null
+  from inst group by doc_id, event_idx
+),
+hits as (
+  select i.doc_id, i.event_idx, i.role,
+         max(case when i.ent is null then cast(d.other_has_null as int)
+                  else cast(coalesce(list_contains(d.other_ents, i.ent), false) as int)
+             end) as is_shared
+  from inst i
+  join doc_all d on i.doc_id = d.doc_id and i.event_idx != d.other_idx
+  group by 1, 2, 3
+),
+per_role as (
+  select i.event_type, i.role, i.ent, coalesce(h.is_shared, 0) as is_shared
+  from inst i
+  left join hits h on i.doc_id = h.doc_id and i.event_idx = h.event_idx
+                  and i.role = h.role
+),
+agg as (
+  select event_type, role,
+         cast(count(*) as bigint) as n_instances,
+         cast(count(ent) as bigint) as n_exist,
+         cast(sum(is_shared) as bigint) as n_shared
+  from per_role group by 1, 2
+),
+scored as (
+  select event_type, role, n_instances,
+    cast(floor(n_exist * 10000 / cast(n_instances as double)) as bigint) as existence_e4,
+    cast(floor((n_instances - n_shared) * 10000 / cast(n_instances as double)) as bigint) as disting_e4
+  from agg
+),
+imp as (
+  select *,
+    cast(floor(existence_e4 * disting_e4 / 10000.0) as bigint) as importance_e4
+  from scored
+)
+select event_type, role, n_instances, existence_e4, disting_e4, importance_e4,
+  cast(row_number() over (partition by event_type
+                          order by importance_e4 desc, role asc) as int) as rank
+from imp
+"""
+
+
+def _docee_dataset_stats_sql() -> str:
+    return """
+select doc_type, cast(count(*) as bigint) as n_docs,
+  cast(sum(n_events) as bigint) as n_events,
+  cast(sum(n_spans) as bigint) as n_spans,
+  cast(round(avg(n_sents) * 100) as bigint) as avg_sents_e2,
+  max(n_sents) as max_sents,
+  cast(round(quantile_cont(n_sents, 0.5) * 100) as bigint) as median_sents_e2
+from read_parquet('{g}/gold_docs.parquet')
+group by doc_type
+"""
+
+
+def _docee_key_sentences_sql() -> str:
+    return """
+with rec_args as (
+  select doc_id, recguid, arg
+  from read_parquet('{g}/gold_args.parquet') where arg is not null
+),
+counts as (
+  select r.doc_id, r.recguid, m.sent_idx, cast(count(*) as bigint) as n_mentions
+  from rec_args r
+  join read_parquet('{g}/gold_mentions.parquet') m
+    on r.doc_id = m.doc_id and r.arg = m.arg
+  group by 1, 2, 3
+)
+select doc_id, recguid, sent_idx as key_sentence, n_mentions
+from (select *, row_number() over (partition by doc_id, recguid
+                                   order by n_mentions desc, sent_idx asc) rn
+      from counts)
+where rn = 1
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     stop = "('the','a','and','of','to','in','is','it','that','for')"
     toks = _TOKENS.format(c="text")
-    return {
+    g = _golden_dir()
+    docee = {
+        "docee_triples_gold": _docee_triples_sql("gold"),
+        "docee_triples_heuristic": _docee_triples_sql("heuristic"),
+        "docee_triples_greedy": _docee_triples_sql("greedy"),
+        "docee_triples_dcfee": _docee_triples_sql("dcfee"),
+        "docee_vertices": _docee_vertices_sql(),
+        "docee_eval_rollup": _docee_eval_rollup_sql(),
+        "docee_trigger_importance": _docee_trigger_importance_sql(),
+        "docee_dataset_stats": _docee_dataset_stats_sql(),
+        "docee_key_sentences": _docee_key_sentences_sql(),
+    }
+    docee = {k: v.replace("{g}", g) for k, v in docee.items()}
+    return docee | {
         "agg_rollup": """
 select l_returnflag, l_linestatus,
        cast(round(sum(l_quantity) * 100) as bigint) as sum_qty_e2,
@@ -790,6 +997,8 @@ select doc_id, 'mentions#' || word as pred, word as obj from (
   from documents)
 where word in ('customer', 'supplier', 'part', 'spark', 'query', 'table')
 """,
-        # docee_* queries: per-document combinatorial decoding — not SQL-
-        # expressible; the driver records the rows-only check.
+        # docee_* oracles are merged in from the golden-fixture block above:
+        # relational jobs get independent DuckDB SQL over exploded gold
+        # tables; the per-document decoders hash-compare against golden
+        # triples parquet produced by the pure-Python (pyref) path.
     }

@@ -1,0 +1,348 @@
+"""Golden fixture tables: the DuckDB-side ground truth for docee_* queries.
+
+The deterministic fixture corpus (fixtures.generate_corpus — same
+(n_docs, seed) as ``__spark_entry__._fixture_webtext_and_gold``) is
+flattened to plain relational parquet tables that DuckDB can query:
+
+  * gold_docs      (doc_id, doc_type, n_sents, n_spans, n_events)
+  * gold_args      (doc_id, recguid, event_type, role, role_idx, arg)
+                   — one row per (event record, role in catalog field
+                   order); arg NULL when the role is unfilled
+  * gold_mentions  (doc_id, arg, field, sent_idx, char_s, char_e)
+                   — one row per gold span drange
+  * triples_gold / triples_heuristic / triples_greedy / triples_dcfee
+                   (doc_id, event_type, recguid, subj, pred, obj)
+                   — the expected pipeline output per decode mode,
+                   computed by the pure-Python reference path (pyref):
+                   segment → tag → adjacency → decode → flatten, i.e. the
+                   same semantics the Spark stages implement, executed
+                   outside Spark. A hash match therefore verifies the
+                   whole distributed plumbing (JVM segmentation parity,
+                   Arrow round-trips, joins, catalog-order flattening).
+
+Generation is idempotent: a manifest records (version, n_docs, seed) and
+matching tables are not rewritten. Files are also committed to git so the
+driver's DuckDB pass can read them without running Python first.
+
+Reference parity notes: gold records/args mirror the reference dataset
+shape (dee/helper/dee.py:116-124); the per-mode decoders are the pyref
+re-implementations graded in tests (clique/greedy/dcfee —
+dee/modules/adj_decoding.py, doc2edag.py:812-969).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .config import CHFINANN_EVENT_TYPES, MAX_SENT_LEN, MAX_SENT_NUM, label_index
+
+VERSION = "v1"
+N_DOCS = 120
+SEED = 7
+
+GOLDEN_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "golden_fixtures"
+)
+
+_EVENT_FIELDS = {et.name: list(et.fields) for et in CHFINANN_EVENT_TYPES}
+_MIN_FIELDS = {et.name: et.min_field_num for et in CHFINANN_EVENT_TYPES}
+_SUBJ_ORDER = {
+    et.name: list(et.key_fields) + list(et.fields) for et in CHFINANN_EVENT_TYPES
+}
+
+
+def _segment(text: str, lang: str = "zh") -> list[str]:
+    """pyref twin of stages.segment: sent_seg → truncate → clip."""
+    from .pyref.textproc import sent_seg
+
+    return [s[:MAX_SENT_LEN] for s in sent_seg(text or "", lang=lang)[:MAX_SENT_NUM]]
+
+
+def _records_from_decoded(decoded, span_texts) -> list[dict]:
+    """Catalog-ordered record list with sequential recguids — the exact
+    construction of stages.decode / stages.fused."""
+    recs, recguid = [], 0
+    for et in _EVENT_FIELDS:
+        for rec in decoded.get(et, []):
+            args = {
+                f: (span_texts[i] if i is not None else None)
+                for f, i in zip(_EVENT_FIELDS[et], rec)
+            }
+            recs.append({"recguid": recguid, "type": et, "args": args})
+            recguid += 1
+    return recs
+
+
+def _flatten_triples(doc_id: str, events: list[dict]) -> list[tuple]:
+    """pyref twin of stages.triples: subj = first non-null argument in
+    (key_fields + fields) order; one row per non-null arg in field order."""
+    rows = []
+    for ev in events:
+        et, args = ev["type"], ev["args"]
+        subj = next(
+            (args[f] for f in _SUBJ_ORDER[et] if args.get(f) is not None), None
+        )
+        for role in _EVENT_FIELDS[et]:
+            obj = args.get(role)
+            if obj is not None:
+                rows.append(
+                    (doc_id, et, ev["recguid"], subj, f"{et}#{role}", obj)
+                )
+    return rows
+
+
+def _heuristic_events(sents: list[str], entity_dict: dict[str, str], mode: str):
+    from .pyref.edag import decode_doc
+    from .stages.decode import _sentence_adjacency
+    from .stages.tag import _find_dict_spans, _merge_regex_spans
+
+    spans, taken = _find_dict_spans(sents, entity_dict)
+    spans = _merge_regex_spans(sents, spans, taken)
+    if not spans:
+        return []
+    span_texts = [s["text"] for s in spans]
+    span_fields = [s["field"] for s in spans]
+    span_sents = [sorted({d["sent_idx"] for d in s["dranges"]}) for s in spans]
+    adj = _sentence_adjacency(len(spans), span_sents)
+    decoded = decode_doc(
+        sents, span_fields, span_sents, adj, _EVENT_FIELDS, _MIN_FIELDS,
+        mode=mode, max_paths=1024, exact_fields=False,
+    )
+    return _records_from_decoded(decoded, span_texts)
+
+
+def _gold_mode_events(sents: list[str], gold_spans: list[dict], gold_events):
+    """pyref twin of tag_gold (BIO round-trip) + gold-adjacency clique
+    decode with exact_fields=True."""
+    from .pyref.edag import decode_doc
+    from .pyref.spans import decode_spans, labels_from_spans
+    from .stages.decode import _gold_adjacency
+
+    l2i = label_index()
+    span_tuples = [
+        (
+            s["text"],
+            s["field"],
+            [(d["sent_idx"], d["char_s"], d["char_e"]) for d in s["dranges"]],
+        )
+        for s in gold_spans
+    ]
+    labels = labels_from_spans(sents, span_tuples, l2i)
+    tokens = [list(s) for s in sents]
+    texts, dranges, _ = decode_spans(tokens, labels)
+    field_of = {t: f for t, f, _ in span_tuples}
+    spans = [
+        {
+            "text": t,
+            "field": field_of.get(t),
+            "dranges": [
+                {"sent_idx": a, "char_s": b, "char_e": c} for a, b, c in drs
+            ],
+        }
+        for t, drs in zip(texts, dranges)
+    ]
+    if not spans:
+        return []
+    span_texts = [s["text"] for s in spans]
+    span_fields = [s["field"] for s in spans]
+    span_sents = [sorted({d["sent_idx"] for d in s["dranges"]}) for s in spans]
+    adj = _gold_adjacency(len(span_texts), span_texts, gold_events)
+    decoded = decode_doc(
+        sents, span_fields, span_sents, adj, _EVENT_FIELDS, _MIN_FIELDS,
+        mode="clique", max_paths=1024, exact_fields=True,
+    )
+    return _records_from_decoded(decoded, span_texts)
+
+
+_TRIPLES_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("event_type", pa.string()),
+        ("recguid", pa.int32()),
+        ("subj", pa.string()),
+        ("pred", pa.string()),
+        ("obj", pa.string()),
+    ]
+)
+
+
+def _write_triples(path: str, rows: list[tuple]) -> None:
+    cols = list(zip(*rows)) if rows else [[], [], [], [], [], []]
+    pq.write_table(
+        pa.table(
+            {n: list(c) for n, c in zip(_TRIPLES_SCHEMA.names, cols)},
+            schema=_TRIPLES_SCHEMA,
+        ),
+        path,
+    )
+
+
+def ensure_golden(force: bool = False) -> str:
+    """Generate the golden tables if missing/stale; return the directory."""
+    manifest_path = os.path.join(GOLDEN_DIR, "manifest.json")
+    want = {"version": VERSION, "n_docs": N_DOCS, "seed": SEED}
+    if not force and os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            if json.load(f) == want:
+                return GOLDEN_DIR
+
+    from .fixtures import generate_corpus, heuristic_entity_dict
+
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    web_rows, gold_rows = generate_corpus(N_DOCS, seed=SEED)
+    entity_dict = heuristic_entity_dict()
+
+    docs_tbl = {k: [] for k in ("doc_id", "doc_type", "n_sents", "n_spans", "n_events")}
+    args_tbl = {k: [] for k in ("doc_id", "recguid", "event_type", "role", "role_idx", "arg")}
+    ment_tbl = {k: [] for k in ("doc_id", "arg", "field", "sent_idx", "char_s", "char_e")}
+    eval_tbl = {k: [] for k in ("doc_id", "doc_type", "event_type", "role", "tp", "fp", "fn")}
+    triples = {"gold": [], "heuristic": [], "greedy": [], "dcfee": []}
+
+    for web, g in zip(web_rows, gold_rows):
+        doc_id = g["guid"]
+        events = g["events"]
+        types = [e["type"] for e in events]
+        doc_type = (
+            "unk" if not events
+            else "o2o" if len(events) == 1
+            else "o2m" if len(set(types)) == 1
+            else "m2m"
+        )
+        docs_tbl["doc_id"].append(doc_id)
+        docs_tbl["doc_type"].append(doc_type)
+        docs_tbl["n_sents"].append(len(g["sentences"]))
+        docs_tbl["n_spans"].append(len(g["spans"]))
+        docs_tbl["n_events"].append(len(events))
+        for ev in events:
+            for role_idx, role in enumerate(_EVENT_FIELDS[ev["type"]]):
+                args_tbl["doc_id"].append(doc_id)
+                args_tbl["recguid"].append(ev["recguid"])
+                args_tbl["event_type"].append(ev["type"])
+                args_tbl["role"].append(role)
+                args_tbl["role_idx"].append(role_idx)
+                args_tbl["arg"].append(ev["args"].get(role))
+        for sp in g["spans"]:
+            for d in sp["dranges"]:
+                ment_tbl["doc_id"].append(doc_id)
+                ment_tbl["arg"].append(sp["text"])
+                ment_tbl["field"].append(sp["field"])
+                ment_tbl["sent_idx"].append(d["sent_idx"])
+                ment_tbl["char_s"].append(d["char_s"])
+                ment_tbl["char_e"].append(d["char_e"])
+
+        sents = _segment(web["text"], lang=web["lang"])
+        gold_mode = _gold_mode_events(sents, g["spans"], events)
+        triples["gold"].extend(_flatten_triples(doc_id, gold_mode))
+        # eval_stats: pyref twin of stages.evaluate.role_stats on the
+        # gold-mode pipeline (pred = decoded events, [] for docs dropped
+        # by the zero-span filter; gold = annotated events)
+        from .pyref.matching import event_role_tpfpfn
+
+        def _by_type(evs):
+            out = {}
+            for ev in evs:
+                out.setdefault(ev["type"], []).append(
+                    tuple(ev["args"].get(f) for f in _EVENT_FIELDS[ev["type"]])
+                )
+            return out
+
+        preds, golds = _by_type(gold_mode), _by_type(events)
+        for et, fields in _EVENT_FIELDS.items():
+            p, gg = preds.get(et), golds.get(et)
+            if p is None and gg is None:
+                continue
+            stats = event_role_tpfpfn(p, gg, len(fields))
+            for role, (tp, fp, fn) in zip(fields, stats):
+                eval_tbl["doc_id"].append(doc_id)
+                eval_tbl["doc_type"].append(doc_type)
+                eval_tbl["event_type"].append(et)
+                eval_tbl["role"].append(role)
+                eval_tbl["tp"].append(tp)
+                eval_tbl["fp"].append(fp)
+                eval_tbl["fn"].append(fn)
+        for mode in ("heuristic", "greedy", "dcfee"):
+            decode_mode = "clique" if mode == "heuristic" else mode
+            triples[mode].extend(
+                _flatten_triples(
+                    doc_id, _heuristic_events(sents, entity_dict, decode_mode)
+                )
+            )
+
+    pq.write_table(
+        pa.table(
+            docs_tbl,
+            schema=pa.schema(
+                [
+                    ("doc_id", pa.string()),
+                    ("doc_type", pa.string()),
+                    ("n_sents", pa.int32()),
+                    ("n_spans", pa.int32()),
+                    ("n_events", pa.int32()),
+                ]
+            ),
+        ),
+        os.path.join(GOLDEN_DIR, "gold_docs.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            args_tbl,
+            schema=pa.schema(
+                [
+                    ("doc_id", pa.string()),
+                    ("recguid", pa.int32()),
+                    ("event_type", pa.string()),
+                    ("role", pa.string()),
+                    ("role_idx", pa.int32()),
+                    ("arg", pa.string()),
+                ]
+            ),
+        ),
+        os.path.join(GOLDEN_DIR, "gold_args.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            ment_tbl,
+            schema=pa.schema(
+                [
+                    ("doc_id", pa.string()),
+                    ("arg", pa.string()),
+                    ("field", pa.string()),
+                    ("sent_idx", pa.int32()),
+                    ("char_s", pa.int32()),
+                    ("char_e", pa.int32()),
+                ]
+            ),
+        ),
+        os.path.join(GOLDEN_DIR, "gold_mentions.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            eval_tbl,
+            schema=pa.schema(
+                [
+                    ("doc_id", pa.string()),
+                    ("doc_type", pa.string()),
+                    ("event_type", pa.string()),
+                    ("role", pa.string()),
+                    ("tp", pa.int64()),
+                    ("fp", pa.int64()),
+                    ("fn", pa.int64()),
+                ]
+            ),
+        ),
+        os.path.join(GOLDEN_DIR, "eval_stats.parquet"),
+    )
+    for mode, rows in triples.items():
+        _write_triples(
+            os.path.join(GOLDEN_DIR, f"triples_{mode}.parquet"), rows
+        )
+
+    tmp = manifest_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(want, f)
+    os.replace(tmp, manifest_path)
+    return GOLDEN_DIR

@@ -46,7 +46,12 @@ def dataset_stats(gold: DataFrame) -> DataFrame:
         F.sum("n_spans").alias("n_spans"),
         F.round(F.avg("n_sents") * 100).cast("long").alias("avg_sents_e2"),
         F.max("n_sents").alias("max_sents"),
-        F.expr("percentile_approx(n_sents, 0.5)").alias("median_sents"),
+        # exact interpolated median (×100): percentile_approx is sketch-
+        # based and not portable across engines; exact percentile is — and
+        # per doc_type the group cardinality is tiny, so no scale concern
+        F.round(F.expr("percentile(n_sents, 0.5)") * 100)
+        .cast("long")
+        .alias("median_sents_e2"),
     )
 
 
