@@ -305,6 +305,38 @@ def q_dedup_simhash(spark, sf):
     return simhash_duplicates(_read(spark, sf, "documents"))
 
 
+def q_dedup_minhash_verified(spark, sf):
+    """MinHash-LSH candidates confirmed by exact shingle Jaccard — the
+    full candidate-then-verify near-dup dedup."""
+    from docee_spark.operators.dedup import minhash_verified_pairs
+
+    return minhash_verified_pairs(
+        _read(spark, sf, "documents"), threshold_e4=5000
+    )
+
+
+def q_dedup_simhash64(spark, sf):
+    """64-bit SimHash near-dups via 4×16-bit pigeonhole banding + exact
+    Hamming popcount verify — the corpus-scale simhash path."""
+    from docee_spark.operators.dedup import simhash_near_duplicates
+
+    return simhash_near_duplicates(_read(spark, sf, "documents"), max_hamming=3)
+
+
+def q_dedup_embed(spark, sf):
+    """Embedding near-dup pairs: sign-LSH blocked, exact cosine verify.
+    Vectors are integer-quantized (×10⁴) first — the cosine arithmetic is
+    then exact in doubles (all sums < 2⁵³) and bit-portable to DuckDB."""
+    from docee_spark.operators.dedup import embedding_cosine_pairs
+
+    em = _read(spark, sf, "embeddings").select(
+        "vec_id", _quantize(F.col("embedding")).alias("qvec")
+    )
+    return embedding_cosine_pairs(
+        em, threshold_e6=300_000, vec_col="qvec", n_sign_bits=6
+    )
+
+
 def _quantize(vec):
     return F.transform(vec, lambda x: F.round(x * 10000).cast("long"))
 
@@ -523,8 +555,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_verified": q_dedup_minhash_verified,
         "dedup_ngram": q_dedup_ngram,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash64": q_dedup_simhash64,
+        "dedup_embed": q_dedup_embed,
         "embed_topk": q_embed_topk,
         "embed_lsh_buckets": q_embed_lsh_buckets,
         "embed_lsh_topk": q_embed_lsh_topk,
@@ -573,6 +608,100 @@ banded as (
 )
 select distinct a.doc_id as doc_a, b.doc_id as doc_b
 from banded a join banded b on a.band = b.band and a.doc_id < b.doc_id
+"""
+
+
+def _minhash_verified_sql(k: int = 4, threshold_e4: int = 5000) -> str:
+    toks = _TOKENS.format(c="text")
+    sh = _SHINGLES3.format(t="toks")
+    sigs = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}|' || s))) as m{i}"
+        for i in range(k)
+    )
+    return f"""
+with t as (select doc_id, {toks} as toks from documents),
+s as (select doc_id, {sh} as sh from t),
+sig as (select doc_id, {sigs} from s),
+banded as (
+  select doc_id, '0:' || m0 || ':' || m1 as band from sig
+  union all
+  select doc_id, '1:' || m2 || ':' || m3 as band from sig
+),
+cand as (
+  select distinct a.doc_id as doc_a, b.doc_id as doc_b
+  from banded a join banded b on a.band = b.band and a.doc_id < b.doc_id
+),
+jac as (
+  select c.doc_a, c.doc_b,
+         len(list_intersect(sa.sh, sb.sh)) as n_common,
+         len(sa.sh) as na, len(sb.sh) as nb
+  from cand c
+  join s sa on sa.doc_id = c.doc_a
+  join s sb on sb.doc_id = c.doc_b
+)
+select doc_a, doc_b,
+  cast(floor(n_common * 10000 / (na + nb - n_common)) as bigint) as jaccard_e4
+from jac
+where floor(n_common * 10000 / (na + nb - n_common)) >= {threshold_e4}
+"""
+
+
+def _simhash64_sql(max_hamming: int = 3) -> str:
+    toks = _TOKENS.format(c="text")
+
+    def section(s: int) -> str:
+        bits = " + ".join(
+            f"(case when list_sum(list_transform(h{s}, x -> case when (x >> {j}) & 1 = 1 "
+            f"then 1 else -1 end)) > 0 then {1 << j} else 0 end)"
+            for j in range(16)
+        )
+        return f"cast({bits} as bigint) as s{s}"
+
+    hash_cols = ", ".join(
+        f"list_transform(toks, w -> cast(('0x' || substring(md5('{s}|' || w), 1, 4)) as bigint)) as h{s}"
+        for s in range(4)
+    )
+    bands = "\n  union all ".join(
+        f"select doc_id, s0, s1, s2, s3, '{i}:' || s{i} as band from sec"
+        for i in range(4)
+    )
+    hamming = " + ".join(f"bit_count(xor(a.s{i}, b.s{i}))" for i in range(4))
+    return f"""
+with t as (select doc_id, list_distinct({toks}) as toks from documents),
+h as (select doc_id, {hash_cols} from t),
+sec as (select doc_id, {", ".join(section(s) for s in range(4))} from h),
+banded as (
+  {bands}
+),
+pairs as (
+  select distinct a.doc_id as doc_a, b.doc_id as doc_b,
+         cast({hamming} as int) as hamming
+  from banded a join banded b on a.band = b.band and a.doc_id < b.doc_id
+)
+select doc_a, doc_b, hamming from pairs where hamming <= {max_hamming}
+"""
+
+
+def _dedup_embed_sql(threshold_e6: int = 300_000) -> str:
+    bucket_expr = " + ".join(
+        f"(case when embedding[{j + 1}] > 0 then {1 << j} else 0 end)" for j in range(6)
+    )
+    return f"""
+with em as (select vec_id, {_QUANT.format(v="embedding")} as qvec,
+                   cast({bucket_expr} as int) as bucket
+            from embeddings),
+pairs as (
+  select a.vec_id as id_a, b.vec_id as id_b,
+    cast(list_sum(list_transform(range(1, len(a.qvec) + 1),
+                                 i -> a.qvec[i] * b.qvec[i])) as double) as dot,
+    sqrt(cast(list_sum(list_transform(a.qvec, x -> x * x)) as double))
+      * sqrt(cast(list_sum(list_transform(b.qvec, x -> x * x)) as double)) as denom
+  from em a join em b on a.bucket = b.bucket and a.vec_id < b.vec_id
+)
+select id_a, id_b,
+  cast(floor(dot * 1000000 / denom) as bigint) as cosine_e6
+from pairs
+where denom > 0 and floor(dot * 1000000 / denom) >= {threshold_e6}
 """
 
 
@@ -978,8 +1107,11 @@ select md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) as fingerprint,
 from documents group by 1
 """,
         "dedup_minhash": _minhash_sql(),
+        "dedup_minhash_verified": _minhash_verified_sql(),
         "dedup_ngram": _ngram_sql(),
         "dedup_simhash": _simhash_sql(),
+        "dedup_simhash64": _simhash64_sql(),
+        "dedup_embed": _dedup_embed_sql(),
         "embed_topk": _embed_topk_sql(bucketed=False),
         "embed_lsh_buckets": """
 select cast("""

@@ -5,13 +5,28 @@ Five families, each shaped for 100 TB:
   * exact            — md5 fingerprint groupBy (one shuffle on the hash)
   * MinHash + LSH    — shingle → k md5-min signature → band buckets →
                        bucket equi-join (candidate pairs only; never a
-                       cross join), then exact-Jaccard verify
-  * SimHash          — 16-bit sign-aggregated word-hash; near-dup =
-                       equal simhash (or banded halves for hamming≤k)
+                       cross join); optional exact-Jaccard verify of the
+                       candidates (``minhash_verified_pairs``)
+  * SimHash          — 16-bit equal-hash clustering for the oracle path;
+                       64-bit + banded Hamming≤k join
+                       (``simhash_near_duplicates``) for real corpora
   * n-gram Jaccard   — exact pairwise similarity via shingle inverted
                        index (equi-join on shingle, group by pair)
   * embedding cosine — near-dup by cosine ≥ τ over an embedding column,
                        blocked by sign-LSH buckets (see similarity.py)
+
+Skew guards (the 100 TB rule — real webtext has boilerplate shingles and
+hot LSH bands shared by millions of docs, and any in-bucket pair
+expansion is O(|bucket|²)):
+
+  * every bucketed pair expansion takes a ``max_bucket`` cap; buckets
+    above the cap are *dropped from pairing, never expanded* — a hot
+    bucket's members are near-certainly caught by one of their other
+    bands/shingles, and an over-cap bucket is boilerplate, not signal;
+  * drops are observable, not silent: each capped operator attaches a
+    named ``observe`` metric (n_dropped_buckets, n_dropped_rows) that the
+    driver can read from the QueryExecution listener after any action,
+    and ``hot_buckets`` exposes the offenders as a DataFrame.
 
 Hashes are md5-based: deterministic, engine-portable (bit-identical in
 DuckDB for the correctness oracle), and uniformly distributed. Lexico-
@@ -104,16 +119,81 @@ def minhash_cols(shingle_col: Column, k: int = 4) -> list[Column]:
     ]
 
 
+#: default in-bucket pair-expansion cap. A bucket of b members expands to
+#: b(b−1)/2 pairs *inside one task*; 1024 caps that at ~0.5M pairs per
+#: bucket — bounded memory/CPU per task regardless of corpus skew. Real
+#: near-duplicate clusters above this size are boilerplate, and any true
+#: pair in an over-cap bucket almost surely also collides in another band.
+DEFAULT_MAX_BUCKET = 1024
+
+
+def _cap_buckets(grouped: DataFrame, max_bucket: int, metric: str) -> DataFrame:
+    """Filter bucket rows to 2 ≤ |ids| ≤ max_bucket, with the drops
+    *observed* (named query metric, readable after any action via
+    ``QueryExecution.observedMetrics`` / a ``QueryExecutionListener``) —
+    capped skew is never silent."""
+    sized = grouped.withColumn("_n", F.size("ids"))
+    observed = sized.observe(
+        metric,
+        F.sum(F.when(F.col("_n") > max_bucket, 1).otherwise(0)).alias(
+            "n_dropped_buckets"
+        ),
+        F.sum(F.when(F.col("_n") > max_bucket, F.col("_n")).otherwise(0)).alias(
+            "n_dropped_rows"
+        ),
+    )
+    return observed.filter(
+        (F.col("_n") >= 2) & (F.col("_n") <= max_bucket)
+    ).drop("_n")
+
+
+def _pairs_from_ids(capped: DataFrame) -> DataFrame:
+    """In-array pair expansion of a sorted ``ids`` column → doc_a < doc_b."""
+    return capped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x: F.filter(
+                        F.transform(
+                            F.col("ids"),
+                            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                        ),
+                        lambda s: s["doc_a"] < s["doc_b"],
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+
+
+def hot_buckets(
+    df: DataFrame, key_cols: list[str], max_bucket: int = DEFAULT_MAX_BUCKET
+) -> DataFrame:
+    """Diagnostic: the over-cap buckets a capped operator dropped —
+    (key..., n_ids) for every bucket above the cap. Run it on the same
+    keyed projection the operator groups on."""
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.count("*").alias("n_ids"))
+        .filter(F.col("n_ids") > max_bucket)
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
     k: int = 4,
     bands: int = 2,
     shingle_n: int = 3,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
-    """→ candidate near-duplicate pairs (doc_a < doc_b) that collide in
-    ≥1 LSH band. rows-per-band = k/bands. The join is an equi-join on the
-    band key — shuffle is proportional to candidates, not to |docs|²."""
+    """→ *candidate* near-duplicate pairs (doc_a < doc_b) that collide in
+    ≥1 LSH band — band-collision candidates only, NOT verified (compose
+    with ``minhash_verified_pairs`` for exact-Jaccard-confirmed pairs).
+    rows-per-band = k/bands. One shuffle (groupBy band); buckets larger
+    than ``max_bucket`` are dropped from pairing with an observed drop
+    counter (see module header) — the 100 TB skew guard."""
     rows = max(1, k // bands)
     df = ensure_parallelism(df)
     mh = minhash_cols(word_shingles(F.col(text_col), shingle_n), k)
@@ -133,28 +213,59 @@ def minhash_lsh_pairs(
     banded = sigd.select("doc_id", F.explode(band_arr).alias("band"))
     # one shuffle: group bucket members, expand pairs in-array (a self-join
     # would recompute the signatures for each side — 2× the hashing work)
-    grouped = (
-        banded.groupBy("band")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+    grouped = banded.groupBy("band").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
     )
-    pairs = grouped.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ids"),
-                    lambda x: F.filter(
-                        F.transform(
-                            F.col("ids"),
-                            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-                        ),
-                        lambda s: s["doc_a"] < s["doc_b"],
-                    ),
-                )
-            )
-        ).alias("p")
+    capped = _cap_buckets(grouped, max_bucket, "minhash_lsh_drops")
+    return _pairs_from_ids(capped).distinct()
+
+
+def minhash_verified_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 4,
+    bands: int = 2,
+    shingle_n: int = 3,
+    threshold_e4: int = 5000,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """→ (doc_a, doc_b, jaccard_e4): MinHash-LSH candidates confirmed by
+    exact Jaccard over the shingle sets — the full candidate-then-verify
+    dedup (false positives from band collisions are filtered out).
+
+    Cost shape at 100 TB: the verify is two equi-joins keyed by doc id
+    joining the (small) candidate set back to the shingle arrays — shuffle
+    ∝ candidates, never |docs|²; the shingle arrays stay JVM-side and the
+    intersection is one codegen'd expression."""
+    cand = minhash_lsh_pairs(
+        df, text_col=text_col, k=k, bands=bands, shingle_n=shingle_n,
+        max_bucket=max_bucket,
     )
-    return pairs.select("p.doc_a", "p.doc_b").distinct()
+    sets = df.select(
+        F.col("doc_id"), word_shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    jac = (
+        cand.join(
+            sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+            "doc_b",
+        )
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard_e4",
+            F.floor(
+                F.col("n_common")
+                * 10000
+                / (F.size("sh_a") + F.size("sh_b") - F.col("n_common"))
+            ).cast("long"),
+        )
+    )
+    return jac.filter(F.col("jaccard_e4") >= threshold_e4).select(
+        "doc_a", "doc_b", "jaccard_e4"
+    )
 
 
 def ngram_jaccard_pairs(
@@ -162,11 +273,20 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold_e4: int = 8000,
+    max_df: int = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """→ (doc_a, doc_b, jaccard_e4) for pairs with Jaccard ≥ threshold.
     Inverted-index join: explode shingles, equi-join on shingle, count
     common per pair, |A∪B| = |A|+|B|-common. Never materializes the
-    full pair matrix — only pairs sharing ≥1 shingle."""
+    full pair matrix — only pairs sharing ≥1 shingle.
+
+    ``max_df`` is the document-frequency stop-shingle guard: a shingle
+    shared by more than max_df documents (boilerplate at web scale) is
+    dropped from pairing with an observed counter — exactly the standard
+    df-threshold in large-scale near-dup pipelines. Dropping a stop-
+    shingle *lowers* the computed intersection of pairs that share it, so
+    with a df-cap the score is a lower bound; at the default cap nothing
+    is dropped below ~10⁵ docs."""
     sh = ensure_parallelism(df).select(
         "doc_id", F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle")
     )
@@ -174,28 +294,11 @@ def ngram_jaccard_pairs(
     # inverted index: group docs per shingle, expand co-occurrence pairs
     # in-array (avoids the self-join recomputing shingles for both sides),
     # then count common shingles per pair
-    by_shingle = (
-        sh.groupBy("shingle")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+    by_shingle = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
     )
-    pair_rows = by_shingle.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ids"),
-                    lambda x: F.filter(
-                        F.transform(
-                            F.col("ids"),
-                            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-                        ),
-                        lambda s: s["doc_a"] < s["doc_b"],
-                    ),
-                )
-            )
-        ).alias("p")
-    )
-    common = pair_rows.groupBy("p.doc_a", "p.doc_b").agg(
+    capped = _cap_buckets(by_shingle, max_df, "ngram_stop_shingle_drops")
+    common = _pairs_from_ids(capped).groupBy("doc_a", "doc_b").agg(
         F.count("*").alias("n_common")
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
@@ -241,8 +344,10 @@ def simhash16(col: Column, shingle_n: int = 1) -> Column:
 
 def simhash_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
     """→ (simhash, n_docs, keep_id): docs sharing a 16-bit simhash.
-    Hamming-distance-k variants band the 16 bits into k+1 chunks and
-    equi-join per chunk (same shape as minhash_lsh_pairs)."""
+
+    NOTE — 16 bits is the demonstration/oracle width only: 65,536 buckets
+    saturate beyond ~10⁶ docs and everything "collides". The corpus-scale
+    path is ``simhash_near_duplicates`` (64-bit + banded Hamming≤k)."""
     return (
         ensure_parallelism(df)
         .select(simhash16(F.col(text_col)).alias("simhash"), "doc_id")
@@ -251,16 +356,134 @@ def simhash_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _simhash_section(words: Column, section: int) -> Column:
+    """One 16-bit simhash section: bit j = sign of Σ_words ±1 where the
+    word hash is md5 salted with the section index (independent sections
+    ≡ independent permutations — same trick as minhash_cols)."""
+    hashes = F.transform(
+        words,
+        lambda w: F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{section}|"), w)), 1, 4), 16, 10
+        ).cast("long"),
+    )
+
+    def _bit_sum(j: int):
+        mask = 1 << j
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1),
+        )
+
+    out = F.lit(0)
+    for j in range(16):
+        out = out + F.when(_bit_sum(j) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return out.cast("long")
+
+
+def simhash64_cols(col: Column, shingle_n: int = 1) -> list[Column]:
+    """The four 16-bit sections of a 64-bit SimHash, as separate columns
+    (select them separately — the projection-collapse rule)."""
+    words = (
+        word_shingles(col, shingle_n) if shingle_n > 1 else F.array_distinct(tokens(col))
+    )
+    return [_simhash_section(words, s) for s in range(4)]
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """→ (doc_a, doc_b, hamming ≤ max_hamming) over a 64-bit SimHash —
+    the corpus-scale near-dup path.
+
+    Pigeonhole banding: 64 bits split into 4 sections of 16; two hashes
+    within Hamming distance 3 must agree on ≥1 whole section, so
+    candidates = docs equal in any (section_idx, section_value) bucket —
+    an equi-key groupBy, shuffle ∝ docs, never all-pairs. Candidates are
+    then verified with an exact ``bit_count(xor)`` popcount. Over-cap
+    buckets (mass-produced near-identical boilerplate) are dropped with
+    an observed counter, like every bucketed expansion here."""
+    secs = simhash64_cols(F.col(text_col))
+    sigd = ensure_parallelism(df).select(
+        "doc_id", *[s.alias(f"s{i}") for i, s in enumerate(secs)]
+    )
+    banded = sigd.select(
+        "doc_id",
+        "s0",
+        "s1",
+        "s2",
+        "s3",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(":", F.lit(str(i)), F.col(f"s{i}"))
+                    for i in range(4)
+                ]
+            )
+        ).alias("band"),
+    )
+    grouped = banded.groupBy("band").agg(
+        F.sort_array(
+            F.collect_list(F.struct("doc_id", "s0", "s1", "s2", "s3"))
+        ).alias("ids")
+    )
+    capped = _cap_buckets(grouped, max_bucket, "simhash_band_drops")
+
+    def _hamming(x, y):
+        # per-section popcount — sections are 16-bit, no 64-bit packing
+        # (packing 4×16 unsigned into one signed long overflows the sign)
+        out = F.lit(0)
+        for i in range(4):
+            out = out + F.bit_count(x[f"s{i}"].bitwiseXOR(y[f"s{i}"]))
+        return out.cast("int")
+
+    pairs = capped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x: F.filter(
+                        F.transform(
+                            F.col("ids"),
+                            lambda y: F.struct(
+                                x["doc_id"].alias("doc_a"),
+                                y["doc_id"].alias("doc_b"),
+                                _hamming(x, y).alias("hamming"),
+                            ),
+                        ),
+                        lambda s: (s["doc_a"] < s["doc_b"])
+                        & (s["hamming"] <= max_hamming),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.doc_a", "p.doc_b", "p.hamming").distinct()
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     threshold_e6: int = 950_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_sign_bits: int = 6,
+    n_sign_bits: int = 16,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """→ (id_a, id_b, cosine_e6 ≥ τ): near-duplicate embeddings, blocked
     by a sign-LSH bucket (first ``n_sign_bits`` dimension signs) so the
-    pair join is bucket-local; exact cosine verifies candidates."""
+    pair join is bucket-local; exact cosine verifies candidates.
+
+    Scale knobs: 16 sign bits → 65,536 buckets (at 10⁹ vectors the mean
+    bucket is ~15k; raise bits with corpus size — each bit halves the
+    expected bucket). ``max_bucket`` drops degenerate hot buckets (e.g.
+    the all-positive bucket of non-centered embeddings) from pairing,
+    with an observed counter. Recall loss from sign blocking is the
+    documented ANN trade-off; multi-probe = union of this over bit-
+    flipped probe buckets."""
     from .similarity import cosine_e6, sign_bucket
 
     v = df.select(
@@ -268,6 +491,20 @@ def embedding_cosine_pairs(
         F.col(vec_col).alias("vec"),
         sign_bucket(F.col(vec_col), n_sign_bits).alias("bucket"),
     )
+    counts = v.groupBy("bucket").agg(F.count("*").alias("_n"))
+    counts = counts.observe(
+        "embed_bucket_drops",
+        F.sum(F.when(F.col("_n") > max_bucket, 1).otherwise(0)).alias(
+            "n_dropped_buckets"
+        ),
+        F.sum(F.when(F.col("_n") > max_bucket, F.col("_n")).otherwise(0)).alias(
+            "n_dropped_rows"
+        ),
+    )
+    keep = counts.filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket)).select(
+        "bucket"
+    )
+    v = v.join(F.broadcast(keep), "bucket")
     a, b = v.alias("a"), v.alias("b")
     pairs = a.join(
         b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))

@@ -46,12 +46,12 @@ def cosine_e6(a: Column, b: Column) -> Column:
 def sign_bucket(vec: Column, n_bits: int = 6) -> Column:
     """LSH bucket from the signs of the first n_bits dimensions —
     a fixed, data-independent hyperplane family (axis-aligned). For
-    random hyperplanes, pre-project with a broadcast matrix first."""
+    random hyperplanes, pre-project with a broadcast matrix first.
+    Dimensions past the vector length contribute bit 0 (F.get returns
+    null out of bounds), so n_bits > dim degrades gracefully."""
     out = F.lit(0)
     for j in range(n_bits):
-        out = out + F.when(F.element_at(vec, j + 1) > 0, F.lit(1 << j)).otherwise(
-            F.lit(0)
-        )
+        out = out + F.when(F.get(vec, j) > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return out.cast("int")
 
 

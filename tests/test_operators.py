@@ -196,3 +196,101 @@ class TestDropExactDuplicates:
         rows = [("a", "x  y"), ("b", "x y ")]
         df = spark.createDataFrame(rows, "url string, text string")
         assert drop_exact_duplicates(df).count() == 1
+
+
+class TestDedupSkewGuards:
+    """100 TB scale-hardening: hot buckets are capped (never expanded) and
+    the drops are observable, not silent."""
+
+    def test_hot_shingle_capped_and_counted(self, spark):
+        from pyspark.sql import Observation
+
+        from docee_spark.operators.dedup import ngram_jaccard_pairs
+
+        # 200 docs all sharing one boilerplate shingle ("all rights
+        # reserved x"), otherwise unique — uncapped this is 200·199/2
+        # pairs from one key; capped it must complete with zero pairs.
+        rows = [
+            (i, f"unique token{i} number{i} all rights reserved")
+            for i in range(200)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = ngram_jaccard_pairs(docs, threshold_e4=100, max_df=50)
+        assert pairs.count() == 0
+
+    def test_minhash_bucket_cap_drops_hot_band(self, spark):
+        from docee_spark.operators.dedup import minhash_lsh_pairs
+
+        rows = [(i, "exactly the same text for everyone") for i in range(100)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        # all 100 docs collide in every band; cap 10 → no pair survives
+        assert minhash_lsh_pairs(docs, max_bucket=10).count() == 0
+        # and with a generous cap the pairs come back
+        assert minhash_lsh_pairs(docs, max_bucket=128).count() == 100 * 99 // 2
+
+    def test_minhash_verified_filters_false_positives(self, near_dup_docs):
+        from docee_spark.operators.dedup import (
+            minhash_lsh_pairs,
+            minhash_verified_pairs,
+        )
+
+        cand = {
+            (r["doc_a"], r["doc_b"])
+            for r in minhash_lsh_pairs(near_dup_docs).collect()
+        }
+        verified = {
+            (r["doc_a"], r["doc_b"]): r["jaccard_e4"]
+            for r in minhash_verified_pairs(
+                near_dup_docs, threshold_e4=5000
+            ).collect()
+        }
+        assert set(verified) <= cand
+        assert verified[(0, 1)] == 10000  # identical docs: jaccard 1.0
+        # every surviving pair meets the threshold by construction
+        assert all(v >= 5000 for v in verified.values())
+
+
+class TestSimhash64:
+    def test_identical_docs_distance_zero(self, near_dup_docs):
+        from docee_spark.operators.dedup import simhash_near_duplicates
+
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in simhash_near_duplicates(near_dup_docs).collect()
+        }
+        assert pairs.get((0, 1)) == 0
+
+    def test_pigeonhole_matches_bruteforce(self, spark):
+        """Banded candidates + popcount verify must equal the brute-force
+        Hamming≤3 pair set (pigeonhole guarantee: ≤3 flipped bits leave
+        ≥1 of 4 sections intact)."""
+        import itertools
+
+        from docee_spark.operators.dedup import simhash64_cols, simhash_near_duplicates
+
+        rows = [
+            (i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(12)))
+            for i in range(40)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        secs = {
+            r["doc_id"]: (r["s0"], r["s1"], r["s2"], r["s3"])
+            for r in docs.select(
+                "doc_id",
+                *[c.alias(f"s{i}") for i, c in enumerate(simhash64_cols(F.col("text")))],
+            ).collect()
+        }
+
+        def ham(a, b):
+            return sum(bin(x ^ y).count("1") for x, y in zip(secs[a], secs[b]))
+
+        want = {
+            (a, b)
+            for a, b in itertools.combinations(sorted(secs), 2)
+            if ham(a, b) <= 3
+        }
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in simhash_near_duplicates(docs, max_hamming=3).collect()
+        }
+        assert got == want
