@@ -12,8 +12,11 @@ Generates, from a fixed seed, the three coupled fixtures of FIXTURES.md:
 Every reference code path is represented: o2o / o2m / m2m docs
 (dee/event_types/__init__.py:21-34), multi-mention spans, zero-span docs
 (drop path dee/helper/dee.py:763-765), regex-extractable share/ratio/date/
-money strings (dee/utils.py:602-623), and long-tail lengths past
-MAX_SENT_LEN/MAX_SENT_NUM to exercise truncation counters.
+money strings (dee/utils.py:602-623), and long-tail sentence counts
+(5% of docs get 70 filler sentences) to exercise length bucketing.
+Docs past the MAX_SENT_LEN/MAX_SENT_NUM caps (512/256) are exercised by
+dedicated tests (tests/test_fused.py cap-parity), not this corpus — the
+caps were raised above anything generate_corpus emits.
 """
 
 from __future__ import annotations

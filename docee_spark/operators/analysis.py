@@ -182,73 +182,99 @@ def key_sentences(gold: DataFrame) -> DataFrame:
 
 def graph_density(decoded: DataFrame) -> DataFrame:
     """A10 — corpus span-graph density (reference dee/helper/arg_rel.py:
-    1027-1061,1121): Σ per-doc record-edge count over Σ n², where n =
-    #distinct args per doc. Relational: explode records → pairwise edge
-    counts from combination sizes (k·(k−1) directed pairs per record)."""
-    per_doc = decoded.select(
-        "doc_id",
-        F.size(
-            F.array_distinct(
-                F.flatten(
+    1027-1061,1121): Σ per-doc *union* 0/1 adjacency sums over Σ
+    len_spans². Per document the reference builds one adjacency matrix
+    over ALL tagged spans, unions each record's complete subgraph into it
+    (an edge shared by several records counts once), keeps the diagonal
+    1 for every span participating in a record (the trigger self-loop of
+    the PTPCG graph, arg_rel.py:318-323), and sums the matrix; the
+    denominator is the full span count squared.
+
+    Relational: per record → distinct non-null args → ordered arg pairs
+    including (a,a); array_distinct unions them across records; one agg.
+    ``decoded`` needs both ``spans`` (denominator) and ``events``."""
+    members = F.transform(
+        "events",
+        lambda e: F.array_distinct(
+            F.filter(F.map_values(e["args"]), lambda v: v.isNotNull())
+        ),
+    )
+    union_pairs = F.array_distinct(
+        F.flatten(
+            F.transform(
+                members,
+                lambda m: F.flatten(
                     F.transform(
-                        "events",
-                        lambda e: F.filter(
-                            F.map_values(e["args"]), lambda v: v.isNotNull()
+                        m,
+                        lambda x: F.transform(
+                            m, lambda y: F.struct(x.alias("a"), y.alias("b"))
                         ),
                     )
-                )
-            )
-        ).alias("n_args"),
-        F.aggregate(
-            F.transform(
-                "events",
-                lambda e: F.size(
-                    F.filter(F.map_values(e["args"]), lambda v: v.isNotNull())
                 ),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, k: acc + k * (k - 1),
-        ).alias("n_connections"),
+            )
+        )
+    )
+    per_doc = decoded.select(
+        "doc_id",
+        F.size(union_pairs).cast("long").alias("n_connections"),
+        F.size("spans").cast("long").alias("n_spans"),
     )
     return per_doc.agg(
         F.sum("n_connections").alias("total_connections"),
-        F.sum(F.col("n_args") * F.col("n_args")).alias("total_rels"),
+        F.sum(F.col("n_spans") * F.col("n_spans")).alias("total_rels"),
         F.floor(
             F.sum("n_connections")
             * 10000
-            / F.greatest(F.sum(F.col("n_args") * F.col("n_args")), F.lit(1))
+            / F.greatest(F.sum(F.col("n_spans") * F.col("n_spans")), F.lit(1))
         ).alias("density_e4"),
     )
 
 
 def pipeline_counters(result: dict[str, DataFrame]) -> DataFrame:
-    """A9/A11 metrics table: per-stage row counts + truncation counters,
-    computed in one pass per stage table."""
-    docs = result["docs"]
+    """A9/A11 metrics table: long-format (stage, counter, value) rows —
+    per-stage row counts plus stage-specific counters (truncation/clip
+    for segment, total spans for tag), one aggregation pass per stage
+    table. Long format keeps every counter under its own honest name
+    (a span count is not a truncation count)."""
+    def wide_to_long(agg_df: DataFrame, stage: str, counters: list[str]) -> DataFrame:
+        pairs = F.array(
+            *[
+                F.struct(F.lit(c).alias("counter"), F.col(c).cast("long").alias("value"))
+                for c in counters
+            ]
+        )
+        return agg_df.select(
+            F.lit(stage).alias("stage"), F.explode(pairs).alias("kv")
+        ).select("stage", "kv.counter", "kv.value")
+
     rows = [
-        docs.agg(
-            F.lit("segment").alias("stage"),
-            F.count("*").alias("n_rows"),
-            F.sum("n_sents_dropped").alias("sents_dropped"),
-            F.sum("n_sents_clipped").alias("sents_clipped"),
+        wide_to_long(
+            result["docs"].agg(
+                F.count("*").alias("n_rows"),
+                F.sum("n_sents_dropped").alias("sents_dropped"),
+                F.sum("n_sents_clipped").alias("sents_clipped"),
+            ),
+            "segment",
+            ["n_rows", "sents_dropped", "sents_clipped"],
         )
     ]
     if "tagged" in result:
         rows.append(
-            result["tagged"].agg(
-                F.lit("tag").alias("stage"),
-                F.count("*").alias("n_rows"),
-                F.sum(F.size("spans")).alias("sents_dropped"),
-                F.lit(None).cast("long").alias("sents_clipped"),
+            wide_to_long(
+                result["tagged"].agg(
+                    F.count("*").alias("n_rows"),
+                    F.sum(F.size("spans")).alias("n_spans"),
+                ),
+                "tag",
+                ["n_rows", "n_spans"],
             )
         )
     if "triples" in result:
         rows.append(
-            result["triples"].agg(
-                F.lit("triples").alias("stage"),
-                F.count("*").alias("n_rows"),
-                F.lit(None).cast("long").alias("sents_dropped"),
-                F.lit(None).cast("long").alias("sents_clipped"),
+            wide_to_long(
+                result["triples"].agg(F.count("*").alias("n_rows")),
+                "triples",
+                ["n_rows"],
             )
         )
     out = rows[0]

@@ -17,7 +17,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from ..config import CHFINANN_EVENT_TYPES, MAX_EDAG_PATHS, MAX_SENT_NUM
+from ..config import CHFINANN_EVENT_TYPES, MAX_EDAG_PATHS, MAX_SENT_LEN, MAX_SENT_NUM
 from ..pyref.edag import decode_doc
 from ..pyref.textproc import sent_seg
 from .decode import _sentence_adjacency
@@ -103,7 +103,13 @@ def segment_tag_decode_fused(
         for pdf in batches:
             events_col = []
             for text, lang in zip(pdf["text"], pdf["lang"]):
-                sents = sent_seg(text or "", lang=lang or "zh")[:MAX_SENT_NUM]
+                # same truncate + per-sentence clip as the JVM segment
+                # stage — the deep-fused path must not diverge on docs
+                # past MAX_SENT_LEN/MAX_SENT_NUM (parity-tested)
+                sents = [
+                    s[:MAX_SENT_LEN]
+                    for s in sent_seg(text or "", lang=lang or "zh")[:MAX_SENT_NUM]
+                ]
                 spans, taken = _find_dict_spans(sents, surfaces)
                 spans = _merge_regex_spans(sents, spans, taken)
                 if not spans:

@@ -22,10 +22,20 @@ from pyspark.sql import types as T
 from ..fixtures import extract_text
 
 
+def _extract_any(b: bytes) -> str:
+    """Dispatching extractor: the frozen fixture extractor for annotated
+    pages (byte-identity contract on the <article> payload), generic
+    boilerplate strip for arbitrary webtext — a real crawl page without
+    an <article> tag must degrade, never crash the job."""
+    if b"<article>" in b and b"</article>" in b:
+        return extract_text(b)
+    return strip_boilerplate(b)
+
+
 @F.pandas_udf(T.StringType())
 def extract_text_udf(html: pd.Series) -> pd.Series:
     """Arrow-batched boilerplate strip; pure function of the html bytes."""
-    return html.map(lambda b: extract_text(b) if b is not None else None)
+    return html.map(lambda b: _extract_any(b) if b is not None else None)
 
 
 import re as _re

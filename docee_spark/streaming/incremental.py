@@ -2,9 +2,13 @@
 
 ``readStream`` on a webtext directory (or Kafka in production) →
 ``foreachBatch`` running the exact batch pipeline per micro-batch →
-append to the triples sink. Exactly-once comes from the streaming
-checkpoint + idempotent append keyed by (doc_id, recguid, pred): a
-replayed micro-batch overwrites the same keys.
+epoch-partitioned triples sink. Exactly-once comes from the streaming
+checkpoint *plus* an idempotent sink: the output is partitioned by
+``epoch_id`` and written with dynamic partition overwrite, so a micro-
+batch replayed after a failure between sink write and checkpoint commit
+overwrites its own epoch partition instead of appending duplicates
+(plain parquet append cannot overwrite by key; on Iceberg/Delta this
+becomes a MERGE on (doc_id, recguid, pred)).
 
 Also provides a watermarked per-host event-time throughput monitor —
 the streaming-native aggregation a crawl operator actually watches.
@@ -31,6 +35,26 @@ def stream_webtext(
     )
 
 
+def write_epoch_idempotent(triples: DataFrame, out_dir: str, epoch_id: int) -> None:
+    """Idempotent micro-batch sink: dynamic partition overwrite of the
+    epoch's own partition — replaying epoch N rewrites exactly
+    epoch_id=N and touches nothing else. This is the exactly-once half
+    the streaming checkpoint cannot provide on a file sink."""
+    spark = triples.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        (
+            triples.withColumn("epoch_id", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .partitionBy("epoch_id")
+            .parquet(out_dir)
+        )
+    finally:
+        spark.conf.set(key, prev)
+
+
 def incremental_triples(
     stream: DataFrame,
     out_dir: str,
@@ -50,12 +74,7 @@ def incremental_triples(
             adjacency="sentence",
             use_html=True,
         )
-        (
-            result["triples"]
-            .withColumn("epoch_id", F.lit(epoch_id))
-            .write.mode("append")
-            .parquet(out_dir)
-        )
+        write_epoch_idempotent(result["triples"], out_dir, epoch_id)
 
     return (
         stream.writeStream.foreachBatch(process)

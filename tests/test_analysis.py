@@ -184,26 +184,65 @@ class TestEntityStats:
         assert (r["tp"], r["fp"], r["fn"]) == (1, 1, 1)
 
 
+_DECODED_SCHEMA = (
+    "doc_id string, "
+    "spans array<struct<text:string,field:string,dranges:array<struct<sent_idx:int,char_s:int,char_e:int>>>>, "
+    "events array<struct<recguid:int,type:string,args:map<string,string>>>"
+)
+
+
+def _span(text):
+    return {"text": text, "field": "X", "dranges": []}
+
+
 class TestGraphDensity:
     def test_single_complete_record(self, spark):
         from docee_spark.operators.analysis import graph_density
 
         df = spark.createDataFrame(
-            [("d1", [{"recguid": 0, "type": "T", "args": {"a": "x", "b": "y", "c": "z"}}])],
-            "doc_id string, events array<struct<recguid:int,type:string,args:map<string,string>>>",
+            [
+                (
+                    "d1",
+                    [_span("x"), _span("y"), _span("z")],
+                    [{"recguid": 0, "type": "T", "args": {"a": "x", "b": "y", "c": "z"}}],
+                )
+            ],
+            _DECODED_SCHEMA,
         )
         [r] = graph_density(df).collect()
-        # 3 args → 3·2 = 6 connections over 3² = 9 rels
-        assert (r["total_connections"], r["total_rels"]) == (6, 9)
-        assert r["density_e4"] == 6666
+        # union matrix of one complete record: 6 off-diagonal + 3 diagonal
+        # over 3² spans — density 1.0 (reference arg_rel.py union+diag)
+        assert (r["total_connections"], r["total_rels"]) == (9, 9)
+        assert r["density_e4"] == 10000
+
+    def test_shared_edge_counted_once(self, spark):
+        """Two records sharing the (x,y) edge: union counts it once, and
+        the denominator uses ALL doc spans (incl. the unused 4th)."""
+        from docee_spark.operators.analysis import graph_density
+
+        df = spark.createDataFrame(
+            [
+                (
+                    "d1",
+                    [_span("x"), _span("y"), _span("z"), _span("unused")],
+                    [
+                        {"recguid": 0, "type": "T", "args": {"a": "x", "b": "y"}},
+                        {"recguid": 1, "type": "T", "args": {"a": "x", "b": "y"}},
+                        {"recguid": 2, "type": "T", "args": {"a": "y", "b": "z"}},
+                    ],
+                )
+            ],
+            _DECODED_SCHEMA,
+        )
+        [r] = graph_density(df).collect()
+        # union pairs: diag(x,y,z)=3 + (x,y),(y,x),(y,z),(z,y)=4 → 7
+        assert (r["total_connections"], r["total_rels"]) == (7, 16)
+        assert r["density_e4"] == 4375
 
     def test_empty_docs_zero_density(self, spark):
         from docee_spark.operators.analysis import graph_density
 
-        df = spark.createDataFrame(
-            [("d1", [])],
-            "doc_id string, events array<struct<recguid:int,type:string,args:map<string,string>>>",
-        )
+        df = spark.createDataFrame([("d1", [], [])], _DECODED_SCHEMA)
         [r] = graph_density(df).collect()
         assert r["total_connections"] == 0 and r["density_e4"] == 0
 

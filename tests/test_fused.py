@@ -54,3 +54,56 @@ def test_fused_rejects_gold_mode(spark, web_df, gold_df):
 
     with pytest.raises(ValueError):
         run_pipeline(web_df, gold=gold_df, adjacency="gold", fused=True)
+
+
+def test_deep_fusion_clips_like_segment(spark):
+    """Docs exceeding MAX_SENT_LEN / MAX_SENT_NUM must decode identically
+    through the JVM-segment and in-UDF-segment paths — the deep path
+    applies the same per-sentence clip + doc truncation (a span past the
+    clip point must vanish on BOTH paths)."""
+    from pyspark.sql import functions as F
+
+    from docee_spark.schema import WEBTEXT
+    from docee_spark.stages.fused import segment_tag_decode_fused, tag_decode_fused
+    from docee_spark.stages.ingest import ingest
+    from docee_spark.stages.segment import segment
+
+    ent = heuristic_entity_dict()
+    visible, hidden = "张伟明", "李秀娟"
+    # one >512-char EquityUnderweight sentence: a full record before the
+    # clip point, `hidden` after it; plus >256 sentences so doc
+    # truncation also engages
+    long_sent = (
+        f"公告EquityUnderweight减持事件：EquityHolder为{visible}，"
+        "TradedShares为200000股，StartDate为2020年1月2日，"
+        "EndDate为2020年3月4日，AveragePrice为12.00元，"
+        + "内容详见公告正文，" * 60
+        + f"联系人为{hidden}。"
+    )
+    text = long_sent + "".join(f"第{i + 1}项其他事项说明。" for i in range(300))
+    assert len(long_sent) > 512
+    web = spark.createDataFrame(
+        [("https://h/x", None, None, text, "zh")], WEBTEXT
+    )
+
+    def flat(df):
+        return {
+            (
+                r["doc_id"],
+                r["ev"]["type"],
+                tuple(
+                    sorted(
+                        (k, v)
+                        for k, v in r["ev"]["args"].items()
+                        if v is not None
+                    )
+                ),
+            )
+            for r in df.select("doc_id", F.explode("events").alias("ev")).collect()
+        }
+
+    a = flat(tag_decode_fused(segment(ingest(web, use_html=False)), ent))
+    b = flat(segment_tag_decode_fused(ingest(web, use_html=False), ent))
+    assert a == b
+    args = {v for _, _, kv in a for _, v in kv}
+    assert visible in args and hidden not in args

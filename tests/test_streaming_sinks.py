@@ -116,3 +116,96 @@ class TestSinks:
         dumps = read_eval_dumps(spark, str(tmp_path))
         row = dumps.collect()[0]
         assert row["stage"] == "segment" and row["counters"]["docs"] == 3.0
+
+
+class TestEpochIdempotence:
+    def test_replayed_epoch_overwrites_not_appends(self, spark, corpus, tmp_path):
+        """Exactly-once on the file sink: re-writing the same epoch (the
+        post-failure replay) must leave the sink unchanged, and other
+        epochs untouched."""
+        from docee_spark.fixtures import heuristic_entity_dict
+        from docee_spark.schema import WEBTEXT
+        from docee_spark.stages.pipeline import run_pipeline
+        from docee_spark.streaming.incremental import write_epoch_idempotent
+
+        web_rows, _ = corpus
+        out = str(tmp_path / "triples_idem")
+        half = len(web_rows[:20]) // 2
+
+        def triples_for(rows):
+            return run_pipeline(
+                spark.createDataFrame(rows, WEBTEXT),
+                entity_dict=heuristic_entity_dict(),
+                mode="clique",
+                adjacency="sentence",
+            )["triples"]
+
+        t0 = triples_for(web_rows[:half])
+        t1 = triples_for(web_rows[half:20])
+        write_epoch_idempotent(t0, out, epoch_id=0)
+        write_epoch_idempotent(t1, out, epoch_id=1)
+        before = spark.read.parquet(out).collect()
+
+        # replay epoch 1 (same data) — idempotent
+        write_epoch_idempotent(t1, out, epoch_id=1)
+        after = spark.read.parquet(out).collect()
+        assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+        # epoch 0 rows untouched by the replay
+        n0 = spark.read.parquet(out).filter(F.col("epoch_id") == 0).count()
+        assert n0 == t0.count()
+
+
+class TestIngestFallbackExtractor:
+    def test_arbitrary_html_does_not_crash(self, spark):
+        """ADVICE r01: a real crawl page without an <article> tag must go
+        through the generic boilerplate stripper, not crash the job."""
+        from docee_spark.schema import WEBTEXT
+        from docee_spark.stages.ingest import ingest
+
+        pages = [
+            (
+                "https://a/1",
+                None,
+                b"<html><head><script>x()</script></head>"
+                b"<body><nav>menu</nav><p>real content here</p>"
+                b"<footer>foot</footer></body></html>",
+                None,
+                "en",
+            ),
+            (
+                "https://a/2",
+                None,
+                b"<html><body><article>article payload</article></body></html>",
+                None,
+                "zh",
+            ),
+        ]
+        web = spark.createDataFrame(pages, WEBTEXT)
+        rows = {r["doc_id"]: r["text"] for r in ingest(web, use_html=True).collect()}
+        assert rows["https://a/2"] == "article payload"  # byte-identity path
+        assert "real content" in rows["https://a/1"]
+        assert "menu" not in rows["https://a/1"] and "script" not in rows["https://a/1"]
+
+
+class TestPipelineCountersShape:
+    def test_long_format_counters(self, spark, corpus):
+        from docee_spark.fixtures import heuristic_entity_dict
+        from docee_spark.operators.analysis import pipeline_counters
+        from docee_spark.schema import WEBTEXT
+        from docee_spark.stages.pipeline import run_pipeline
+
+        web_rows, _ = corpus
+        res = run_pipeline(
+            spark.createDataFrame(web_rows[:20], WEBTEXT),
+            entity_dict=heuristic_entity_dict(),
+            mode="clique",
+            adjacency="sentence",
+        )
+        rows = {
+            (r["stage"], r["counter"]): r["value"]
+            for r in pipeline_counters(res).collect()
+        }
+        assert rows[("segment", "n_rows")] == 20
+        assert ("tag", "n_spans") in rows  # spans under their own name
+        assert ("tag", "sents_dropped") not in rows
+        assert rows[("triples", "n_rows")] > 0
