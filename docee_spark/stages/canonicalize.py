@@ -74,12 +74,13 @@ def canonicalize(
     k: int = 8,
     bands: int = 4,
     closure_passes: int = 2,
+    broadcast_resolved: bool | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """→ (vertices, edges).
 
     vertices: (entity_id, surface, n_mentions); edges: (src, pred, dst,
     doc_id, recguid). ``entity_dict``: optional (surface, entity_id) —
-    joined broadcast.
+    joined broadcast (curated dictionaries are bounded by definition).
 
     ``closure_passes``: label-propagation iterations over the band
     bipartite graph — pass 1 merges surfaces sharing a band; extra passes
@@ -87,6 +88,15 @@ def canonicalize(
     one groupBy on the band key + one on surface, never a cross join;
     cluster diameter beyond ~3 is vanishingly rare for near-dup surfaces,
     so 2 passes is the default (a fixpoint loop is the same code).
+
+    ``broadcast_resolved`` gates the resolved-surface-map side of the two
+    edge joins — the map is |distinct surfaces|, which at web scale (10⁹+
+    surfaces) exceeds any broadcast budget and would OOM the driver:
+      * None (default) — no static hint; AQE broadcasts at runtime iff
+        the built map measures under autoBroadcastJoinThreshold (the
+        size gate, evaluated on real sizes, zero extra jobs);
+      * True  — caller asserts the map is small: static broadcast hint;
+      * False — force the shuffle join.
     """
     rows = bands and max(1, k // bands)
     mentions = (
@@ -141,9 +151,14 @@ def canonicalize(
         F.sum("n_mentions").alias("n_mentions"),
     )
 
-    # edges: resolve both endpoints; the resolved map is small relative to
-    # the triple set (distinct surfaces ≪ mentions) → broadcast both joins
-    res_map = F.broadcast(resolved.select("surface", "entity_id"))
+    # edges: resolve both endpoints. The resolved map is usually small
+    # relative to the triple set (distinct surfaces ≪ mentions) but NOT
+    # provably bounded — see the broadcast_resolved gate above.
+    res_map = resolved.select("surface", "entity_id")
+    if broadcast_resolved is True:
+        res_map = F.broadcast(res_map)
+    elif broadcast_resolved is False:
+        res_map = res_map.hint("shuffle_merge")
     edges = (
         triples_df.join(
             res_map.withColumnRenamed("surface", "subj").withColumnRenamed(

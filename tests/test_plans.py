@@ -145,3 +145,34 @@ class TestCodegen:
         docs = spark.read.parquet(f"{SF}/documents.parquet")
         plan = _plan(quality_scores(docs))
         assert "EvalPython" not in plan
+
+
+class TestCanonicalizeBroadcastGate:
+    """The resolved surface map is not provably bounded — its broadcast
+    must be opt-in (or AQE-decided at runtime), never unconditional."""
+
+    def _edges_plan(self, spark, gate):
+        from docee_spark.stages.canonicalize import canonicalize
+
+        trips = spark.createDataFrame(
+            [("d1", "T", 0, "alpha", "T#r", "beta")],
+            "doc_id string, event_type string, recguid int, subj string, pred string, obj string",
+        )
+        _, edges = canonicalize(trips, broadcast_resolved=gate)
+        return _plan(edges)
+
+    def test_forced_shuffle_join_above_threshold(self, spark):
+        plan = self._edges_plan(spark, False)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+    def test_static_broadcast_when_asserted_small(self, spark):
+        plan = self._edges_plan(spark, True)
+        assert "BroadcastHashJoin" in plan
+
+    def test_default_leaves_decision_to_aqe(self, spark):
+        # no static broadcast of the resolved map in the initial plan —
+        # AQE sizes it at runtime (local createDataFrame sides may still
+        # plan broadcast from known tiny stats; assert no failure and a
+        # join exists)
+        plan = self._edges_plan(spark, None)
+        assert "Join" in plan
