@@ -479,6 +479,18 @@ def q_docee_triples_dcfee(spark, sf):
     )["triples"]
 
 
+def q_docee_triples_model(spark, sf):
+    """M1 model path: trained numpy char tagger (hashed-window emissions
+    + constrained Viterbi, weights broadcast once per executor) in the
+    tag slot, sentence adjacency, clique decode."""
+    from docee_spark.golden import ensure_tagger
+    from docee_spark.stages.pipeline import run_pipeline
+
+    web, _ = _fixture_webtext_and_gold(spark)
+    return run_pipeline(web, model=ensure_tagger(), mode="clique",
+                        adjacency="sentence")["triples"]
+
+
 def q_docee_vertices(spark, sf):
     """Canonicalized KG vertex table from the gold pipeline."""
     from docee_spark.stages.pipeline import run_pipeline
@@ -568,6 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docee_triples_heuristic": q_docee_triples_heuristic,
         "docee_triples_greedy": q_docee_triples_greedy,
         "docee_triples_dcfee": q_docee_triples_dcfee,
+        "docee_triples_model": q_docee_triples_model,
         "docee_vertices": q_docee_vertices,
         "docee_eval_rollup": q_docee_eval_rollup,
         "docee_trigger_importance": q_docee_trigger_importance,
@@ -986,6 +999,7 @@ def oracle_sql() -> dict[str, str]:
         "docee_triples_heuristic": _docee_triples_sql("heuristic"),
         "docee_triples_greedy": _docee_triples_sql("greedy"),
         "docee_triples_dcfee": _docee_triples_sql("dcfee"),
+        "docee_triples_model": _docee_triples_sql("model"),
         "docee_vertices": _docee_vertices_sql(),
         "docee_eval_rollup": _docee_eval_rollup_sql(),
         "docee_trigger_importance": _docee_trigger_importance_sql(),

@@ -40,7 +40,7 @@ import pyarrow.parquet as pq
 
 from .config import CHFINANN_EVENT_TYPES, MAX_SENT_LEN, MAX_SENT_NUM, label_index
 
-VERSION = "v1"
+VERSION = "v2"  # v2: + triples_model (M1 batched tagger path)
 N_DOCS = 120
 SEED = 7
 
@@ -93,6 +93,30 @@ def _flatten_triples(doc_id: str, events: list[dict]) -> list[tuple]:
                     (doc_id, et, ev["recguid"], subj, f"{et}#{role}", obj)
                 )
     return rows
+
+
+def _decode_spans_records(sents: list[str], spans: list[dict], mode: str):
+    """Shared tail of the no-gold paths: spans → sentence adjacency →
+    decode → catalog-ordered records (the stages.decode construction)."""
+    from .pyref.edag import decode_doc
+    from .stages.decode import _sentence_adjacency
+
+    if not spans:
+        return []
+    span_texts = [s["text"] for s in spans]
+    span_fields = [s["field"] for s in spans]
+    span_sents = [sorted({d["sent_idx"] for d in s["dranges"]}) for s in spans]
+    adj = _sentence_adjacency(len(spans), span_sents)
+    decoded = decode_doc(
+        sents, span_fields, span_sents, adj, _EVENT_FIELDS, _MIN_FIELDS,
+        mode=mode, max_paths=1024, exact_fields=False,
+    )
+    return _records_from_decoded(decoded, span_texts)
+
+
+def _model_events(sents: list[str], tagger, mode: str = "clique"):
+    """pyref twin of tag_model (M1) + sentence-adjacency decode."""
+    return _decode_spans_records(sents, tagger.doc_spans(sents), mode)
 
 
 def _heuristic_events(sents: list[str], entity_dict: dict[str, str], mode: str):
@@ -181,6 +205,35 @@ def _write_triples(path: str, rows: list[tuple]) -> None:
     )
 
 
+#: the trained M1 tagger artifact (committed; retrained only if missing —
+#: training is deterministic: seeded SGD, single-threaded scatter/gather)
+TAGGER_PATH = os.path.join(GOLDEN_DIR, "char_tagger.npz")
+TAGGER_TRAIN_DOCS = 600
+TAGGER_TRAIN_SEED = 1234
+
+
+def ensure_tagger(force: bool = False):
+    """Train-or-load the char tagger; returns the CharTagger. The train
+    corpus is the index-pure generator stream (make_doc_indexed) with a
+    DIFFERENT seed from the eval fixture corpus — no train/eval leak."""
+    from .model.char_tagger import load_tagger, save_tagger, train_char_tagger
+
+    if not force and os.path.exists(TAGGER_PATH):
+        return load_tagger(TAGGER_PATH)
+    from .fixtures import make_doc_indexed
+
+    train_docs = [
+        make_doc_indexed(i, seed=TAGGER_TRAIN_SEED)[1]
+        for i in range(TAGGER_TRAIN_DOCS)
+    ]
+    tagger = train_char_tagger(
+        train_docs, epochs=10, lr=0.2, offsets=tuple(range(-14, 9))
+    )
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    save_tagger(tagger, TAGGER_PATH)
+    return tagger
+
+
 def ensure_golden(force: bool = False) -> str:
     """Generate the golden tables if missing/stale; return the directory."""
     manifest_path = os.path.join(GOLDEN_DIR, "manifest.json")
@@ -200,7 +253,8 @@ def ensure_golden(force: bool = False) -> str:
     args_tbl = {k: [] for k in ("doc_id", "recguid", "event_type", "role", "role_idx", "arg")}
     ment_tbl = {k: [] for k in ("doc_id", "arg", "field", "sent_idx", "char_s", "char_e")}
     eval_tbl = {k: [] for k in ("doc_id", "doc_type", "event_type", "role", "tp", "fp", "fn")}
-    triples = {"gold": [], "heuristic": [], "greedy": [], "dcfee": []}
+    triples = {"gold": [], "heuristic": [], "greedy": [], "dcfee": [], "model": []}
+    tagger = ensure_tagger()
 
     for web, g in zip(web_rows, gold_rows):
         doc_id = g["guid"]
@@ -271,6 +325,9 @@ def ensure_golden(force: bool = False) -> str:
                     doc_id, _heuristic_events(sents, entity_dict, decode_mode)
                 )
             )
+        triples["model"].extend(
+            _flatten_triples(doc_id, _model_events(sents, tagger))
+        )
 
     pq.write_table(
         pa.table(

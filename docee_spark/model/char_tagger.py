@@ -1,0 +1,272 @@
+"""M1 — a real batched char-level BIO tagger for the tag-stage model slot.
+
+Numpy analog of the reference NER model (dee/modules/ner_model.py:156-228:
+token embedding → transformer encoder → CRF/softmax): here the encoder is
+a char-window feature map (each position sees the characters at fixed
+offsets around it — the deterministic stand-in for contextual attention),
+the classifier is a linear layer over those one-hot features (computed as
+a gather+sum, never a matmul, so inference is BLAS-thread-order-free and
+bit-deterministic), and the CRF is a transition-constrained Viterbi
+decode (B-X may start anywhere; I-X only continues B-X/I-X — the
+structural half of a CRF with learned emissions).
+
+Training is per-char softmax cross-entropy with minibatch SGD — all
+numpy, seeded, single-threaded scatter/gather → bit-reproducible weights.
+The trained artifact is a plain ``.npz`` (vocab, offsets, weights,
+labels): it is broadcast once by the Spark stage and deserialized once
+per executor process (stages/tag.py::tag_model).
+
+Why a trained model at all when the fixture has a dictionary? Because the
+M1 slot's contract — iterator UDF, weights loaded once, length-bucketed
+batches, exact-field span output — is only proven by actually running a
+learned tagger through it (VERDICT r01 gap #2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import bio_labels
+
+#: context window: generous left reach (the fixture's role cue precedes
+#: the value, e.g. "StartDate为2020年…" — disambiguating StartDate from
+#: EndDate needs chars ~7 left of the span start), short right reach.
+DEFAULT_OFFSETS = tuple(range(-8, 5))
+
+_PAD = 0  # reserved vocab id for out-of-sentence positions
+_UNK = 1  # reserved vocab id for unseen characters
+
+
+class CharTagger:
+    """Frozen tagger: vocab + per-offset emission weights + Viterbi."""
+
+    def __init__(
+        self,
+        vocab: dict[str, int],
+        W: np.ndarray,  # (n_offsets, vocab_size, n_labels) float32
+        labels: list[str],
+        offsets: tuple[int, ...] = DEFAULT_OFFSETS,
+    ):
+        self.vocab = vocab
+        self.W = W
+        self.labels = labels
+        self.offsets = tuple(offsets)
+        self.n_labels = len(labels)
+        # allowed transition mask (CRF structure): I-x (even id ≥ 2) only
+        # after B-x (id-1) or I-x (itself); everything else from anywhere.
+        n = self.n_labels
+        self.trans_ok = np.ones((n, n), dtype=bool)
+        for j in range(2, n, 2):  # I- labels
+            self.trans_ok[:, j] = False
+            self.trans_ok[j - 1, j] = True  # B-x → I-x
+            self.trans_ok[j, j] = True  # I-x → I-x
+        self.start_ok = np.array(
+            [i == 0 or i % 2 == 1 for i in range(n)], dtype=bool
+        )
+
+    # -- encoding ----------------------------------------------------------
+
+    def _char_ids(self, sents: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        """→ (ids (B, L) int32 padded, lengths (B,)). Vocab lookup with
+        UNK; PAD fills beyond each sentence."""
+        lens = np.array([len(s) for s in sents], dtype=np.int32)
+        L = int(lens.max()) if len(lens) and lens.max() > 0 else 1
+        ids = np.full((len(sents), L), _PAD, dtype=np.int32)
+        get = self.vocab.get
+        for i, s in enumerate(sents):
+            if s:
+                ids[i, : len(s)] = [get(c, _UNK) for c in s]
+        return ids, lens
+
+    def emissions(self, ids: np.ndarray) -> np.ndarray:
+        """(B, L) char ids → (B, L, n_labels) emission scores: Σ over
+        offsets of the per-(offset, char) weight rows — a gather+sum
+        (deterministic; no threaded reduction)."""
+        B, L = ids.shape
+        out = np.zeros((B, L, self.n_labels), dtype=np.float32)
+        for oi, off in enumerate(self.offsets):
+            shifted = np.full((B, L), _PAD, dtype=np.int32)
+            if off < 0:
+                shifted[:, -off:] = ids[:, :off] if off != 0 else ids
+            elif off > 0:
+                shifted[:, :-off] = ids[:, off:]
+            else:
+                shifted = ids
+            out += self.W[oi][shifted]
+        return out
+
+    # -- decoding ----------------------------------------------------------
+
+    def _viterbi_single(self, em: np.ndarray, mask: np.ndarray) -> np.ndarray:
+        """Constrained max-sum decode of one sentence → (T,) label ids.
+        Transitions carry no learned score — only the BIO structure mask
+        (−inf on forbidden moves): the structural half of a CRF."""
+        T, n = em.shape
+        neg = np.float32(-1e30)
+        dp = np.where(self.start_ok, em[0], neg)
+        back = np.zeros((T, n), dtype=np.int16)
+        for t in range(1, T):
+            s = dp[:, None] + mask
+            back[t] = s.argmax(axis=0)
+            dp = s.max(axis=0) + em[t]
+        path = np.zeros(T, dtype=np.int32)
+        path[-1] = int(dp.argmax())
+        for t in range(T - 1, 0, -1):
+            path[t - 1] = back[t, path[t]]
+        return path
+
+    def predict_sent_labels(self, sents: list[str]) -> list[list[int]]:
+        """sentences → per-char BIO label ids (the tag-stage contract)."""
+        if not sents:
+            return []
+        ids, lens = self._char_ids(sents)
+        em = self.emissions(ids)
+        mask = np.where(self.trans_ok, np.float32(0.0), np.float32(-1e30))
+        return [
+            self._viterbi_single(em[i, : lens[i], :], mask).tolist()
+            if lens[i] > 0
+            else []
+            for i in range(len(sents))
+        ]
+
+    def doc_spans(self, sents: list[str]) -> list[dict]:
+        """sentences → tag-stage span records (schema.SPANS shape), via
+        the shared BIO→span decoder — the exact contract of the other
+        taggers, so the model drops into the same slot."""
+        from ..pyref.spans import decode_spans
+
+        pred_ids = self.predict_sent_labels(sents)
+        texts, dranges, labs = decode_spans([list(s) for s in sents], pred_ids)
+        return [
+            {
+                "text": t,
+                "field": self.labels[lab][2:],
+                "dranges": [
+                    {"sent_idx": a, "char_s": b, "char_e": c} for a, b, c in drs
+                ],
+            }
+            for t, drs, lab in zip(texts, dranges, labs)
+        ]
+
+    # -- (de)serialization ---------------------------------------------------
+
+    def to_arrays(self) -> dict[str, np.ndarray]:
+        chars = np.array(sorted(self.vocab, key=self.vocab.get))
+        return {
+            "chars": chars,
+            "char_ids": np.array([self.vocab[c] for c in chars], dtype=np.int32),
+            "W": self.W,
+            "labels": np.array(self.labels),
+            "offsets": np.array(self.offsets, dtype=np.int32),
+        }
+
+    @classmethod
+    def from_arrays(cls, arrays) -> "CharTagger":
+        vocab = {
+            str(c): int(i) for c, i in zip(arrays["chars"], arrays["char_ids"])
+        }
+        return cls(
+            vocab,
+            np.asarray(arrays["W"], dtype=np.float32),
+            [str(x) for x in arrays["labels"]],
+            tuple(int(o) for o in arrays["offsets"]),
+        )
+
+
+def save_tagger(tagger: CharTagger, path: str) -> None:
+    np.savez_compressed(path, **tagger.to_arrays())
+
+
+def load_tagger(path: str) -> CharTagger:
+    with np.load(path, allow_pickle=False) as z:
+        return CharTagger.from_arrays(z)
+
+
+def _build_vocab(docs: list[list[str]]) -> dict[str, int]:
+    vocab: dict[str, int] = {}
+    for sents in docs:
+        for s in sents:
+            for c in s:
+                if c not in vocab:
+                    vocab[c] = len(vocab) + 2  # 0=PAD, 1=UNK
+    return vocab
+
+
+def train_char_tagger(
+    train_docs: list[dict],
+    epochs: int = 8,
+    lr: float = 0.2,
+    seed: int = 13,
+    offsets: tuple[int, ...] = DEFAULT_OFFSETS,
+    batch_sents: int = 256,
+) -> CharTagger:
+    """Train on gold-annotated docs (fixtures shape: sentences + spans).
+
+    Per-char softmax cross-entropy over the BIO label set; SGD over
+    shuffled sentence minibatches. All updates are np.add.at scatters —
+    single-threaded, order-fixed, bit-reproducible for a given seed."""
+    from ..config import label_index
+
+    l2i = label_index()
+    labels = bio_labels()
+    sents_all: list[str] = []
+    labs_all: list[list[int]] = []
+    for g in train_docs:
+        span_tuples = [
+            (sp["text"], sp["field"], [tuple(d) if not isinstance(d, dict) else (d["sent_idx"], d["char_s"], d["char_e"]) for d in sp["dranges"]])
+            for sp in g["spans"]
+        ]
+        from ..pyref.spans import labels_from_spans
+
+        doc_labels = labels_from_spans(g["sentences"], span_tuples, l2i)
+        sents_all.extend(g["sentences"])
+        labs_all.extend(doc_labels)
+
+    vocab = _build_vocab([[s] for s in sents_all])
+    V = len(vocab) + 2
+    n_labels = len(labels)
+    tagger = CharTagger(
+        vocab, np.zeros((len(offsets), V, n_labels), dtype=np.float32), labels, offsets
+    )
+
+    rng = np.random.default_rng(seed)
+    order = np.arange(len(sents_all))
+    for _ in range(epochs):
+        rng.shuffle(order)
+        for s0 in range(0, len(order), batch_sents):
+            idx = order[s0 : s0 + batch_sents]
+            batch = [sents_all[i] for i in idx]
+            ids, lens = tagger._char_ids(batch)
+            em = tagger.emissions(ids)  # (B, L, n)
+            B, L, _ = em.shape
+            # gold label matrix, padded positions masked out
+            y = np.zeros((B, L), dtype=np.int64)
+            m = np.zeros((B, L), dtype=bool)
+            for bi, i in enumerate(idx):
+                li = labs_all[i][:L]
+                y[bi, : len(li)] = li
+                m[bi, : len(li)] = True
+            # softmax CE gradient
+            em = em - em.max(axis=2, keepdims=True)
+            p = np.exp(em)
+            p /= p.sum(axis=2, keepdims=True)
+            g = p
+            g[np.arange(B)[:, None], np.arange(L)[None, :], y] -= 1.0
+            g[~m] = 0.0
+            # per-char step (no batch-mean normalization): the O class is
+            # ~93% of chars, and averaging makes the minority-class signal
+            # vanish under any practical epoch budget
+            g *= np.float32(lr)
+            # scatter the gradient into each offset's weight table
+            for oi, off in enumerate(offsets):
+                shifted = np.full((B, L), _PAD, dtype=np.int32)
+                if off < 0:
+                    shifted[:, -off:] = ids[:, :off]
+                elif off > 0:
+                    shifted[:, :-off] = ids[:, off:]
+                else:
+                    shifted = ids
+                np.subtract.at(
+                    tagger.W[oi], shifted.ravel(), g.reshape(-1, n_labels)
+                )
+    return tagger

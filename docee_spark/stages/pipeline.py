@@ -33,7 +33,13 @@ from .decode import decode
 from .evaluate import micro_scores, role_stats
 from .ingest import ingest, salted_repartition  # noqa: F401 (salted: scale path)
 from .segment import segment
-from .tag import drop_empty_span_docs, length_bucketed, tag_gold, tag_heuristic
+from .tag import (
+    drop_empty_span_docs,
+    length_bucketed,
+    tag_gold,
+    tag_heuristic,
+    tag_model,
+)
 from .triples import triples
 
 
@@ -107,12 +113,15 @@ def run_pipeline(
     use_html: bool = True,
     fused: bool | str = False,
     langs: tuple[str, ...] | None = None,
+    model=None,
 ) -> dict[str, DataFrame]:
     """webtext (+optional gold) → {docs, tagged, decoded, triples,
     vertices, edges[, stats]}.
 
     With ``store`` set, each stage materializes + commits and reruns
     resume from the last committed stage for the same input fingerprint.
+    ``model``: a trained CharTagger (or its arrays) → the tag stage runs
+    the batched model tagger (M1) instead of dictionary/gold modes.
     """
     spark = webtext.sparkSession
     nparts = n_partitions or spark.sparkContext.defaultParallelism
@@ -139,7 +148,7 @@ def run_pipeline(
         # tables): chained Python UDFs anti-scale, and every column that
         # crosses the Arrow boundary costs serialization — fused="deep"
         # keeps even the sentences array inside the UDF (stages/fused.py)
-        if gold is not None or adjacency == "gold" or store is not None:
+        if gold is not None or adjacency == "gold" or store is not None or model is not None:
             raise ValueError("fused requires the heuristic, store-less path")
         # Partitioning: round-robin only when the scan is under-split —
         # NOT length-bucketed (bucketing groups the heavy long-tail docs
@@ -179,6 +188,8 @@ def run_pipeline(
 
     def build_tagged() -> DataFrame:
         bucketed = length_bucketed(docs, nparts)
+        if model is not None:
+            return tag_model(bucketed, model)
         if gold is not None and entity_dict is None:
             return tag_gold(bucketed, gold)
         return tag_heuristic(bucketed, entity_dict or {})

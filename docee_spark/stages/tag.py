@@ -120,6 +120,56 @@ def tag_heuristic(docs: DataFrame, entity_dict: dict[str, str]) -> DataFrame:
     return docs.mapInPandas(run, schema=out_schema + ", " + _SPANS_FIELD)
 
 
+# per-executor-process model cache: one deserialization per (process,
+# broadcast), exactly like the reference's once-per-worker model init
+# (dee/tasks/dee_task.py model resume) — asserted in tests. Keyed by the
+# broadcast's backing file path: stable across task closures in the same
+# worker process, unique per broadcast.
+_MODEL_CACHE: dict[str, object] = {}
+MODEL_LOADS = 0
+
+
+def _tagger_from_broadcast(bc):
+    global MODEL_LOADS
+    key = getattr(bc, "_path", None) or str(id(bc))
+    tagger = _MODEL_CACHE.get(key)
+    if tagger is None:
+        from ..model.char_tagger import CharTagger
+
+        tagger = CharTagger.from_arrays(bc.value)
+        _MODEL_CACHE[key] = tagger
+        MODEL_LOADS += 1
+    return tagger
+
+
+def tag_model(docs: DataFrame, model) -> DataFrame:
+    """M1 — the trained-model tagger in the mapInPandas slot (reference
+    dee/modules/ner_model.py:156-228 shape): a batched numpy char tagger
+    (hashed-window emissions + constrained Viterbi; model/char_tagger.py).
+
+    Weights are broadcast ONCE as plain arrays; each executor process
+    deserializes them a single time (module cache keyed by broadcast id)
+    and then only does vectorized batch inference — the iterator-UDF
+    pattern, model loaded outside the batch loop. ``model``: a CharTagger
+    or its to_arrays() dict."""
+    spark = docs.sparkSession
+    arrays = model.to_arrays() if hasattr(model, "to_arrays") else dict(model)
+    bc = spark.sparkContext.broadcast(arrays)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tagger = _tagger_from_broadcast(bc)  # once per worker, not per batch
+        for pdf in batches:
+            spans_col = [
+                tagger.doc_spans(list(sentences)) for sentences in pdf["sentences"]
+            ]
+            yield pdf.assign(spans=spans_col)
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in docs.schema.fields
+    )
+    return docs.mapInPandas(run, schema=out_schema + ", " + _SPANS_FIELD)
+
+
 def tag_gold(docs: DataFrame, gold: DataFrame) -> DataFrame:
     """Gold-span mode: equi-join annotations on doc_id, then round-trip
     gold spans through BIO synthesis + runtime BIO→span decoding so the
