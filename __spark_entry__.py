@@ -479,6 +479,31 @@ def q_docee_triples_dcfee(spark, sf):
     )["triples"]
 
 
+def q_docee_triples_trigger(spark, sf):
+    """G6 full directed trigger-graph decode (fold_and trigger cliques,
+    intersected successors, left-trigger fallback; guessing-mode |R|)."""
+    from docee_spark.fixtures import heuristic_entity_dict
+    from docee_spark.stages.pipeline import run_pipeline
+
+    web, _ = _fixture_webtext_and_gold(spark)
+    return run_pipeline(
+        web, entity_dict=heuristic_entity_dict(), mode="trigger", fused=True
+    )["triples"]
+
+
+def q_docee_triples_trigger_inc(spark, sf):
+    """G7 incremental trigger decode (absorb triggers sharing >= min_conn
+    non-trigger neighbours)."""
+    from docee_spark.fixtures import heuristic_entity_dict
+    from docee_spark.stages.pipeline import run_pipeline
+
+    web, _ = _fixture_webtext_and_gold(spark)
+    return run_pipeline(
+        web, entity_dict=heuristic_entity_dict(), mode="trigger_incremental",
+        fused=True,
+    )["triples"]
+
+
 def q_docee_triples_model(spark, sf):
     """M1 model path: trained numpy char tagger (hashed-window emissions
     + constrained Viterbi, weights broadcast once per executor) in the
@@ -580,6 +605,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docee_triples_heuristic": q_docee_triples_heuristic,
         "docee_triples_greedy": q_docee_triples_greedy,
         "docee_triples_dcfee": q_docee_triples_dcfee,
+        "docee_triples_trigger": q_docee_triples_trigger,
+        "docee_triples_trigger_inc": q_docee_triples_trigger_inc,
         "docee_triples_model": q_docee_triples_model,
         "docee_vertices": q_docee_vertices,
         "docee_eval_rollup": q_docee_eval_rollup,
@@ -999,6 +1026,8 @@ def oracle_sql() -> dict[str, str]:
         "docee_triples_heuristic": _docee_triples_sql("heuristic"),
         "docee_triples_greedy": _docee_triples_sql("greedy"),
         "docee_triples_dcfee": _docee_triples_sql("dcfee"),
+        "docee_triples_trigger": _docee_triples_sql("trigger"),
+        "docee_triples_trigger_inc": _docee_triples_sql("trigger_inc"),
         "docee_triples_model": _docee_triples_sql("model"),
         "docee_vertices": _docee_vertices_sql(),
         "docee_eval_rollup": _docee_eval_rollup_sql(),

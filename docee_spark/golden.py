@@ -40,7 +40,7 @@ import pyarrow.parquet as pq
 
 from .config import CHFINANN_EVENT_TYPES, MAX_SENT_LEN, MAX_SENT_NUM, label_index
 
-VERSION = "v2"  # v2: + triples_model (M1 batched tagger path)
+VERSION = "v3"  # v2: + triples_model (M1); v3: + trigger decode modes (G6/G7)
 N_DOCS = 120
 SEED = 7
 
@@ -253,7 +253,14 @@ def ensure_golden(force: bool = False) -> str:
     args_tbl = {k: [] for k in ("doc_id", "recguid", "event_type", "role", "role_idx", "arg")}
     ment_tbl = {k: [] for k in ("doc_id", "arg", "field", "sent_idx", "char_s", "char_e")}
     eval_tbl = {k: [] for k in ("doc_id", "doc_type", "event_type", "role", "tp", "fp", "fn")}
-    triples = {"gold": [], "heuristic": [], "greedy": [], "dcfee": [], "model": []}
+    heuristic_modes = {
+        "heuristic": "clique",
+        "greedy": "greedy",
+        "dcfee": "dcfee",
+        "trigger": "trigger",
+        "trigger_inc": "trigger_incremental",
+    }
+    triples = {name: [] for name in ("gold", "model", *heuristic_modes)}
     tagger = ensure_tagger()
 
     for web, g in zip(web_rows, gold_rows):
@@ -318,9 +325,8 @@ def ensure_golden(force: bool = False) -> str:
                 eval_tbl["tp"].append(tp)
                 eval_tbl["fp"].append(fp)
                 eval_tbl["fn"].append(fn)
-        for mode in ("heuristic", "greedy", "dcfee"):
-            decode_mode = "clique" if mode == "heuristic" else mode
-            triples[mode].extend(
+        for name, decode_mode in heuristic_modes.items():
+            triples[name].extend(
                 _flatten_triples(
                     doc_id, _heuristic_events(sents, entity_dict, decode_mode)
                 )

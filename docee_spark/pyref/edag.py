@@ -200,6 +200,52 @@ def detect_types_per_sentence(
     ]
 
 
+def _trigger_roles_for(num_triggers: int) -> dict[str, set[str]]:
+    """Per event type, the trigger-role set for |R| = num_triggers
+    (EventType.triggers, config.py): pick the largest configured tier
+    ≤ |R| (reference clamps num_triggers to the available tiers,
+    arg_rel.py:283-289); tier 1 when guessing (< 1)."""
+    from ..config import CHFINANN_EVENT_TYPES
+
+    n = num_triggers if num_triggers >= 1 else 1
+    out: dict[str, set[str]] = {}
+    for et in CHFINANN_EVENT_TYPES:
+        tiers = getattr(et, "triggers", None) or {}
+        if not tiers:
+            continue
+        usable = [k for k in tiers if k <= n]
+        k = max(usable) if usable else min(tiers)
+        out[et.name] = set(tiers[k])
+    return out
+
+
+def _directed_trigger_adjacency(
+    span_fields: list[str | None],
+    span_sent_idxs: list[list[int]],
+    sent_types: list[set[str]],
+    num_triggers: int,
+) -> AdjMat:
+    """Deterministic directed trigger graph (build_directed_graph analog,
+    arg_rel.py:281-323): span i → span j iff i fills a trigger role of a
+    type cued in a shared sentence and j co-occurs there (diagonal set
+    for triggers, like the reference's self[trigger, trigger] = 1)."""
+    n = len(span_fields)
+    adj = [[0] * n for _ in range(n)]
+    roles_of = _trigger_roles_for(num_triggers)
+    by_sent: dict[int, list[int]] = {}
+    for i, sents in enumerate(span_sent_idxs):
+        for si in sents:
+            by_sent.setdefault(si, []).append(i)
+    for si, members in by_sent.items():
+        for et in sent_types[si] if si < len(sent_types) else set():
+            trig_roles = roles_of.get(et, set())
+            for i in members:
+                if any(field_matches(span_fields[i], r) for r in trig_roles):
+                    for j in members:
+                        adj[i][j] = 1
+    return adj
+
+
 def decode_doc(
     sentences: list[str],
     span_fields: list[str | None],
@@ -211,14 +257,21 @@ def decode_doc(
     type_keywords: dict[str, tuple[str, ...]] | None = None,
     max_paths: int = 256,
     exact_fields: bool = True,
+    num_triggers: int = -1,
+    min_conn: int = 1,
 ) -> dict[str, list[tuple[int | None, ...]]]:
     """Full per-document decode: event-type detection → combination
-    enumeration (cliques or EDAG expansion) → role assignment →
-    subset-dedup. Returns {event_type: [record tuples of span idx|None]}.
+    enumeration (cliques, trigger-graph combinations, or EDAG expansion)
+    → role assignment → subset-dedup. Returns
+    {event_type: [record tuples of span idx|None]}.
 
     ``span_sent_idxs[i]`` = sentence indices where span i is mentioned.
     A combination is typed by the sentence-keyword cues covering its
     members (deterministic analog of M5 + key-sentence detection A8).
+    Modes: "clique" (PTPCG BK), "trigger" (G6 full directed decode,
+    max_clique + left-trigger options, ``num_triggers`` |R| — guessing
+    mode when < 1), "trigger_incremental" (G7 absorb with ``min_conn``),
+    "edag", "greedy", "dcfee", "product".
     """
     mins = min_field_num or {}
     sent_types = detect_types_per_sentence(sentences, type_keywords)
@@ -306,8 +359,42 @@ def decode_doc(
                     out.setdefault(et, []).append(tuple(rec))
         return {et: _subset_dedup(recs) for et, recs in out.items()}
 
-    if mode == "clique":
-        cliques = max_cliques_bk(adj, min_num_arg=1) if span_fields else []
+    if mode in ("clique", "trigger", "trigger_incremental"):
+        if not span_fields:
+            cliques = []
+        elif mode in ("trigger", "trigger_incremental"):
+            # G6/G7 need a DIRECTED trigger→argument graph (the reference
+            # gets it from the trained scorer or the trigger-aware gold
+            # AdjMat, arg_rel.py:281-323). When the caller handed a
+            # symmetric adjacency (sentence/gold co-occurrence), derive
+            # the deterministic analog from the catalog's trigger roles:
+            # a span filling a trigger role of a type cued in its
+            # sentence points at every co-occurring span (incl. itself —
+            # the reference's trigger self-loop). An already-directed
+            # matrix (model-scored, adjacency="matrix") passes through.
+            d_adj = adj
+            if all(
+                adj[i][j] == adj[j][i]
+                for i in range(len(adj))
+                for j in range(i + 1, len(adj))
+            ):
+                d_adj = _directed_trigger_adjacency(
+                    span_fields, span_sent_idxs, sent_types, num_triggers
+                )
+            if mode == "trigger":
+                from .graph import directed_trigger_decode
+
+                cliques = directed_trigger_decode(
+                    d_adj, num_triggers, max_clique=True, with_left_trigger=True
+                )
+            else:
+                from .graph import directed_trigger_incremental_decode
+
+                cliques = directed_trigger_incremental_decode(
+                    d_adj, num_triggers, min_conn=min_conn
+                )
+        else:
+            cliques = max_cliques_bk(adj, min_num_arg=1)
         for clique in cliques:
             # candidate types = union of cues over the members' sentences
             cand: set[str] = set()

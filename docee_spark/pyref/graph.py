@@ -104,13 +104,131 @@ def connected_components(adj: AdjMat) -> list[tuple[int, ...]]:
     return comps
 
 
+def fold_and(adj: AdjMat) -> AdjMat:
+    """Directed → undirected by mutual agreement: out[i][j] = 1 iff
+    adj[i][j] == adj[j][i] == 1 (reference dee/utils.py:361-370). The
+    |R|>1 trigger decode runs its clique search on this folded graph."""
+    n = len(adj)
+    out = [[0] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i, n):
+            if adj[i][j] == 1 and adj[j][i] == 1:
+                out[i][j] = out[j][i] = 1
+    return out
+
+
+def directed_trigger_decode(
+    adj: AdjMat,
+    num_triggers: int,
+    self_loop: bool = False,
+    max_clique: bool = False,
+    with_left_trigger: bool = False,
+    with_all_one_trigger_comb: bool = False,
+) -> list[tuple[int, ...]]:
+    """G6 — full directed trigger-graph decode (PTPCG,
+    adj_decoding.py:174-262), all |R| paths and options:
+
+      * triggers = nodes with ≥1 out-edge; guessing mode when
+        num_triggers < 1 (|R| := #triggers);
+      * |R| = 1: each trigger + its successors is one combination;
+      * |R| > 1: ``fold_and`` the graph, enumerate trigger cliques of
+        size 2..|R| (Bron–Kerbosch maximal cliques when ``max_clique``,
+        else ALL complete subgraphs), and emit
+        clique ∪ ⋂ successors(clique members);
+      * ``with_left_trigger``: triggers unused by any clique fall back
+        to their |R|=1 combination;
+      * ``with_all_one_trigger_comb``: additionally every trigger with
+        its NON-trigger successors;
+      * ``self_loop``: count diagonal 1-entries as successors.
+
+    Deterministic re-implementation from the documented behavior (the
+    reference's BK uses a random pivot; same clique set, fixed order
+    here). Output: size-desc sorted tuples, first-seen dedup."""
+    nbrs = neighbours(adj, self_loop=self_loop)
+    triggers = {u for u, vs in nbrs.items() if vs}
+    if num_triggers < 1:
+        num_triggers = len(triggers)
+
+    combs: list[set[int]] = []
+
+    def add(comb: set[int]) -> None:
+        if comb and comb not in combs:
+            combs.append(comb)
+
+    if num_triggers == 1:
+        for v in sorted(triggers):
+            add({v} | nbrs[v])
+    else:
+        folded = fold_and(adj)
+        finder = max_cliques_bk if max_clique else max_cliques_bruteforce
+        trigger_combs = [
+            tc for tc in finder(folded, 2) if len(tc) <= num_triggers
+        ]
+        used: set[int] = set()
+        for tc in trigger_combs:
+            used |= set(tc)
+            succ = set.intersection(*(nbrs[v] for v in tc))
+            add(set(tc) | succ)
+        if with_left_trigger:
+            for v in sorted(triggers - used):
+                add({v} | nbrs[v])
+        if with_all_one_trigger_comb:
+            for v in sorted(triggers):
+                add({v} | {u for u in nbrs[v] if u not in triggers})
+
+    out = [tuple(sorted(c)) for c in combs]
+    out.sort(key=len, reverse=True)
+    return out
+
+
+def directed_trigger_incremental_decode(
+    adj: AdjMat, num_triggers: int, min_conn: int = 1
+) -> list[tuple[int, ...]]:
+    """G7 — incremental trigger decode (adj_decoding.py:265-319): start
+    from each trigger, absorb its NON-trigger successors (leaves), then
+    absorb each trigger successor that shares ≥ min_conn of those
+    non-trigger neighbours with the current combination. |R|=1 reduces to
+    the plain trigger+successors form; guessing mode when
+    num_triggers < 1 (|R| := #triggers)."""
+    nbrs = neighbours(adj)
+    triggers = {u for u, vs in nbrs.items() if vs}
+    if num_triggers < 1:
+        num_triggers = len(triggers)
+
+    combs: list[set[int]] = []
+
+    def add(comb: set[int]) -> None:
+        if comb and comb not in combs:
+            combs.append(comb)
+
+    if num_triggers == 1:
+        for v in sorted(triggers):
+            add({v} | nbrs[v])
+    else:
+        for v in sorted(triggers):
+            comb = {v}
+            non_trigger = {u for u in nbrs[v] if not nbrs[u]}
+            comb |= non_trigger
+            for u in sorted(u for u in nbrs[v] if nbrs[u]):
+                if len(nbrs[u] & non_trigger) >= min_conn:
+                    comb.add(u)
+            add(comb)
+
+    out = [tuple(sorted(c)) for c in combs]
+    out.sort(key=len, reverse=True)
+    return out
+
+
 def trigger_graph_decode(
     adj: AdjMat, trigger_nodes: list[int], min_conn: int = 1
 ) -> list[tuple[int, ...]]:
-    """Directed trigger-graph decoding, |R|=1 semantics
-    (adj_decoding.py:174-220): each trigger node together with its
-    out-neighbours forms one candidate combination; combinations that are
-    subsets of another are dropped (instance-dedup, dee_task.py:1340-1356)."""
+    """Directed trigger-graph decoding, |R|=1 semantics with an explicit
+    trigger set (adj_decoding.py:174-220): each trigger node together
+    with its out-neighbours forms one candidate combination; combinations
+    that are subsets of another are dropped (instance-dedup,
+    dee_task.py:1340-1356). For the full option surface (|R|>1 cliques,
+    left triggers, …) use ``directed_trigger_decode``; for the absorb
+    variant use ``directed_trigger_incremental_decode``."""
     nbrs = neighbours(adj)
     combos = []
     for t in sorted(trigger_nodes):

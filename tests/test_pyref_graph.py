@@ -100,3 +100,138 @@ def test_worst_case_bounded():
     # complete graph K12: one clique, decoded quickly
     adj = _adj(12, [(i, j) for i in range(12) for j in range(i + 1, 12)])
     assert max_cliques_bk(adj, 1) == [tuple(range(12))]
+
+
+class TestDirectedTriggerDecodeFull:
+    """G6 goldens ported from the reference's own test suite
+    (tests/modules/test_adj_decoding.py:240-313)."""
+
+    # the revealed directed adjacency of the reference's two-event doc
+    # (AdjMat(..., trigger_aware_graph=True, num_triggers=2).tolist(-1))
+    REF_ADJ = [
+        [-1, 0, 0, 0, 0, 0, 0],
+        [1, -1, 1, 1, 0, 0, 0],
+        [0, 0, -1, 0, 0, 0, 0],
+        [1, 1, 1, -1, 0, 0, 0],
+        [0, 0, 0, 0, -1, 0, 0],
+        [0, 0, 1, 1, 1, -1, 1],
+        [0, 0, 1, 1, 1, 1, -1],
+    ]
+
+    def test_reference_two_trigger_golden(self):
+        from docee_spark.pyref.graph import directed_trigger_decode
+
+        assert directed_trigger_decode(self.REF_ADJ, 2) == [
+            (2, 3, 4, 5, 6),
+            (0, 1, 2, 3),
+        ]
+
+    COMPLEX_ADJ = [
+        [0, 0, 0, 0, 0, 0, 0, 0],
+        [0, 0, 0, 0, 1, 1, 1, 0],
+        [0, 0, 0, 1, 1, 1, 1, 0],
+        [0, 0, 1, 0, 0, 1, 1, 1],
+        [0, 0, 0, 0, 0, 0, 0, 0],
+        [0, 0, 0, 0, 0, 0, 0, 0],
+        [0, 0, 0, 0, 0, 0, 0, 0],
+        [0, 0, 0, 0, 0, 0, 0, 0],
+    ]
+
+    def test_reference_complex_option_matrix(self):
+        from docee_spark.pyref.graph import directed_trigger_decode
+
+        got = directed_trigger_decode(
+            self.COMPLEX_ADJ, 2, max_clique=True,
+            with_left_trigger=True, with_all_one_trigger_comb=True,
+        )
+        assert set(got) == {(2, 3, 5, 6), (1, 4, 5, 6), (2, 4, 5, 6), (3, 5, 6, 7)}
+
+        got = directed_trigger_decode(
+            self.COMPLEX_ADJ, 2, max_clique=True,
+            with_left_trigger=True, with_all_one_trigger_comb=False,
+        )
+        assert set(got) == {(2, 3, 5, 6), (1, 4, 5, 6)}
+
+        got = directed_trigger_decode(
+            self.COMPLEX_ADJ, 2, max_clique=True,
+            with_left_trigger=False, with_all_one_trigger_comb=False,
+        )
+        assert set(got) == {(2, 3, 5, 6)}
+
+    def test_guessing_mode_counts_triggers(self):
+        from docee_spark.pyref.graph import directed_trigger_decode
+
+        # num_triggers < 1 → |R| = #nodes-with-out-edges (here 3: 1,2,3)
+        got = directed_trigger_decode(
+            self.COMPLEX_ADJ, -1, max_clique=True, with_left_trigger=True
+        )
+        assert set(got) == {(2, 3, 5, 6), (1, 4, 5, 6)}
+
+    def test_bf_vs_bk_trigger_cliques_agree_on_maximal(self):
+        from docee_spark.pyref.graph import directed_trigger_decode
+
+        bf = directed_trigger_decode(self.COMPLEX_ADJ, 2, max_clique=False)
+        bk = directed_trigger_decode(self.COMPLEX_ADJ, 2, max_clique=True)
+        # BF enumerates all complete subgraphs (may add more combs);
+        # every BK comb must also be found by BF
+        assert set(bk) <= set(bf)
+
+    def test_self_loop_counts_diagonal(self):
+        from docee_spark.pyref.graph import directed_trigger_decode
+
+        adj = [[1, 1], [0, 0]]
+        no_loop = directed_trigger_decode(adj, 1, self_loop=False)
+        with_loop = directed_trigger_decode(adj, 1, self_loop=True)
+        assert no_loop == [(0, 1)] and with_loop == [(0, 1)]
+        adj_only_diag = [[1, 0], [0, 0]]
+        assert directed_trigger_decode(adj_only_diag, 1, self_loop=False) == []
+        assert directed_trigger_decode(adj_only_diag, 1, self_loop=True) == [(0,)]
+
+
+class TestIncrementalTriggerDecode:
+    def test_absorbs_trigger_sharing_min_conn_neighbours(self):
+        from docee_spark.pyref.graph import directed_trigger_incremental_decode
+
+        # trigger 0 → {1, 2, 3}; trigger 1 → {2, 3, 4}.
+        # from 0: leaves {2,3}; successor-trigger 1 shares both leaves
+        # (≥ min_conn=2) → absorbed.
+        adj = [
+            [0, 1, 1, 1, 0],
+            [0, 0, 1, 1, 1],
+            [0] * 5,
+            [0] * 5,
+            [0] * 5,
+        ]
+        got = directed_trigger_incremental_decode(adj, 2, min_conn=2)
+        assert (0, 1, 2, 3) in got
+        assert (1, 2, 3, 4) in got
+
+    def test_min_conn_blocks_absorption(self):
+        from docee_spark.pyref.graph import directed_trigger_incremental_decode
+
+        # successor-trigger 1 shares only one leaf (2) with 0's comb
+        adj = [
+            [0, 1, 1, 0, 0],
+            [0, 0, 1, 0, 1],
+            [0] * 5,
+            [0] * 5,
+            [0] * 5,
+        ]
+        got = directed_trigger_incremental_decode(adj, 2, min_conn=2)
+        assert (0, 2) in got          # trigger 1 NOT absorbed
+        got_loose = directed_trigger_incremental_decode(adj, 2, min_conn=1)
+        assert (0, 1, 2) in got_loose  # with min_conn=1 it is
+
+    def test_r1_reduces_to_plain_successors(self):
+        from docee_spark.pyref.graph import directed_trigger_incremental_decode
+
+        adj = [[0, 1, 1], [0] * 3, [0] * 3]
+        assert directed_trigger_incremental_decode(adj, 1) == [(0, 1, 2)]
+
+
+class TestFoldAnd:
+    def test_mutual_edges_only(self):
+        from docee_spark.pyref.graph import fold_and
+
+        adj = [[0, 1, 1], [1, 0, 0], [0, 0, 0]]
+        assert fold_and(adj) == [[0, 1, 0], [1, 0, 0], [0, 0, 0]]
