@@ -526,6 +526,43 @@ def q_docee_vertices(spark, sf):
     ].select("entity_id", "surface", "n_mentions")
 
 
+def q_docee_adj_metrics(spark, sf):
+    """A5 — adjacency/connection/trigger metrics (dee/metrics.py:310-399)
+    comparing the deterministic sentence-adjacency 'prediction' against
+    the gold record-revealed adjacency, on the fixture corpus. Matrices
+    are built row-locally in one Arrow UDF; the metric itself is a single
+    relational aggregation (stages.evaluate.adjacency_stats)."""
+    from docee_spark.stages.evaluate import adjacency_stats
+
+    _, gold = _fixture_webtext_and_gold(spark)
+
+    def build(batches):
+        import pandas as pd
+
+        from docee_spark.stages.decode import _gold_adjacency, _sentence_adjacency
+
+        for pdf in batches:
+            rows = []
+            for spans, events in zip(pdf["spans"], pdf["events"]):
+                span_texts = [s["text"] for s in spans]
+                span_sents = [
+                    sorted({d["sent_idx"] for d in s["dranges"]}) for s in spans
+                ]
+                n = len(span_texts)
+                rows.append(
+                    {
+                        "pred_adj": _sentence_adjacency(n, span_sents),
+                        "gold_adj": _gold_adjacency(n, span_texts, events),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["pred_adj", "gold_adj"])
+
+    mats = gold.select("spans", "events").mapInPandas(
+        build, schema="pred_adj array<array<int>>, gold_adj array<array<int>>"
+    )
+    return adjacency_stats(mats)
+
+
 def q_docee_eval_rollup(spark, sf):
     """Reference-metric rollup (A1): per-role/type/overall TP/FP/FN +
     P/R/F1 from the gold-mode pipeline (greedy matching J2 inside).
@@ -546,6 +583,17 @@ def q_docee_eval_rollup(spark, sf):
         F.floor(F.col("recall") * 10000).cast("long").alias("recall_e4"),
         F.floor(F.col("f1") * 10000).cast("long").alias("f1_e4"),
     )
+
+
+def q_docee_eval_report(spark, sf):
+    """Single-vs-multi evaluation report (reference print_eval tail):
+    per-slice per-type micro P/R/F1 + micro/macro totals."""
+    from docee_spark.stages.evaluate import single_vs_multi_report
+    from docee_spark.stages.pipeline import run_pipeline
+
+    web, gold = _fixture_webtext_and_gold(spark)
+    res = run_pipeline(web, gold=gold, mode="clique", adjacency="gold")
+    return single_vs_multi_report(res["stats"], gold)
 
 
 def q_docee_trigger_importance(spark, sf):
@@ -609,7 +657,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docee_triples_trigger_inc": q_docee_triples_trigger_inc,
         "docee_triples_model": q_docee_triples_model,
         "docee_vertices": q_docee_vertices,
+        "docee_adj_metrics": q_docee_adj_metrics,
         "docee_eval_rollup": q_docee_eval_rollup,
+        "docee_eval_report": q_docee_eval_report,
         "docee_trigger_importance": q_docee_trigger_importance,
         "docee_dataset_stats": q_docee_dataset_stats,
         "docee_key_sentences": q_docee_key_sentences,
@@ -931,6 +981,56 @@ from m
 """
 
 
+def _docee_eval_report_sql() -> str:
+    prf = """
+    case when tp + fp > 0 then tp / cast(tp + fp as double) else 0.0 end as p,
+    case when tp + fn > 0 then tp / cast(tp + fn as double) else 0.0 end as r
+"""
+    e4 = """
+  cast(floor(p * 10000) as bigint) as precision_e4,
+  cast(floor(r * 10000) as bigint) as recall_e4,
+  cast(floor(case when p + r > 0 then 2 * p * r / (p + r) else 0.0 end * 10000) as bigint) as f1_e4
+"""
+    return f"""
+with cls as (
+  select doc_id, case when n_events > 1 then 'multi' else 'single' end as subset
+  from read_parquet('{{g}}/gold_docs.parquet')
+),
+st as (
+  select s.*, c.subset
+  from read_parquet('{{g}}/eval_stats.parquet') s join cls c using (doc_id)
+),
+per_type as (
+  select subset, event_type,
+         cast(sum(tp) as bigint) as tp, cast(sum(fp) as bigint) as fp,
+         cast(sum(fn) as bigint) as fn
+  from st group by 1, 2
+),
+per as (select *, {prf} from per_type),
+pt as (select subset, event_type, tp, fp, fn, {e4} from per),
+micro_base as (
+  select subset, 'TOTAL_MICRO' as event_type,
+         cast(sum(tp) as bigint) as tp, cast(sum(fp) as bigint) as fp,
+         cast(sum(fn) as bigint) as fn
+  from st group by 1
+),
+micro_p as (select *, {prf} from micro_base),
+micro as (select subset, event_type, tp, fp, fn, {e4} from micro_p),
+macro as (
+  select subset, 'TOTAL_MACRO' as event_type,
+         cast(null as bigint) as tp, cast(null as bigint) as fp,
+         cast(null as bigint) as fn,
+         cast(floor(avg(precision_e4)) as bigint) as precision_e4,
+         cast(floor(avg(recall_e4)) as bigint) as recall_e4,
+         cast(floor(avg(f1_e4)) as bigint) as f1_e4
+  from pt group by subset
+)
+select * from pt
+union all select * from micro
+union all select * from macro
+"""
+
+
 def _docee_trigger_importance_sql() -> str:
     return """
 with inst as (
@@ -1030,7 +1130,9 @@ def oracle_sql() -> dict[str, str]:
         "docee_triples_trigger_inc": _docee_triples_sql("trigger_inc"),
         "docee_triples_model": _docee_triples_sql("model"),
         "docee_vertices": _docee_vertices_sql(),
+        "docee_adj_metrics": "select * from read_parquet('{g}/adj_metrics.parquet')",
         "docee_eval_rollup": _docee_eval_rollup_sql(),
+        "docee_eval_report": _docee_eval_report_sql(),
         "docee_trigger_importance": _docee_trigger_importance_sql(),
         "docee_dataset_stats": _docee_dataset_stats_sql(),
         "docee_key_sentences": _docee_key_sentences_sql(),

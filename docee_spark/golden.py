@@ -40,7 +40,7 @@ import pyarrow.parquet as pq
 
 from .config import CHFINANN_EVENT_TYPES, MAX_SENT_LEN, MAX_SENT_NUM, label_index
 
-VERSION = "v3"  # v2: + triples_model (M1); v3: + trigger decode modes (G6/G7)
+VERSION = "v4"  # v2: +triples_model; v3: +trigger modes; v4: +adj_metrics (A5)
 N_DOCS = 120
 SEED = 7
 
@@ -404,8 +404,72 @@ def ensure_golden(force: bool = False) -> str:
             os.path.join(GOLDEN_DIR, f"triples_{mode}.parquet"), rows
         )
 
+    _write_adj_metrics(gold_rows)
+
     tmp = manifest_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(want, f)
     os.replace(tmp, manifest_path)
     return GOLDEN_DIR
+
+
+def _write_adj_metrics(gold_rows: list[dict]) -> None:
+    """Python twin of stages.evaluate.adjacency_stats over the fixture
+    corpus (pred = sentence adjacency, gold = record-revealed adjacency),
+    with the reference's per-doc edge-set semantics (metrics.py:310-399)."""
+    from .stages.decode import _gold_adjacency, _sentence_adjacency
+
+    def edges(adj):
+        return {
+            (i, j)
+            for i in range(len(adj))
+            for j in range(len(adj))
+            if adj[i][j] == 1 and i != j
+        }
+
+    n_docs = exact = 0
+    conn = [0, 0, 0]
+    trig = [0, 0, 0]
+    for g in gold_rows:
+        spans = g["spans"]
+        span_texts = [s["text"] for s in spans]
+        span_sents = [sorted({d["sent_idx"] for d in s["dranges"]}) for s in spans]
+        n = len(span_texts)
+        pe = edges(_sentence_adjacency(n, span_sents))
+        ge = edges(_gold_adjacency(n, span_texts, g["events"]))
+        n_docs += 1
+        exact += int(pe == ge)
+        conn[0] += len(pe & ge)
+        conn[1] += len(pe - ge)
+        conn[2] += len(ge - pe)
+        pt = {i for i, _ in pe}
+        gt = {i for i, _ in ge}
+        trig[0] += len(pt & gt)
+        trig[1] += len(pt - gt)
+        trig[2] += len(gt - pt)
+
+    import math
+
+    def prf_e4(tp, fp, fn):
+        p = tp / (tp + fp) if tp + fp else 0.0
+        r = tp / (tp + fn) if tp + fn else 0.0
+        f1 = 2 * p * r / (p + r) if p + r else 0.0
+        return [int(math.floor(x * 10000)) for x in (p, r, f1)]
+
+    row = {
+        "n_docs": n_docs,
+        "exact_acc_e4": int(math.floor(exact * 10000 / n_docs)),
+        "conn_tp": conn[0],
+        "conn_fp": conn[1],
+        "conn_fn": conn[2],
+    }
+    for k, v in zip(("conn_precision_e4", "conn_recall_e4", "conn_f1_e4"), prf_e4(*conn)):
+        row[k] = v
+    row.update({"trig_tp": trig[0], "trig_fp": trig[1], "trig_fn": trig[2]})
+    for k, v in zip(("trig_precision_e4", "trig_recall_e4", "trig_f1_e4"), prf_e4(*trig)):
+        row[k] = v
+    pq.write_table(
+        pa.table({k: [v] for k, v in row.items()},
+                 schema=pa.schema([(k, pa.int64()) for k in row])),
+        os.path.join(GOLDEN_DIR, "adj_metrics.parquet"),
+    )

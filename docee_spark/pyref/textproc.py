@@ -116,3 +116,90 @@ def ratio_span_is_complete(sentence: str, char_s: int) -> bool:
     like "50%" preceded immediately by a digit is an incomplete ratio
     annotation and must be dropped."""
     return not (char_s > 0 and sentence[char_s - 1].isdigit())
+
+
+# --- J4: predicted-span snapping to regex extractions (fix_ent) -------------
+
+_REGEX_TYPES = frozenset(("share", "ratio", "date", "money"))
+
+
+def _overlaps_prefix_or_suffix(part: str, whole: str) -> bool:
+    """The reference's _is_overlapping (dee/modules/doc_info.py:192-193):
+    part is a prefix or a suffix of whole."""
+    return part == whole[: len(part)] or part == whole[len(whole) - len(part):]
+
+
+def fix_ent_spans(
+    sentences: list[str], spans: list[dict], mode: str = "n"
+) -> list[dict]:
+    """J4 — snap predicted regex-typed spans to the document's regex
+    extractions (reference fix_ent, dee/modules/doc_info.py:196-254):
+
+      * mode "n": no fixing — spans returned untouched;
+      * per mention of a span whose (exact or coarse) field maps to a
+        regex type: an exact same-sentence regex match keeps the mention;
+        otherwise mode "f" snaps prefix/suffix-overlapping mentions to the
+        full regex entity (falling back to the original when nothing
+        overlaps), and mode "-" drops the unmatched mention;
+      * non-regex-typed mentions always pass through;
+      * result re-grouped by surface (first-seen field), dranges sorted.
+
+    ``spans``: tag-stage records {text, field, dranges:[{sent_idx,
+    char_s, char_e}]}.
+    """
+    if mode == "n":
+        return spans
+    if mode not in ("-", "f"):
+        raise ValueError(f"unknown ent_fix_mode: {mode}")
+    from ..config import FIELD2REGEX_TYPE
+
+    extracted = extract_doc(sentences)
+    by_type_sent: dict[tuple[str, int], list[tuple[str, tuple[int, int, int]]]] = {}
+    for typ, matches in extracted.items():
+        for text, dr in matches:
+            by_type_sent.setdefault((typ, dr[0]), []).append((text, dr))
+
+    merged: dict[str, dict] = {}
+
+    def add(text: str, field: str | None, dr: tuple[int, int, int]) -> None:
+        ent = merged.setdefault(text, {"text": text, "field": field, "dranges": set()})
+        ent["dranges"].add(dr)
+
+    for sp in spans:
+        field = sp["field"]
+        typ = FIELD2REGEX_TYPE.get(field, field if field in _REGEX_TYPES else None)
+        for d in sp["dranges"]:
+            dr = (d["sent_idx"], d["char_s"], d["char_e"])
+            if typ is None:
+                add(sp["text"], field, dr)
+                continue
+            same_sent = by_type_sent.get((typ, dr[0]), [])
+            if any(text == sp["text"] for text, _ in same_sent):
+                add(sp["text"], field, dr)
+                continue
+            if mode == "-":
+                continue  # unmatched regex-typed mention dropped
+            snapped = next(
+                (
+                    (text, edr)
+                    for text, edr in same_sent
+                    if _overlaps_prefix_or_suffix(sp["text"], text)
+                ),
+                None,
+            )
+            if snapped is not None:
+                add(snapped[0], field, snapped[1])
+            else:
+                add(sp["text"], field, dr)
+
+    return [
+        {
+            "text": ent["text"],
+            "field": ent["field"],
+            "dranges": [
+                {"sent_idx": a, "char_s": b, "char_e": c}
+                for a, b, c in sorted(ent["dranges"])
+            ],
+        }
+        for ent in merged.values()
+    ]

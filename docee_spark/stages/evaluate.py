@@ -216,6 +216,169 @@ def entity_stats(pred_spans: DataFrame, gold_spans: DataFrame) -> DataFrame:
     return _prf1_cols(agg)
 
 
+def single_vs_multi_report(stats: DataFrame, gold: DataFrame) -> DataFrame:
+    """The reference's single-vs-multi evaluation report
+    (dee/helper/__init__.py:595-723, print_eval.py:370-399): documents
+    split by is_multi_event (>1 gold records); per slice one row per
+    event type (micro P/R/F1 from the role-stats sums), a slice micro
+    total (event_type = 'TOTAL_MICRO'), and the macro average of the
+    per-type scores (event_type = 'TOTAL_MACRO', computed over the
+    integerized per-type scores so the average is engine-portable).
+    Scores ×10⁴ floored; all relational — two groupBys over role stats.
+    """
+    cls = gold.select(
+        F.col("guid").alias("doc_id"),
+        F.when(F.size("events") > 1, F.lit("multi"))
+        .otherwise(F.lit("single"))
+        .alias("subset"),
+    )
+    st = stats.join(cls, "doc_id")
+
+    def prf_e4_cols(df: DataFrame) -> DataFrame:
+        df = _prf1_cols(df)
+        return df.select(
+            "subset",
+            "event_type",
+            "tp",
+            "fp",
+            "fn",
+            F.floor(F.col("precision") * 10000).cast("long").alias("precision_e4"),
+            F.floor(F.col("recall") * 10000).cast("long").alias("recall_e4"),
+            F.floor(F.col("f1") * 10000).cast("long").alias("f1_e4"),
+        )
+
+    per_type = prf_e4_cols(
+        st.groupBy("subset", "event_type").agg(
+            F.sum("tp").alias("tp"), F.sum("fp").alias("fp"), F.sum("fn").alias("fn")
+        )
+    )
+    micro = prf_e4_cols(
+        st.groupBy("subset")
+        .agg(
+            F.sum("tp").alias("tp"), F.sum("fp").alias("fp"), F.sum("fn").alias("fn")
+        )
+        .withColumn("event_type", F.lit("TOTAL_MICRO"))
+    )
+    macro = per_type.groupBy("subset").agg(
+        F.lit("TOTAL_MACRO").alias("event_type"),
+        F.lit(None).cast("long").alias("tp"),
+        F.lit(None).cast("long").alias("fp"),
+        F.lit(None).cast("long").alias("fn"),
+        F.floor(F.avg("precision_e4")).cast("long").alias("precision_e4"),
+        F.floor(F.avg("recall_e4")).cast("long").alias("recall_e4"),
+        F.floor(F.avg("f1_e4")).cast("long").alias("f1_e4"),
+    )
+    return per_type.unionByName(micro.select(*per_type.columns)).unionByName(
+        macro.select(*per_type.columns)
+    )
+
+
+def _edge_set(adj_col):
+    """array<array<int>> adjacency → array<struct<i,j>> of directed
+    off-diagonal 1-edges (build_single_element_connections analog,
+    adj_decoding.py:9-25) — all higher-order functions, no Python."""
+    return F.flatten(
+        F.transform(
+            adj_col,
+            lambda row, i: F.transform(
+                F.filter(
+                    F.transform(
+                        row,
+                        lambda v, j: F.struct(
+                            i.alias("i"), j.alias("j"), v.alias("v")
+                        ),
+                    ),
+                    lambda s: (s["v"] == 1) & (s["i"] != s["j"]),
+                ),
+                lambda s: F.struct(s["i"].alias("i"), s["j"].alias("j")),
+            ),
+        )
+    )
+
+
+def adjacency_stats(
+    df: DataFrame, pred_col: str = "pred_adj", gold_col: str = "gold_adj"
+) -> DataFrame:
+    """A5 — adjacency / connection / trigger metrics as ONE relational
+    aggregation (reference dee/metrics.py:310-399):
+
+      * exact-match accuracy: pred ≡ gold with the diagonal ignored
+        (get_adj_mat_acc zeroes it);
+      * connection micro P/R/F1 over directed off-diagonal edge sets;
+      * trigger-identification micro P/R/F1 over the sets of nodes with
+        ≥1 out-edge.
+
+    Input: one row per document with two array<array<int>> matrices.
+    Everything is codegen'd set algebra (array_intersect/except) + one
+    partial-aggregated sum — no driver-side matrix loop like the
+    reference. Scores ×10⁴ floored."""
+    pe = _edge_set(F.col(pred_col))
+    ge = _edge_set(F.col(gold_col))
+    per_doc = df.select(
+        F.size(F.array_intersect(pe, ge)).alias("conn_tp"),
+        F.size(F.array_except(pe, ge)).alias("conn_fp"),
+        F.size(F.array_except(ge, pe)).alias("conn_fn"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(F.transform(pe, lambda s: s["i"])),
+                F.array_distinct(F.transform(ge, lambda s: s["i"])),
+            )
+        ).alias("trig_tp"),
+        F.size(
+            F.array_except(
+                F.array_distinct(F.transform(pe, lambda s: s["i"])),
+                F.array_distinct(F.transform(ge, lambda s: s["i"])),
+            )
+        ).alias("trig_fp"),
+        F.size(
+            F.array_except(
+                F.array_distinct(F.transform(ge, lambda s: s["i"])),
+                F.array_distinct(F.transform(pe, lambda s: s["i"])),
+            )
+        ).alias("trig_fn"),
+        (
+            (F.size(F.array_except(pe, ge)) == 0)
+            & (F.size(F.array_except(ge, pe)) == 0)
+            & (F.size(F.col(pred_col)) == F.size(F.col(gold_col)))
+        )
+        .cast("int")
+        .alias("exact"),
+    )
+
+    def prf_e4(tp, fp, fn, prefix):
+        p = F.when(tp + fp > 0, tp / (tp + fp)).otherwise(F.lit(0.0))
+        r = F.when(tp + fn > 0, tp / (tp + fn)).otherwise(F.lit(0.0))
+        f1 = F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(F.lit(0.0))
+        return [
+            F.floor(p * 10000).cast("long").alias(f"{prefix}_precision_e4"),
+            F.floor(r * 10000).cast("long").alias(f"{prefix}_recall_e4"),
+            F.floor(f1 * 10000).cast("long").alias(f"{prefix}_f1_e4"),
+        ]
+
+    agg = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.floor(F.sum("exact") * 10000 / F.count("*")).alias("exact_acc_e4"),
+        *[
+            F.sum(c).alias(c)
+            for c in ("conn_tp", "conn_fp", "conn_fn", "trig_tp", "trig_fp", "trig_fn")
+        ],
+    )
+    conn = [F.col("conn_tp"), F.col("conn_fp"), F.col("conn_fn")]
+    trig = [F.col("trig_tp"), F.col("trig_fp"), F.col("trig_fn")]
+    return agg.select(
+        "n_docs",
+        "exact_acc_e4",
+        "conn_tp",
+        "conn_fp",
+        "conn_fn",
+        *prf_e4(*conn, "conn"),
+        "trig_tp",
+        "trig_fp",
+        "trig_fn",
+        *prf_e4(*trig, "trig"),
+    )
+
+
 def micro_scores(stats: DataFrame) -> dict[str, float]:
     """Driver-side convenience: the single micro P/R/F1 triple."""
     row = (

@@ -114,6 +114,7 @@ def run_pipeline(
     fused: bool | str = False,
     langs: tuple[str, ...] | None = None,
     model=None,
+    rearrange_max_len: int | None = None,
 ) -> dict[str, DataFrame]:
     """webtext (+optional gold) → {docs, tagged, decoded, triples,
     vertices, edges[, stats]}.
@@ -191,8 +192,10 @@ def run_pipeline(
         if model is not None:
             return tag_model(bucketed, model)
         if gold is not None and entity_dict is None:
-            return tag_gold(bucketed, gold)
-        return tag_heuristic(bucketed, entity_dict or {})
+            return tag_gold(bucketed, gold, rearrange_max_len=rearrange_max_len)
+        return tag_heuristic(
+            bucketed, entity_dict or {}, rearrange_max_len=rearrange_max_len
+        )
 
     tagged = staged("tag", build_tagged)
     nonempty = drop_empty_span_docs(tagged)

@@ -98,10 +98,48 @@ def _merge_regex_spans(sentences, spans, taken):
     return merged
 
 
-def tag_heuristic(docs: DataFrame, entity_dict: dict[str, str]) -> DataFrame:
+def _rearranged(sents: list[str], spans: list[dict], max_len: int):
+    """T2 — split long sentences on secondary punctuation (never inside a
+    span), greedily re-merge, remap every drange (pyref.rearrange;
+    reference dee/helper/dee.py:242-347). → (new_sents, new_spans,
+    n_new_sentences - n_old_sentences)."""
+    from ..pyref.rearrange import rearrange_sentences
+
+    tuples = [
+        (
+            s["text"],
+            s["field"],
+            [(d["sent_idx"], d["char_s"], d["char_e"]) for d in s["dranges"]],
+        )
+        for s in spans
+    ]
+    new_sents, new_tuples = rearrange_sentences(sents, tuples, max_len=max_len)
+    new_spans = [
+        {
+            "text": t,
+            "field": f,
+            "dranges": [
+                {"sent_idx": a, "char_s": b, "char_e": c} for a, b, c in drs
+            ],
+        }
+        for t, f, drs in new_tuples
+    ]
+    return new_sents, new_spans, len(new_sents) - len(sents)
+
+
+def tag_heuristic(
+    docs: DataFrame,
+    entity_dict: dict[str, str],
+    rearrange_max_len: int | None = None,
+) -> DataFrame:
     """Dictionary + regex tagger. ``entity_dict``: surface → field; it is
     closed over and shipped once per task via Arrow (small: broadcast-dict
-    resolution for big dictionaries lives in canonicalize)."""
+    resolution for big dictionaries lives in canonicalize).
+
+    ``rearrange_max_len`` enables T2 sentence re-arrangement after
+    tagging (found spans protected, dranges remapped); the rearranged
+    sentences replace the ``sentences`` column and the per-doc piece
+    delta is counted in ``n_sents_rearranged``."""
     spark = docs.sparkSession
     bc = spark.sparkContext.broadcast(entity_dict)
 
@@ -109,15 +147,32 @@ def tag_heuristic(docs: DataFrame, entity_dict: dict[str, str]) -> DataFrame:
         surfaces = bc.value
         for pdf in batches:
             spans_col = []
+            sents_col = []
+            delta_col = []
             for sentences in pdf["sentences"]:
                 sents = list(sentences)
                 spans, taken = _find_dict_spans(sents, surfaces)
                 spans = _merge_regex_spans(sents, spans, taken)
+                delta = 0
+                if rearrange_max_len:
+                    sents, spans, delta = _rearranged(
+                        sents, spans, rearrange_max_len
+                    )
                 spans_col.append(spans)
-            yield pdf.assign(spans=spans_col)
+                sents_col.append(sents)
+                delta_col.append(delta)
+            out = pdf.assign(spans=spans_col)
+            if rearrange_max_len:
+                out = out.assign(sentences=sents_col, n_sents_rearranged=delta_col)
+            yield out
 
     out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in docs.schema.fields)
-    return docs.mapInPandas(run, schema=out_schema + ", " + _SPANS_FIELD)
+    out_schema += ", " + _SPANS_FIELD
+    if rearrange_max_len:
+        # schema order must track the pandas assign order (position-based
+        # Arrow conversion): spans first, then the rearrangement counter
+        out_schema += ", n_sents_rearranged int"
+    return docs.mapInPandas(run, schema=out_schema)
 
 
 # per-executor-process model cache: one deserialization per (process,
@@ -142,7 +197,7 @@ def _tagger_from_broadcast(bc):
     return tagger
 
 
-def tag_model(docs: DataFrame, model) -> DataFrame:
+def tag_model(docs: DataFrame, model, ent_fix_mode: str = "n") -> DataFrame:
     """M1 — the trained-model tagger in the mapInPandas slot (reference
     dee/modules/ner_model.py:156-228 shape): a batched numpy char tagger
     (hashed-window emissions + constrained Viterbi; model/char_tagger.py).
@@ -151,7 +206,11 @@ def tag_model(docs: DataFrame, model) -> DataFrame:
     deserializes them a single time (module cache keyed by broadcast id)
     and then only does vectorized batch inference — the iterator-UDF
     pattern, model loaded outside the batch loop. ``model``: a CharTagger
-    or its to_arrays() dict."""
+    or its to_arrays() dict.
+
+    ``ent_fix_mode`` (J4, reference fix_ent doc_info.py:196-254): "n" no
+    snapping, "f" snap regex-typed predictions to overlapping regex
+    extractions, "-" drop regex-typed predictions with no exact match."""
     spark = docs.sparkSession
     arrays = model.to_arrays() if hasattr(model, "to_arrays") else dict(model)
     bc = spark.sparkContext.broadcast(arrays)
@@ -159,9 +218,13 @@ def tag_model(docs: DataFrame, model) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tagger = _tagger_from_broadcast(bc)  # once per worker, not per batch
         for pdf in batches:
-            spans_col = [
-                tagger.doc_spans(list(sentences)) for sentences in pdf["sentences"]
-            ]
+            spans_col = []
+            for sentences in pdf["sentences"]:
+                sents = list(sentences)
+                spans = tagger.doc_spans(sents)
+                if ent_fix_mode != "n":
+                    spans = textproc.fix_ent_spans(sents, spans, ent_fix_mode)
+                spans_col.append(spans)
             yield pdf.assign(spans=spans_col)
 
     out_schema = ", ".join(
@@ -170,10 +233,17 @@ def tag_model(docs: DataFrame, model) -> DataFrame:
     return docs.mapInPandas(run, schema=out_schema + ", " + _SPANS_FIELD)
 
 
-def tag_gold(docs: DataFrame, gold: DataFrame) -> DataFrame:
+def tag_gold(
+    docs: DataFrame, gold: DataFrame, rearrange_max_len: int | None = None
+) -> DataFrame:
     """Gold-span mode: equi-join annotations on doc_id, then round-trip
     gold spans through BIO synthesis + runtime BIO→span decoding so the
-    downstream sees exactly what a perfect tagger would emit."""
+    downstream sees exactly what a perfect tagger would emit.
+
+    ``rearrange_max_len`` enables T2 re-arrangement before the BIO
+    round-trip — exactly where the reference applies it during data prep
+    (dee/helper/dee.py:242-347): annotated dranges are protected from
+    cuts and remapped to the new coordinates."""
     annotated = docs.join(
         gold.select(
             F.col("guid").alias("doc_id"),
@@ -184,8 +254,12 @@ def tag_gold(docs: DataFrame, gold: DataFrame) -> DataFrame:
     l2i = label_index()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..pyref.rearrange import rearrange_sentences
+
         for pdf in batches:
             spans_col = []
+            sents_col = []
+            delta_col = []
             for sentences, gold_spans in zip(pdf["sentences"], pdf["gold_spans"]):
                 sents = list(sentences)
                 span_tuples = [
@@ -199,6 +273,13 @@ def tag_gold(docs: DataFrame, gold: DataFrame) -> DataFrame:
                     )
                     for s in gold_spans
                 ]
+                delta = 0
+                if rearrange_max_len:
+                    new_sents, span_tuples = rearrange_sentences(
+                        sents, span_tuples, max_len=rearrange_max_len
+                    )
+                    delta = len(new_sents) - len(sents)
+                    sents = new_sents
                 labels = labels_from_spans(sents, span_tuples, l2i)
                 tokens = [list(s) for s in sents]
                 texts, dranges, labs = decode_spans(tokens, labels)
@@ -216,11 +297,19 @@ def tag_gold(docs: DataFrame, gold: DataFrame) -> DataFrame:
                         for t, drs in zip(texts, dranges)
                     ]
                 )
-            yield pdf.drop(columns=["gold_spans"]).assign(spans=spans_col)
+                sents_col.append(sents)
+                delta_col.append(delta)
+            out = pdf.drop(columns=["gold_spans"]).assign(spans=spans_col)
+            if rearrange_max_len:
+                out = out.assign(sentences=sents_col, n_sents_rearranged=delta_col)
+            yield out
 
     base_fields = [f for f in annotated.schema.fields if f.name != "gold_spans"]
     out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in base_fields)
-    return annotated.mapInPandas(run, schema=out_schema + ", " + _SPANS_FIELD)
+    out_schema += ", " + _SPANS_FIELD
+    if rearrange_max_len:
+        out_schema += ", n_sents_rearranged int"
+    return annotated.mapInPandas(run, schema=out_schema)
 
 
 def drop_empty_span_docs(df: DataFrame) -> DataFrame:

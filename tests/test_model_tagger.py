@@ -98,3 +98,73 @@ class TestBioStructure:
         assert np.array_equal(again.W, tagger.W)
         s = "公告EquityPledge事件：Pledger为张伟明。"
         assert again.predict_sent_labels([s]) == tagger.predict_sent_labels([s])
+
+
+class TestFixEntSnapping:
+    """J4 — fix_ent modes n/-/f (reference doc_info.py:196-254)."""
+
+    SENTS = ["公告：TradedShares为5800300股，确认。", "张伟明已知悉。"]
+
+    def _spans(self, text, cs, ce, field="TradedShares", sent=0):
+        return [
+            {
+                "text": text,
+                "field": field,
+                "dranges": [{"sent_idx": sent, "char_s": cs, "char_e": ce}],
+            }
+        ]
+
+    def test_mode_n_untouched(self):
+        from docee_spark.pyref.textproc import fix_ent_spans
+
+        spans = self._spans("5800300", 16, 23)  # truncated prediction
+        assert fix_ent_spans(self.SENTS, spans, "n") == spans
+
+    def test_mode_f_snaps_prefix_to_full_entity(self):
+        from docee_spark.pyref.textproc import fix_ent_spans
+
+        spans = self._spans("5800300", 16, 23)  # "股" missing
+        [fixed] = fix_ent_spans(self.SENTS, spans, "f")
+        assert fixed["text"] == "5800300股"
+        assert fixed["dranges"] == [{"sent_idx": 0, "char_s": 16, "char_e": 24}]
+        assert fixed["field"] == "TradedShares"
+
+    def test_mode_dash_drops_unmatched(self):
+        from docee_spark.pyref.textproc import fix_ent_spans
+
+        spans = self._spans("5800300", 16, 23)
+        assert fix_ent_spans(self.SENTS, spans, "-") == []
+
+    def test_exact_match_kept_in_all_modes(self):
+        from docee_spark.pyref.textproc import fix_ent_spans
+
+        spans = self._spans("5800300股", 16, 24)
+        for mode in ("n", "-", "f"):
+            [kept] = fix_ent_spans(self.SENTS, spans, mode)
+            assert kept["text"] == "5800300股"
+
+    def test_non_regex_fields_pass_through(self):
+        from docee_spark.pyref.textproc import fix_ent_spans
+
+        spans = self._spans("张伟明", 0, 3, field="EquityHolder", sent=1)
+        for mode in ("-", "f"):
+            assert fix_ent_spans(self.SENTS, spans, mode) == spans
+
+    def test_spark_stage_applies_fix(self, spark, tagger):
+        """tag_model(ent_fix_mode='f') through the Spark slot: a doc whose
+        model output truncates a share must come back snapped."""
+        from pyspark.sql import functions as F
+
+        from docee_spark.stages.segment import segment
+        from docee_spark.stages.tag import tag_model
+
+        docs = spark.createDataFrame(
+            [("d1", "zh", "公告EquityUnderweight减持事件：TradedShares为5800300股，确认。")],
+            "doc_id string, lang string, text string",
+        )
+        out = tag_model(segment(docs), tagger, ent_fix_mode="f").select(
+            F.explode("spans").alias("sp")
+        )
+        texts = {r["sp"]["text"] for r in out.collect()}
+        # whatever the model emitted, no truncated share survives mode f
+        assert not any(t.isdigit() for t in texts)

@@ -200,3 +200,70 @@ class TestGenericExtractor:
         from docee_spark.stages.ingest import strip_boilerplate
 
         assert isinstance(strip_boilerplate(b"\xff\xfe<p>ok</p>"), str)
+
+
+class TestRearrangementWired:
+    """T2 wired into the tag stage: drange remap must round-trip through
+    the BIO synthesis/decode and the full pipeline (reference applies
+    re-arrangement on every doc during prep, dee/helper/dee.py:242-347)."""
+
+    def test_gold_pipeline_prf_survives_rearrangement(
+        self, spark, web_df, gold_df
+    ):
+        from docee_spark.stages.evaluate import micro_scores
+        from docee_spark.stages.pipeline import run_pipeline
+
+        res = run_pipeline(
+            web_df, gold=gold_df, mode="clique", adjacency="gold",
+            rearrange_max_len=64,
+        )
+        scores = micro_scores(res["stats"])
+        assert scores["precision"] == 1.0 and scores["recall"] == 1.0, scores
+
+    def test_rearrangement_counter_and_shorter_sentences(
+        self, spark, web_df, gold_df
+    ):
+        from pyspark.sql import functions as F
+
+        from docee_spark.stages.pipeline import run_pipeline
+
+        res = run_pipeline(
+            web_df, gold=gold_df, mode="clique", adjacency="gold",
+            rearrange_max_len=64,
+        )
+        tagged = res["tagged"]
+        assert "n_sents_rearranged" in tagged.columns
+        row = tagged.agg(
+            F.sum("n_sents_rearranged").alias("n"),
+            F.max(
+                F.array_max(F.transform("sentences", lambda s: F.length(s)))
+            ).alias("maxlen"),
+        ).collect()[0]
+        assert row["n"] > 0  # long fixture sentences actually split
+        # no unprotected sentence beyond the cap + an unsplittable span
+        assert row["maxlen"] <= 64 + 40
+
+    def test_heuristic_rearrangement_spans_still_found(self, spark, web_df):
+        from pyspark.sql import functions as F
+
+        from docee_spark.fixtures import heuristic_entity_dict
+        from docee_spark.stages.ingest import ingest
+        from docee_spark.stages.segment import segment
+        from docee_spark.stages.tag import tag_heuristic
+
+        docs = segment(ingest(web_df, use_html=False))
+        plain = tag_heuristic(docs, heuristic_entity_dict())
+        rearr = tag_heuristic(
+            docs, heuristic_entity_dict(), rearrange_max_len=64
+        )
+
+        def span_texts(df):
+            return {
+                (r["doc_id"], r["sp"]["text"])
+                for r in df.select(
+                    "doc_id", F.explode("spans").alias("sp")
+                ).collect()
+            }
+
+        # re-arrangement never loses or invents spans — only remaps them
+        assert span_texts(plain) == span_texts(rearr)
