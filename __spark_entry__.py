@@ -516,6 +516,21 @@ def q_docee_triples_model(spark, sf):
                         adjacency="sentence")["triples"]
 
 
+def q_docee_triples_scored(spark, sf):
+    """M6 scorer path: trained logistic pair scorer emits the per-doc 0/1
+    adjacency (trigger_aware.py:375-387 shape), consumed by
+    decode(adjacency='matrix'), clique decode."""
+    from docee_spark.fixtures import heuristic_entity_dict
+    from docee_spark.golden import ensure_scorer
+    from docee_spark.stages.pipeline import run_pipeline
+
+    web, _ = _fixture_webtext_and_gold(spark)
+    return run_pipeline(
+        web, entity_dict=heuristic_entity_dict(), mode="clique",
+        adj_scorer=ensure_scorer(),
+    )["triples"]
+
+
 def q_docee_vertices(spark, sf):
     """Canonicalized KG vertex table from the gold pipeline."""
     from docee_spark.stages.pipeline import run_pipeline
@@ -656,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docee_triples_trigger": q_docee_triples_trigger,
         "docee_triples_trigger_inc": q_docee_triples_trigger_inc,
         "docee_triples_model": q_docee_triples_model,
+        "docee_triples_scored": q_docee_triples_scored,
         "docee_vertices": q_docee_vertices,
         "docee_adj_metrics": q_docee_adj_metrics,
         "docee_eval_rollup": q_docee_eval_rollup,
@@ -1129,6 +1145,7 @@ def oracle_sql() -> dict[str, str]:
         "docee_triples_trigger": _docee_triples_sql("trigger"),
         "docee_triples_trigger_inc": _docee_triples_sql("trigger_inc"),
         "docee_triples_model": _docee_triples_sql("model"),
+        "docee_triples_scored": _docee_triples_sql("scored"),
         "docee_vertices": _docee_vertices_sql(),
         "docee_adj_metrics": "select * from read_parquet('{g}/adj_metrics.parquet')",
         "docee_eval_rollup": _docee_eval_rollup_sql(),

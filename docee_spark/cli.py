@@ -31,7 +31,8 @@ def main(argv: list[str] | None = None) -> int:
     src.add_argument("--synth", type=int, help="synthesize N fixture docs instead")
     p.add_argument("--output", required=True, help="output dir for KG tables")
     p.add_argument("--mode", default="clique",
-                   choices=["clique", "edag", "greedy", "dcfee"])
+                   choices=["clique", "edag", "greedy", "dcfee",
+                            "trigger", "trigger_incremental"])
     p.add_argument("--fused", action="store_true",
                    help="deep-fused heuristic path (fastest; no stage tables)")
     p.add_argument("--langs", default=None, help="comma-separated lang filter")
@@ -39,6 +40,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--fingerprint", default="", help="input snapshot id")
     p.add_argument("--entity-dict", default=None,
                    help="json file: surface → coarse type")
+    p.add_argument("--tagger-model", default=None,
+                   help="CharTagger .npz → tag with the trained model (M1)")
+    p.add_argument("--adj-scorer", default=None,
+                   help="AdjScorer .npz → trained adjacency matrix (M6)")
+    p.add_argument("--ent-fix-mode", default="n", choices=["n", "-", "f"],
+                   help="J4 span snapping for the model tagger")
+    p.add_argument("--rearrange-max-len", type=int, default=None,
+                   help="T2 sentence re-arrangement cap (chars)")
     args = p.parse_args(argv)
 
     from .fixtures import distributed_corpus, heuristic_entity_dict
@@ -58,6 +67,17 @@ def main(argv: list[str] | None = None) -> int:
     else:
         entity_dict = heuristic_entity_dict()
 
+    model = scorer = None
+    if args.tagger_model:
+        from .model.char_tagger import load_tagger
+
+        model = load_tagger(args.tagger_model)
+        entity_dict = None  # the trained tagger replaces the dictionary
+    if args.adj_scorer:
+        from .model.adj_scorer import load_scorer
+
+        scorer = load_scorer(args.adj_scorer)
+
     t0 = time.time()
     result = run_pipeline(
         web,
@@ -68,6 +88,10 @@ def main(argv: list[str] | None = None) -> int:
         store=StageStore(args.store) if args.store else None,
         input_fingerprint=args.fingerprint,
         use_html=True,
+        model=model,
+        adj_scorer=scorer,
+        ent_fix_mode=args.ent_fix_mode,
+        rearrange_max_len=args.rearrange_max_len,
     )
     write_kg(result, args.output)
     n = spark.read.parquet(f"{args.output}/triples").count()

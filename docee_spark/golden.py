@@ -40,7 +40,7 @@ import pyarrow.parquet as pq
 
 from .config import CHFINANN_EVENT_TYPES, MAX_SENT_LEN, MAX_SENT_NUM, label_index
 
-VERSION = "v4"  # v2: +triples_model; v3: +trigger modes; v4: +adj_metrics (A5)
+VERSION = "v5"  # v3: +trigger; v4: +adj_metrics; v5: +triples_scored (M6)
 N_DOCS = 120
 SEED = 7
 
@@ -117,6 +117,27 @@ def _decode_spans_records(sents: list[str], spans: list[dict], mode: str):
 def _model_events(sents: list[str], tagger, mode: str = "clique"):
     """pyref twin of tag_model (M1) + sentence-adjacency decode."""
     return _decode_spans_records(sents, tagger.doc_spans(sents), mode)
+
+
+def _scored_events(sents: list[str], entity_dict: dict[str, str], scorer):
+    """pyref twin of tag_heuristic + score_adjacency (M6) +
+    decode(adjacency='matrix', mode='clique')."""
+    from .pyref.edag import decode_doc
+    from .stages.tag import _find_dict_spans, _merge_regex_spans
+
+    spans, taken = _find_dict_spans(sents, entity_dict)
+    spans = _merge_regex_spans(sents, spans, taken)
+    if not spans:
+        return []
+    span_texts = [s["text"] for s in spans]
+    span_fields = [s["field"] for s in spans]
+    span_sents = [sorted({d["sent_idx"] for d in s["dranges"]}) for s in spans]
+    adj = scorer.score_doc(span_fields, span_sents)
+    decoded = decode_doc(
+        sents, span_fields, span_sents, adj, _EVENT_FIELDS, _MIN_FIELDS,
+        mode="clique", max_paths=1024, exact_fields=False,
+    )
+    return _records_from_decoded(decoded, span_texts)
 
 
 def _heuristic_events(sents: list[str], entity_dict: dict[str, str], mode: str):
@@ -234,6 +255,30 @@ def ensure_tagger(force: bool = False):
     return tagger
 
 
+SCORER_PATH = os.path.join(GOLDEN_DIR, "adj_scorer.npz")
+SCORER_TRAIN_DOCS = 400
+SCORER_TRAIN_SEED = 4321
+
+
+def ensure_scorer(force: bool = False):
+    """Train-or-load the M6 adjacency pair scorer (logistic over pair
+    features, gold adjacencies from a disjoint-seed generator stream)."""
+    from .model.adj_scorer import load_scorer, save_scorer, train_adj_scorer
+
+    if not force and os.path.exists(SCORER_PATH):
+        return load_scorer(SCORER_PATH)
+    from .fixtures import make_doc_indexed
+
+    train_docs = [
+        make_doc_indexed(i, seed=SCORER_TRAIN_SEED)[1]
+        for i in range(SCORER_TRAIN_DOCS)
+    ]
+    scorer = train_adj_scorer(train_docs)
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    save_scorer(scorer, SCORER_PATH)
+    return scorer
+
+
 def ensure_golden(force: bool = False) -> str:
     """Generate the golden tables if missing/stale; return the directory."""
     manifest_path = os.path.join(GOLDEN_DIR, "manifest.json")
@@ -260,8 +305,9 @@ def ensure_golden(force: bool = False) -> str:
         "trigger": "trigger",
         "trigger_inc": "trigger_incremental",
     }
-    triples = {name: [] for name in ("gold", "model", *heuristic_modes)}
+    triples = {name: [] for name in ("gold", "model", "scored", *heuristic_modes)}
     tagger = ensure_tagger()
+    scorer = ensure_scorer()
 
     for web, g in zip(web_rows, gold_rows):
         doc_id = g["guid"]
@@ -333,6 +379,9 @@ def ensure_golden(force: bool = False) -> str:
             )
         triples["model"].extend(
             _flatten_triples(doc_id, _model_events(sents, tagger))
+        )
+        triples["scored"].extend(
+            _flatten_triples(doc_id, _scored_events(sents, entity_dict, scorer))
         )
 
     pq.write_table(

@@ -60,6 +60,39 @@ def _gold_adjacency(n: int, span_texts: list[str], events) -> list[list[int]]:
     return adj
 
 
+def score_adjacency(tagged: DataFrame, scorer) -> DataFrame:
+    """M6 — the trained adjacency scorer in front of the matrix slot
+    (reference trigger_aware.py:375-387 shape: scores → threshold → 0/1
+    matrix). ``scorer``: a model.adj_scorer.AdjScorer or its arrays;
+    broadcast once, deserialized once per worker, batched per-doc pair
+    scoring inside one Arrow UDF. Output rows gain ``adj`` and feed
+    ``decode(adjacency="matrix")`` unchanged."""
+    spark = tagged.sparkSession
+    arrays = (
+        scorer.to_arrays() if hasattr(scorer, "to_arrays") else dict(scorer)
+    )
+    bc = spark.sparkContext.broadcast(arrays)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..model.adj_scorer import AdjScorer
+
+        sc = AdjScorer.from_arrays(bc.value)  # once per worker
+        for pdf in batches:
+            adj_col = []
+            for spans in pdf["spans"]:
+                fields = [s["field"] for s in spans]
+                sents = [
+                    sorted({d["sent_idx"] for d in s["dranges"]}) for s in spans
+                ]
+                adj_col.append(sc.score_doc(fields, sents))
+            yield pdf.assign(adj=adj_col)
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in tagged.schema.fields
+    )
+    return tagged.mapInPandas(run, schema=out_schema + ", adj: array<array<int>>")
+
+
 def decode(
     tagged: DataFrame,
     mode: str = "clique",

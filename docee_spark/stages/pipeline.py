@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 _HAVE_ICEBERG = False
 
 from .canonicalize import canonicalize
-from .decode import decode
+from .decode import decode, score_adjacency
 from .evaluate import micro_scores, role_stats
 from .ingest import ingest, salted_repartition  # noqa: F401 (salted: scale path)
 from .segment import segment
@@ -115,6 +115,8 @@ def run_pipeline(
     langs: tuple[str, ...] | None = None,
     model=None,
     rearrange_max_len: int | None = None,
+    adj_scorer=None,
+    ent_fix_mode: str = "n",
 ) -> dict[str, DataFrame]:
     """webtext (+optional gold) → {docs, tagged, decoded, triples,
     vertices, edges[, stats]}.
@@ -190,7 +192,7 @@ def run_pipeline(
     def build_tagged() -> DataFrame:
         bucketed = length_bucketed(docs, nparts)
         if model is not None:
-            return tag_model(bucketed, model)
+            return tag_model(bucketed, model, ent_fix_mode=ent_fix_mode)
         if gold is not None and entity_dict is None:
             return tag_gold(bucketed, gold, rearrange_max_len=rearrange_max_len)
         return tag_heuristic(
@@ -202,13 +204,19 @@ def run_pipeline(
 
     def build_decoded() -> DataFrame:
         src = nonempty
-        if adjacency == "gold":
+        adj_mode = adjacency
+        if adj_scorer is not None:
+            # M6: trained pair scorer emits the 0/1 matrix the decode
+            # stage consumes (adjacency="matrix" slot)
+            src = score_adjacency(nonempty, adj_scorer)
+            adj_mode = "matrix"
+        elif adjacency == "gold":
             if gold is None:
                 raise ValueError("adjacency='gold' requires gold annotations")
             src = nonempty.join(
                 gold.select(F.col("guid").alias("doc_id"), "events"), "doc_id"
             )
-        return decode(src, mode=mode, adjacency=adjacency)
+        return decode(src, mode=mode, adjacency=adj_mode)
 
     decoded = staged("decode", build_decoded)
     trip = staged("triples", lambda: triples(decoded))
