@@ -763,8 +763,10 @@ def _simhash64_sql(max_hamming: int = 3) -> str:
         )
         return f"cast({bits} as bigint) as s{s}"
 
+    # section s = bits of hex chars [4s+1, 4s+4] of ONE md5 per word
+    # (matches operators.dedup._simhash64_sections)
     hash_cols = ", ".join(
-        f"list_transform(toks, w -> cast(('0x' || substring(md5('{s}|' || w), 1, 4)) as bigint)) as h{s}"
+        f"list_transform(toks, w -> cast(('0x' || substring(md5(w), {4 * s + 1}, 4)) as bigint)) as h{s}"
         for s in range(4)
     )
     bands = "\n  union all ".join(

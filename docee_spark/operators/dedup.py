@@ -241,7 +241,20 @@ def minhash_verified_pairs(
         df, text_col=text_col, k=k, bands=bands, shingle_n=shingle_n,
         max_bucket=max_bucket,
     )
-    sets = df.select(
+    # materialize the (small) candidate set once: it is consumed twice
+    # below (id restriction + the pair join) and Spark would otherwise
+    # re-run the whole MinHash pass per consumer. localCheckpoint keeps
+    # the data on the executors (lazy: computed on first use).
+    cand = cand.localCheckpoint(eager=False)
+    # shingle sets ONLY for docs that appear in a candidate pair: the
+    # semi-join runs before the shingle projection, so at corpus scale the
+    # verify shingles |candidates| docs, not 2×|corpus|
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sets = df.join(cand_ids, "doc_id").select(
         F.col("doc_id"), word_shingles(F.col(text_col), shingle_n).alias("sh")
     )
     jac = (
@@ -356,39 +369,68 @@ def simhash_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _simhash_section(words: Column, section: int) -> Column:
-    """One 16-bit simhash section: bit j = sign of Σ_words ±1 where the
-    word hash is md5 salted with the section index (independent sections
-    ≡ independent permutations — same trick as minhash_cols)."""
-    hashes = F.transform(
-        words,
-        lambda w: F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"{section}|"), w)), 1, 4), 16, 10
-        ).cast("long"),
-    )
-
-    def _bit_sum(j: int):
-        mask = 1 << j
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1),
-        )
-
-    out = F.lit(0)
-    for j in range(16):
-        out = out + F.when(_bit_sum(j) > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return out.cast("long")
+_MASKS16 = [1 << j for j in range(16)]
 
 
-def simhash64_cols(col: Column, shingle_n: int = 1) -> list[Column]:
-    """The four 16-bit sections of a 64-bit SimHash, as separate columns
-    (select them separately — the projection-collapse rule)."""
+def _simhash64_sections(col: Column, shingle_n: int = 1) -> Column:
+    """→ array<long>[4]: the four 16-bit sections of a 64-bit SimHash.
+
+    Cost shape (this is token-volume work — the dominant cost at corpus
+    scale): ONE md5 per word (sections take 4 disjoint 4-hex-char slices
+    of the digest — four independent 16-bit hash functions), ONE
+    aggregate pass with an array<int>[64] ±1 accumulator, ONE sign-pack.
+    Every expensive subexpression is referenced exactly once via the
+    bind-through-lambda trick (transform over a 1-element array makes the
+    value a lambda variable) — repeated column references are re-evaluated
+    per reference by projection collapse (round-1 landmine, measured 10×).
+    """
     words = (
         word_shingles(col, shingle_n) if shingle_n > 1 else F.array_distinct(tokens(col))
     )
-    return [_simhash_section(words, s) for s in range(4)]
+
+    def word_pm64(w: Column) -> Column:
+        # bind h := md5(w) once; 64 ±1 entries from its four 16-bit slices
+        def from_hex(h: Column) -> Column:
+            out = []
+            for s in range(4):
+                hs = F.conv(F.substring(h, 4 * s + 1, 4), 16, 10).cast("long")
+                out.extend(
+                    F.when(hs.bitwiseAND(F.lit(m)) != 0, 1).otherwise(-1)
+                    for m in _MASKS16
+                )
+            return F.array(*out)
+
+        return F.element_at(F.transform(F.array(F.md5(w)), from_hex), 1)
+
+    sums64 = F.aggregate(
+        words,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, w: F.zip_with(acc, word_pm64(w), lambda a, b: a + b),
+    )
+
+    masks = F.array(*[F.lit(m) for m in _MASKS16])
+
+    def pack_all(arr: Column) -> Column:  # arr: the bound 64-sum array
+        def pack(s: int) -> Column:
+            signed = F.zip_with(
+                F.slice(arr, s * 16 + 1, 16),
+                masks,
+                lambda x, m: F.when(x > 0, m).otherwise(F.lit(0)),
+            )
+            return F.aggregate(signed, F.lit(0), lambda a, v: a + v).cast("long")
+
+        return F.array(*[pack(s) for s in range(4)])
+
+    return F.element_at(F.transform(F.array(sums64), pack_all), 1)
+
+
+def simhash64_cols(col: Column, shingle_n: int = 1) -> list[Column]:
+    """The four sections as separate columns — test/debug convenience;
+    each column re-evaluates the shared aggregate (fine on small data —
+    production consumers use the single-reference array form)."""
+    return [
+        F.element_at(_simhash64_sections(col, shingle_n), s + 1) for s in range(4)
+    ]
 
 
 def simhash_near_duplicates(
@@ -407,24 +449,37 @@ def simhash_near_duplicates(
     then verified with an exact ``bit_count(xor)`` popcount. Over-cap
     buckets (mass-produced near-identical boilerplate) are dropped with
     an observed counter, like every bucketed expansion here."""
-    secs = simhash64_cols(F.col(text_col))
-    sigd = ensure_parallelism(df).select(
-        "doc_id", *[s.alias(f"s{i}") for i, s in enumerate(secs)]
+    secs = _simhash64_sections(F.col(text_col))
+    # one band row per section, all four built from a SINGLE reference to
+    # the sections array (bound as a lambda variable) — separate s{i}
+    # column references would re-evaluate the whole signature per
+    # reference (projection collapse)
+    rows = F.element_at(
+        F.transform(
+            F.array(secs),
+            lambda sec: F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda i: F.struct(
+                    F.concat_ws(
+                        ":", i.cast("string"), F.element_at(sec, i + 1).cast("string")
+                    ).alias("band"),
+                    F.element_at(sec, 1).alias("s0"),
+                    F.element_at(sec, 2).alias("s1"),
+                    F.element_at(sec, 3).alias("s2"),
+                    F.element_at(sec, 4).alias("s3"),
+                ),
+            ),
+        ),
+        1,
     )
+    sigd = ensure_parallelism(df).select("doc_id", F.explode(rows).alias("r"))
     banded = sigd.select(
         "doc_id",
-        "s0",
-        "s1",
-        "s2",
-        "s3",
-        F.explode(
-            F.array(
-                *[
-                    F.concat_ws(":", F.lit(str(i)), F.col(f"s{i}"))
-                    for i in range(4)
-                ]
-            )
-        ).alias("band"),
+        F.col("r.band").alias("band"),
+        F.col("r.s0").alias("s0"),
+        F.col("r.s1").alias("s1"),
+        F.col("r.s2").alias("s2"),
+        F.col("r.s3").alias("s3"),
     )
     grouped = banded.groupBy("band").agg(
         F.sort_array(
