@@ -38,7 +38,11 @@ HEADLINE = [
     "quality",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_minhash_verified",
+    "dedup_ngram",
     "dedup_simhash",
+    "dedup_simhash64",
+    "dedup_embed",
     "embed_topk",
     "embed_lsh_topk",
     "doc_mentions",

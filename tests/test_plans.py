@@ -176,3 +176,22 @@ class TestCanonicalizeBroadcastGate:
         # join exists)
         plan = self._edges_plan(spark, None)
         assert "Join" in plan
+
+
+class TestDedupScalePlans:
+    def test_simhash64_candidate_generation_join_free(self, spark):
+        from docee_spark.operators.dedup import simhash_near_duplicates
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        plan = _plan(simhash_near_duplicates(docs))
+        # candidates come from groupBy(band) + in-array expansion — the
+        # only join-like node allowed is none at all
+        assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+    def test_embedding_pairs_bucket_join_not_cartesian(self, spark):
+        from docee_spark.operators.dedup import embedding_cosine_pairs
+
+        em = spark.read.parquet(f"{SF}/embeddings.parquet")
+        plan = _plan(embedding_cosine_pairs(em, n_sign_bits=6))
+        assert "CartesianProduct" not in plan
+        assert "Join" in plan  # bucket equi-join

@@ -209,3 +209,73 @@ class TestPipelineCountersShape:
         assert ("tag", "n_spans") in rows  # spans under their own name
         assert ("tag", "sents_dropped") not in rows
         assert rows[("triples", "n_rows")] > 0
+
+
+class TestSubmissionGuessing:
+    """dueefin_post_process analog: type guessing for empty-decode docs."""
+
+    SCHEMA = (
+        "doc_id string, "
+        "spans array<struct<text:string,field:string,dranges:array<struct<sent_idx:int,char_s:int,char_e:int>>>>, "
+        "events array<struct<recguid:int,type:string,args:map<string,string>>>"
+    )
+
+    def _df(self, spark):
+        span = lambda t, f: {"text": t, "field": f, "dranges": []}  # noqa: E731
+        return spark.createDataFrame(
+            [
+                # decoded doc: passes through untouched
+                (
+                    "d_ok",
+                    [span("张伟明", "EquityHolder")],
+                    [{"recguid": 0, "type": "EquityPledge",
+                      "args": {"Pledger": "张伟明"}}],
+                ),
+                # empty decode: CompanyName → {EquityRepurchase},
+                # Pledger → {EquityPledge}: "&" intersects to ∅ and
+                # re-seeds with the later set (reference loop semantics);
+                # "|" keeps both
+                (
+                    "d_empty",
+                    [span("华夏科技股份有限公司", "CompanyName"),
+                     span("张伟明", "Pledger"),
+                     span("500000股", "PledgedShares")],
+                    [],
+                ),
+            ],
+            self.SCHEMA,
+        )
+
+    def test_intersection_guessing(self, spark):
+        from docee_spark.stages.sinks import submission_records
+
+        rows = {r["id"]: r["event_list"]
+                for r in submission_records(self._df(spark)).collect()}
+        assert [e["event_type"] for e in rows["d_ok"]] == ["EquityPledge"]
+        guessed = rows["d_empty"]
+        # {Rep} ∩ {Pledge} = ∅ → third span re-seeds {EquityPledge}
+        assert [e["event_type"] for e in guessed] == ["EquityPledge"]
+        assert {(a["role"], a["argument"]) for a in guessed[0]["arguments"]} == {
+            ("Pledger", "张伟明"),
+            ("PledgedShares", "500000股"),
+        }
+
+    def test_union_strategy_guesses_more(self, spark):
+        from docee_spark.stages.sinks import submission_records
+
+        rows = {r["id"]: r["event_list"]
+                for r in submission_records(self._df(spark), "|").collect()}
+        types = {e["event_type"] for e in rows["d_empty"]}
+        assert types == {"EquityRepurchase", "EquityPledge"}
+
+    def test_no_guessing_drops_empty_docs(self, spark):
+        from docee_spark.stages.sinks import submission_records
+
+        ids = {r["id"] for r in submission_records(self._df(spark), None).collect()}
+        assert ids == {"d_ok"}
+
+    def test_guessing_is_pure_codegen(self, spark):
+        from docee_spark.stages.sinks import submission_records
+
+        plan = submission_records(self._df(spark))._jdf.queryExecution().toString()
+        assert "EvalPython" not in plan
