@@ -416,6 +416,33 @@ def q_embed_lsh_topk(spark, sf):
     )
 
 
+def _ivf_centroids(sf_dir: str):
+    """Deterministic coarse quantizer for the IVF queries: seeded integer
+    k-means over the quantized embeddings of ``sf_dir`` (bit-reproducible;
+    the oracle inlines the same centroids)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from docee_spark.operators.similarity import train_ivf_centroids
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    vecs = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    return train_ivf_centroids(np.round(vecs * 10000).astype(np.int64))
+
+
+def q_embed_ivf_topk(spark, sf):
+    """IVF ANN: corpus blocked by nearest k-means centroid (the partition
+    key at scale), queries probe their 2 nearest clusters, exact
+    quantized-dot ranking. The coarse quantizer is trained OFFLINE on a
+    fixed sample (sf0.01 embeddings) — as in production, where centroids
+    come from a training pass, not from the corpus being indexed."""
+    from docee_spark.operators.similarity import ivf_topk
+
+    em = _read(spark, sf, "embeddings")
+    cents = _ivf_centroids("/root/testdata/sf0.01")
+    return ivf_topk(em, em.filter(F.col("vec_id") < 5), cents, k=3, nprobe=2)
+
+
 def q_doc_mentions(spark, sf):
     """Dictionary-mention triples over the generic documents table —
     the relational skeleton of the tag→triples flow."""
@@ -663,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_topk": q_embed_topk,
         "embed_lsh_buckets": q_embed_lsh_buckets,
         "embed_lsh_topk": q_embed_lsh_topk,
+        "embed_ivf_topk": q_embed_ivf_topk,
         "doc_mentions": q_doc_mentions,
         "docee_triples_gold": q_docee_triples_gold,
         "docee_triples_heuristic": q_docee_triples_heuristic,
@@ -1135,6 +1163,54 @@ where rn = 1
 """
 
 
+def _embed_ivf_sql(k: int = 3, nprobe: int = 2) -> str:
+    """Same centroids as the Spark query (deterministic training from the
+    sf0.01 embeddings — the driver's comparison SF), inlined as VALUES;
+    assignment/probing/ranking re-derived in pure SQL."""
+    cents = _ivf_centroids("/root/testdata/sf0.01")
+    values = ",\n    ".join(
+        f"({i}, [{', '.join(str(int(v)) for v in c)}]::bigint[])"
+        for i, c in enumerate(cents)
+    )
+    dotc = "list_sum(list_transform(range(1, len(e.qvec) + 1), i -> e.qvec[i] * c.cvec[i]))"
+    dotq = "list_sum(list_transform(range(1, len(q.q) + 1), i -> q.q[i] * e.qvec[i]))"
+    return f"""
+with cents(cid, cvec) as (values
+    {values}
+),
+em as (select vec_id, {_QUANT.format(v="embedding")} as qvec from embeddings),
+scored_assign as (
+  select e.vec_id, e.qvec, c.cid, cast({dotc} as bigint) as dot
+  from em e cross join cents c
+),
+assign as (
+  select vec_id, qvec, cid as cluster from (
+    select *, row_number() over (partition by vec_id
+                                 order by dot desc, cid asc) rn
+    from scored_assign) where rn = 1
+),
+probes as (
+  select vec_id as query_id, qvec as q, cid as cluster from (
+    select *, row_number() over (partition by vec_id
+                                 order by dot desc, cid asc) rn
+    from scored_assign where vec_id < 5) where rn <= {nprobe}
+),
+cand as (
+  select q.query_id, e.vec_id as neighbor_id,
+         cast({dotq} as bigint) as dot_q
+  from probes q join assign e using (cluster)
+  where q.query_id != e.vec_id
+),
+topk as (
+  select *, row_number() over (partition by query_id
+                               order by dot_q desc, neighbor_id asc) as rank
+  from cand
+)
+select query_id, neighbor_id, dot_q, cast(rank as int) as rank
+from topk where rank <= {k}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     stop = "('the','a','and','of','to','in','is','it','that','for')"
     toks = _TOKENS.format(c="text")
@@ -1277,6 +1353,7 @@ from documents group by 1
         "dedup_simhash64": _simhash64_sql(),
         "dedup_embed": _dedup_embed_sql(),
         "embed_topk": _embed_topk_sql(bucketed=False),
+        "embed_ivf_topk": _embed_ivf_sql(),
         "embed_lsh_buckets": """
 select cast("""
         + " + ".join(

@@ -294,3 +294,55 @@ class TestSimhash64:
             for r in simhash_near_duplicates(docs, max_hamming=3).collect()
         }
         assert got == want
+
+
+class TestIvfAnn:
+    def test_recall_vs_bruteforce(self, spark):
+        """IVF with nprobe=4 of 8 clusters must recover most exact top-3
+        neighbors (recall ≥ 0.6 on random unit vectors — the documented
+        ANN trade-off; raising nprobe → 1.0)."""
+        import numpy as np
+
+        from docee_spark.operators.similarity import (
+            brute_force_topk,
+            ivf_topk,
+            train_ivf_centroids,
+        )
+
+        rng = np.random.default_rng(3)
+        vecs = rng.normal(size=(300, 16))
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        em = spark.createDataFrame(
+            [(i, v.tolist()) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+        cents = train_ivf_centroids(
+            np.round(vecs * 10000).astype(np.int64), n_centroids=8
+        )
+        queries = em.filter("vec_id < 10")
+        exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in brute_force_topk(em, queries, k=3).collect()
+        }
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(em, queries, cents, k=3, nprobe=4).collect()
+        }
+        assert len(approx & exact) / len(exact) >= 0.6
+        # full probing == exact ranking (integer dot ties aside)
+        full = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(em, queries, cents, k=3, nprobe=8).collect()
+        }
+        assert full == exact
+
+    def test_centroid_training_deterministic(self):
+        import numpy as np
+
+        from docee_spark.operators.similarity import train_ivf_centroids
+
+        rng = np.random.default_rng(5)
+        q = np.round(rng.normal(size=(100, 8)) * 10000).astype(np.int64)
+        a = train_ivf_centroids(q, n_centroids=4)
+        b = train_ivf_centroids(q, n_centroids=4)
+        assert np.array_equal(a, b)
