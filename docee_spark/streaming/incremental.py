@@ -84,6 +84,62 @@ def incremental_triples(
     )
 
 
+def host_crawl_state(
+    stream: DataFrame,
+    budget_docs: int = 10_000,
+) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    per-host cumulative crawl accounting across micro-batches.
+
+    State per host: (docs_total, chars_total, over_budget) — persisted in
+    the streaming state store, updated once per host per micro-batch from
+    Arrow-batched rows (never per-row Python), emitted as an update row
+    whenever the host appears. ``over_budget`` flips when the cumulative
+    doc count crosses ``budget_docs`` — the operator a crawl scheduler
+    consumes to throttle hosts. This is the engine's stateful analog of
+    the reference's epoch counters, expressed with watermark-free
+    processing-time state (unbounded keys → pair with a state TTL in
+    production)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    host = F.regexp_extract("url", r"^[a-z]+://([^/]+)/", 1)
+    keyed = stream.select(
+        host.alias("host"), F.length("text").alias("n_chars")
+    ).groupBy("host")
+
+    def update(key, pdfs, state: GroupState):
+        docs = chars = 0
+        for pdf in pdfs:
+            docs += len(pdf)
+            chars += int(pdf["n_chars"].fillna(0).sum())
+        if state.exists:
+            prev_docs, prev_chars = state.get
+        else:
+            prev_docs = prev_chars = 0
+        docs += prev_docs
+        chars += prev_chars
+        state.update((docs, chars))
+        yield pd.DataFrame(
+            {
+                "host": [key[0]],
+                "docs_total": [docs],
+                "chars_total": [chars],
+                "over_budget": [docs > budget_docs],
+            }
+        )
+
+    return keyed.applyInPandasWithState(
+        update,
+        outputStructType=(
+            "host string, docs_total long, chars_total long, over_budget boolean"
+        ),
+        stateStructType="docs long, chars long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def host_throughput_monitor(stream: DataFrame) -> DataFrame:
     """Watermarked event-time aggregation: docs and bytes per (host,
     5-minute window), late data beyond 10 minutes dropped."""

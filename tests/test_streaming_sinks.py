@@ -279,3 +279,53 @@ class TestSubmissionGuessing:
 
         plan = submission_records(self._df(spark))._jdf.queryExecution().toString()
         assert "EvalPython" not in plan
+
+
+class TestStatefulHostCrawl:
+    def test_state_accumulates_across_microbatches(self, spark, corpus, tmp_path):
+        """applyInPandasWithState: per-host totals must carry over between
+        micro-batches (state store), and the budget flag must flip."""
+        from docee_spark.schema import WEBTEXT
+        from docee_spark.streaming.incremental import host_crawl_state, stream_webtext
+
+        web_rows, _ = corpus
+        src = str(tmp_path / "src_state")
+        # many small files → several micro-batches with maxFilesPerTrigger
+        spark.createDataFrame(web_rows[:40], WEBTEXT).repartition(8).write.parquet(src)
+
+        out = host_crawl_state(
+            stream_webtext(spark, src, max_files_per_trigger=2), budget_docs=3
+        )
+        # memory sink: the parquet sink rejects update output mode
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("host_state")
+            .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("select * from host_state").collect()
+        assert rows, "stateful operator emitted nothing"
+        # per host: the max docs_total across updates equals its true count
+        import collections
+
+        true_counts = collections.Counter()
+        for w in web_rows[:40]:
+            host = w["url"].split("/")[2]
+            true_counts[host] += 1
+        got_max = collections.defaultdict(int)
+        n_updates = collections.Counter()
+        for r in rows:
+            got_max[r["host"]] = max(got_max[r["host"]], r["docs_total"])
+            n_updates[r["host"]] += 1
+        assert dict(got_max) == dict(true_counts)
+        # at least one host appeared in >1 micro-batch → state carried over
+        assert any(v > 1 for v in n_updates.values())
+        # budget flag: hosts over 3 docs flagged in their final update
+        for host, n in true_counts.items():
+            if n > 3:
+                finals = [r for r in rows if r["host"] == host
+                          and r["docs_total"] == n]
+                assert finals and all(r["over_budget"] for r in finals)
