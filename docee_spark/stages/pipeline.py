@@ -73,6 +73,23 @@ class StageStore:
     ) -> DataFrame:
         data_path, manifest = self._paths(name)
         df.write.mode("overwrite").parquet(data_path)
+        # per-partition lineage from the parquet footers (no extra Spark
+        # action): file → rows/bytes, like an Iceberg snapshot's manifest
+        # entries — a resumed run can verify exactly what each partition
+        # contributed
+        partitions = []
+        for fn in sorted(os.listdir(data_path)):
+            if fn.endswith(".parquet"):
+                fp = os.path.join(data_path, fn)
+                try:
+                    import pyarrow.parquet as pq
+
+                    n_rows = pq.ParquetFile(fp).metadata.num_rows
+                except Exception:  # footer unreadable → record bytes only
+                    n_rows = None
+                partitions.append(
+                    {"file": fn, "rows": n_rows, "bytes": os.path.getsize(fp)}
+                )
         tmp = manifest + ".tmp"
         with open(tmp, "w") as f:
             json.dump(
@@ -81,6 +98,9 @@ class StageStore:
                     "input_fingerprint": input_fingerprint,
                     "committed_at": time.time(),
                     "counters": counters or {},
+                    "partitions": partitions,
+                    "n_rows": sum(p["rows"] or 0 for p in partitions),
+                    "n_partitions": len(partitions),
                 },
                 f,
             )

@@ -267,3 +267,27 @@ class TestRearrangementWired:
 
         # re-arrangement never loses or invents spans — only remaps them
         assert span_texts(plain) == span_texts(rearr)
+
+
+class TestPartitionLineage:
+    def test_manifest_records_per_partition_rows(self, spark, web_df, tmp_path):
+        import json
+
+        from docee_spark.fixtures import heuristic_entity_dict
+        from docee_spark.stages.pipeline import StageStore, run_pipeline
+
+        store = StageStore(str(tmp_path / "stages"))
+        res = run_pipeline(
+            web_df.repartition(4),
+            entity_dict=heuristic_entity_dict(),
+            mode="clique",
+            store=store,
+            input_fingerprint="snap-1",
+        )
+        res["triples"].count()
+        with open(str(tmp_path / "stages" / "segment.manifest.json")) as f:
+            m = json.load(f)
+        assert m["n_partitions"] >= 1
+        assert m["n_rows"] == web_df.count()
+        assert all("file" in p and "bytes" in p for p in m["partitions"])
+        assert sum(p["rows"] for p in m["partitions"]) == m["n_rows"]
