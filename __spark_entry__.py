@@ -543,6 +543,18 @@ def q_docee_triples_model(spark, sf):
                         adjacency="sentence")["triples"]
 
 
+def q_docee_triples_model_edag(spark, sf):
+    """Doc2EDAG shape end-to-end: trained tagger (exact role fields) →
+    true EDAG path expansion (G8, per-role branching with null branches)
+    → triples."""
+    from docee_spark.golden import ensure_tagger
+    from docee_spark.stages.pipeline import run_pipeline
+
+    web, _ = _fixture_webtext_and_gold(spark)
+    return run_pipeline(web, model=ensure_tagger(), mode="edag",
+                        adjacency="sentence")["triples"]
+
+
 def q_docee_triples_scored(spark, sf):
     """M6 scorer path: trained logistic pair scorer emits the per-doc 0/1
     adjacency (trigger_aware.py:375-387 shape), consumed by
@@ -699,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docee_triples_trigger": q_docee_triples_trigger,
         "docee_triples_trigger_inc": q_docee_triples_trigger_inc,
         "docee_triples_model": q_docee_triples_model,
+        "docee_triples_model_edag": q_docee_triples_model_edag,
         "docee_triples_scored": q_docee_triples_scored,
         "docee_vertices": q_docee_vertices,
         "docee_adj_metrics": q_docee_adj_metrics,
@@ -1223,6 +1236,7 @@ def oracle_sql() -> dict[str, str]:
         "docee_triples_trigger": _docee_triples_sql("trigger"),
         "docee_triples_trigger_inc": _docee_triples_sql("trigger_inc"),
         "docee_triples_model": _docee_triples_sql("model"),
+        "docee_triples_model_edag": _docee_triples_sql("model_edag"),
         "docee_triples_scored": _docee_triples_sql("scored"),
         "docee_vertices": _docee_vertices_sql(),
         "docee_adj_metrics": "select * from read_parquet('{g}/adj_metrics.parquet')",

@@ -40,7 +40,7 @@ import pyarrow.parquet as pq
 
 from .config import CHFINANN_EVENT_TYPES, MAX_SENT_LEN, MAX_SENT_NUM, label_index
 
-VERSION = "v5"  # v3: +trigger; v4: +adj_metrics; v5: +triples_scored (M6)
+VERSION = "v6"  # v4: +adj_metrics; v5: +triples_scored; v6: +model_edag (G8 e2e)
 N_DOCS = 120
 SEED = 7
 
@@ -95,7 +95,9 @@ def _flatten_triples(doc_id: str, events: list[dict]) -> list[tuple]:
     return rows
 
 
-def _decode_spans_records(sents: list[str], spans: list[dict], mode: str):
+def _decode_spans_records(
+    sents: list[str], spans: list[dict], mode: str, exact_fields: bool = False
+):
     """Shared tail of the no-gold paths: spans → sentence adjacency →
     decode → catalog-ordered records (the stages.decode construction)."""
     from .pyref.edag import decode_doc
@@ -109,14 +111,18 @@ def _decode_spans_records(sents: list[str], spans: list[dict], mode: str):
     adj = _sentence_adjacency(len(spans), span_sents)
     decoded = decode_doc(
         sents, span_fields, span_sents, adj, _EVENT_FIELDS, _MIN_FIELDS,
-        mode=mode, max_paths=1024, exact_fields=False,
+        mode=mode, max_paths=1024, exact_fields=exact_fields,
     )
     return _records_from_decoded(decoded, span_texts)
 
 
 def _model_events(sents: list[str], tagger, mode: str = "clique"):
-    """pyref twin of tag_model (M1) + sentence-adjacency decode."""
-    return _decode_spans_records(sents, tagger.doc_spans(sents), mode)
+    """pyref twin of tag_model (M1) + sentence-adjacency decode (model
+    fields are exact role names → exact_fields=True, letting the EDAG
+    expansion run its real per-role branching)."""
+    return _decode_spans_records(
+        sents, tagger.doc_spans(sents), mode, exact_fields=True
+    )
 
 
 def _scored_events(sents: list[str], entity_dict: dict[str, str], scorer):
@@ -305,7 +311,7 @@ def ensure_golden(force: bool = False) -> str:
         "trigger": "trigger",
         "trigger_inc": "trigger_incremental",
     }
-    triples = {name: [] for name in ("gold", "model", "scored", *heuristic_modes)}
+    triples = {name: [] for name in ("gold", "model", "model_edag", "scored", *heuristic_modes)}
     tagger = ensure_tagger()
     scorer = ensure_scorer()
 
@@ -382,6 +388,9 @@ def ensure_golden(force: bool = False) -> str:
         )
         triples["scored"].extend(
             _flatten_triples(doc_id, _scored_events(sents, entity_dict, scorer))
+        )
+        triples["model_edag"].extend(
+            _flatten_triples(doc_id, _model_events(sents, tagger, mode="edag"))
         )
 
     pq.write_table(

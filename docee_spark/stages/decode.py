@@ -98,12 +98,21 @@ def decode(
     mode: str = "clique",
     adjacency: str = "sentence",
     max_paths: int = MAX_EDAG_PATHS,
+    exact_fields: bool | None = None,
 ) -> DataFrame:
-    """→ doc rows + ``events`` column (schema.EVENTS)."""
+    """→ doc rows + ``events`` column (schema.EVENTS).
+
+    ``exact_fields``: whether span fields are exact role names (gold or
+    trained-model tagger) rather than coarse types (dictionary+regex).
+    Default None = infer from adjacency ("gold" ⇒ exact) — pass True
+    explicitly for model-tagged spans so the EDAG expansion runs its real
+    per-role branching instead of the coarse-field clique fallback."""
     event_fields = {et.name: list(et.fields) for et in CHFINANN_EVENT_TYPES}
     min_fields = {et.name: et.min_field_num for et in CHFINANN_EVENT_TYPES}
     use_gold_adj = adjacency == "gold"
     use_matrix_adj = adjacency == "matrix"
+    if exact_fields is None:
+        exact_fields = use_gold_adj
     if use_gold_adj and "events" not in tagged.columns:
         raise ValueError("adjacency='gold' requires an `events` column")
     if use_matrix_adj and "adj" not in tagged.columns:
@@ -144,7 +153,7 @@ def decode(
                     min_fields,
                     mode=mode,
                     max_paths=max_paths,
-                    exact_fields=use_gold_adj,
+                    exact_fields=exact_fields,
                 )
                 recs = []
                 recguid = 0

@@ -236,7 +236,10 @@ def run_pipeline(
             src = nonempty.join(
                 gold.select(F.col("guid").alias("doc_id"), "events"), "doc_id"
             )
-        return decode(src, mode=mode, adjacency=adj_mode)
+        # model-tagged spans carry exact role fields → the EDAG expansion
+        # can branch per role instead of the coarse-field clique fallback
+        exact = True if model is not None else None
+        return decode(src, mode=mode, adjacency=adj_mode, exact_fields=exact)
 
     decoded = staged("decode", build_decoded)
     trip = staged("triples", lambda: triples(decoded))

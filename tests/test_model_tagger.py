@@ -168,3 +168,22 @@ class TestFixEntSnapping:
         texts = {r["sp"]["text"] for r in out.collect()}
         # whatever the model emitted, no truncated share survives mode f
         assert not any(t.isdigit() for t in texts)
+
+
+class TestModelEdagPath:
+    def test_doc2edag_shape_pipeline_prf(self, spark, web_df, gold_df, tagger):
+        """The Doc2EDAG-shaped path — trained tagger (exact role fields)
+        → true EDAG per-role expansion → triples — must clear the north
+        rule's P/R ≥ 0.95 against gold through the FULL pipeline."""
+        from pyspark.sql import functions as F
+
+        from docee_spark.stages.evaluate import micro_scores, role_stats
+        from docee_spark.stages.pipeline import run_pipeline
+
+        res = run_pipeline(web_df, model=tagger, mode="edag", adjacency="sentence")
+        stats = role_stats(
+            res["decoded"].select("doc_id", "events"),
+            gold_df.select(F.col("guid").alias("doc_id"), "doc_type", "events"),
+        )
+        scores = micro_scores(stats)
+        assert scores["precision"] >= 0.95 and scores["recall"] >= 0.95, scores
