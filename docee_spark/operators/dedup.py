@@ -127,6 +127,16 @@ def minhash_cols(shingle_col: Column, k: int = 4) -> list[Column]:
 DEFAULT_MAX_BUCKET = 1024
 
 
+_OBSERVE_SEQ = iter(range(1, 1 << 30))
+
+
+def _metric_name(base: str) -> str:
+    """Unique observation name per operator call — Spark rejects duplicate
+    observation names inside one query (e.g. the same capped operator used
+    twice in a union, or minhash inside minhash_verified)."""
+    return f"{base}_{next(_OBSERVE_SEQ)}"
+
+
 def _cap_buckets(grouped: DataFrame, max_bucket: int, metric: str) -> DataFrame:
     """Filter bucket rows to 2 ≤ |ids| ≤ max_bucket, with the drops
     *observed* (named query metric, readable after any action via
@@ -134,7 +144,7 @@ def _cap_buckets(grouped: DataFrame, max_bucket: int, metric: str) -> DataFrame:
     capped skew is never silent."""
     sized = grouped.withColumn("_n", F.size("ids"))
     observed = sized.observe(
-        metric,
+        _metric_name(metric),
         F.sum(F.when(F.col("_n") > max_bucket, 1).otherwise(0)).alias(
             "n_dropped_buckets"
         ),
@@ -548,7 +558,7 @@ def embedding_cosine_pairs(
     )
     counts = v.groupBy("bucket").agg(F.count("*").alias("_n"))
     counts = counts.observe(
-        "embed_bucket_drops",
+        _metric_name("embed_bucket_drops"),
         F.sum(F.when(F.col("_n") > max_bucket, 1).otherwise(0)).alias(
             "n_dropped_buckets"
         ),
