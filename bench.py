@@ -132,6 +132,34 @@ def run_bench(cpus: int = CPUS, sf_dir: str = SF_DIR) -> dict:
     docs_per_sec = PIPELINE_DOCS / pipeline_sec
     pipeline_passes = [round(p, 2) for p in passes]
 
+    # model-tagger pipeline (apples-to-apples with the reference's
+    # trained-model speed test): trained char tagger (M1) in the tag
+    # slot, sentence adjacency, clique decode
+    model_docs_per_sec = None
+    if not os.environ.get("BENCH_SKIP_MODEL"):
+        from docee_spark.golden import ensure_tagger
+
+        tagger = ensure_tagger()
+
+        def model_pipe(src=None):
+            return run_pipeline(
+                src if src is not None else web,
+                model=tagger,
+                mode="clique",
+                adjacency="sentence",
+                use_html=False,
+                n_partitions=2 * cpus,
+            )
+
+        _force(model_pipe(warm)["triples"])
+        mpasses = []
+        for _ in range(max(3, k - 2)):
+            t0 = time.perf_counter()
+            _force(model_pipe()["triples"])
+            mpasses.append(time.perf_counter() - t0)
+        qtimes["docee_pipeline_model"] = round(min(mpasses), 3)
+        model_docs_per_sec = round(PIPELINE_DOCS / min(mpasses), 2)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     return {
         "metric": "docee_pipeline_docs_per_sec",
@@ -142,6 +170,7 @@ def run_bench(cpus: int = CPUS, sf_dir: str = SF_DIR) -> dict:
         "cpus": cpus,
         "pipeline_docs": PIPELINE_DOCS,
         "pipeline_passes": pipeline_passes,
+        "model_pipeline_docs_per_sec": model_docs_per_sec,
     }
 
 
@@ -173,6 +202,7 @@ def run_scaling(n: int) -> dict:
             # levels — headline queries in the same JVM leave heap/GC
             # state that contaminates the pipeline measurement
             BENCH_SKIP_QUERIES="1",
+            BENCH_SKIP_MODEL="1",
             SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "32g"),
         )
         cmd = [sys.executable, __file__]

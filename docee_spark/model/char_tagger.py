@@ -115,27 +115,83 @@ class CharTagger:
             path[t - 1] = back[t, path[t]]
         return path
 
-    def predict_sent_labels(self, sents: list[str]) -> list[list[int]]:
-        """sentences → per-char BIO label ids (the tag-stage contract)."""
+    def _viterbi_batch(
+        self, em: np.ndarray, lens: np.ndarray, mask: np.ndarray
+    ) -> list[list[int]]:
+        """Batched constrained Viterbi: the DP advances over the whole
+        (B, L, n) emission block at once — one (B, n, n) step per time
+        index instead of per (sentence, time) numpy calls (~10× on real
+        batches); ragged lengths read their own dp snapshot. Bit-identical
+        to the single-sentence decode (same ops, same first-max ties)."""
+        B, L, n = em.shape
+        neg = np.float32(-1e30)
+        dp = np.where(self.start_ok[None, :], em[:, 0, :], neg)
+        back = np.zeros((L, B, n), dtype=np.int16)
+        dps = np.empty((L, B, n), dtype=np.float32)
+        dps[0] = dp
+        # the BIO transition structure makes the generic (B, n, n)
+        # max-sum step collapsible to O(B·n): O and every B-label accept
+        # any predecessor (→ the global row max), I-x accepts only
+        # {B-x, I-x} (→ a 2-way max, ties to the lower id = first-max,
+        # exactly argmax's tie rule). Bit-identical to the dense step
+        # (parity-tested) at ~n× less work.
+        i_labels = np.arange(2, n, 2)
+        for t in range(1, L):
+            g = dp.max(axis=1)  # (B,)
+            gi = dp.argmax(axis=1).astype(np.int16)
+            new_dp = np.broadcast_to(g[:, None], (B, n)).copy()
+            bk = np.broadcast_to(gi[:, None], (B, n)).copy()
+            a = dp[:, i_labels - 1]  # from B-x
+            b = dp[:, i_labels]  # from I-x
+            new_dp[:, i_labels] = np.maximum(a, b)
+            bk[:, i_labels] = np.where(
+                a >= b, (i_labels - 1)[None, :], i_labels[None, :]
+            ).astype(np.int16)
+            back[t] = bk
+            dp = new_dp + em[:, t, :]
+            dps[t] = dp
+        out = []
+        for i in range(B):
+            T = int(lens[i])
+            if T == 0:
+                out.append([])
+                continue
+            path = np.zeros(T, dtype=np.int32)
+            path[-1] = int(dps[T - 1, i].argmax())
+            for t in range(T - 1, 0, -1):
+                path[t - 1] = back[t, i, path[t]]
+            out.append(path.tolist())
+        return out
+
+    def predict_sent_labels(
+        self, sents: list[str], chunk: int = 512
+    ) -> list[list[int]]:
+        """sentences → per-char BIO label ids (the tag-stage contract).
+        Sentences are length-sorted and decoded in chunks so each chunk
+        pads to its own max length (the in-model analog of the pipeline's
+        length bucketing)."""
         if not sents:
             return []
-        ids, lens = self._char_ids(sents)
-        em = self.emissions(ids)
+        order = sorted(range(len(sents)), key=lambda i: len(sents[i]))
         mask = np.where(self.trans_ok, np.float32(0.0), np.float32(-1e30))
-        return [
-            self._viterbi_single(em[i, : lens[i], :], mask).tolist()
-            if lens[i] > 0
-            else []
-            for i in range(len(sents))
-        ]
+        out: list[list[int]] = [[] for _ in sents]
+        for s0 in range(0, len(order), chunk):
+            idx = order[s0 : s0 + chunk]
+            batch = [sents[i] for i in idx]
+            ids, lens = self._char_ids(batch)
+            em = self.emissions(ids)
+            labels = self._viterbi_batch(em, lens, mask)
+            for i, lab in zip(idx, labels):
+                out[i] = lab
+        return out
 
-    def doc_spans(self, sents: list[str]) -> list[dict]:
-        """sentences → tag-stage span records (schema.SPANS shape), via
-        the shared BIO→span decoder — the exact contract of the other
-        taggers, so the model drops into the same slot."""
+    def spans_from_labels(
+        self, sents: list[str], pred_ids: list[list[int]]
+    ) -> list[dict]:
+        """per-char label ids → tag-stage span records (schema.SPANS
+        shape) via the shared BIO→span decoder."""
         from ..pyref.spans import decode_spans
 
-        pred_ids = self.predict_sent_labels(sents)
         texts, dranges, labs = decode_spans([list(s) for s in sents], pred_ids)
         return [
             {
@@ -147,6 +203,13 @@ class CharTagger:
             }
             for t, drs, lab in zip(texts, dranges, labs)
         ]
+
+    def doc_spans(self, sents: list[str]) -> list[dict]:
+        """sentences → span records — the exact contract of the other
+        taggers, so the model drops into the same slot. (The Spark stage
+        batches sentences ACROSS documents before calling
+        predict_sent_labels; this per-doc form is the pyref twin.)"""
+        return self.spans_from_labels(sents, self.predict_sent_labels(sents))
 
     # -- (de)serialization ---------------------------------------------------
 

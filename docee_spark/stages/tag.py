@@ -218,10 +218,19 @@ def tag_model(docs: DataFrame, model, ent_fix_mode: str = "n") -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tagger = _tagger_from_broadcast(bc)  # once per worker, not per batch
         for pdf in batches:
-            spans_col = []
+            # batch ALL sentences of the Arrow batch through one model
+            # call (the model length-sorts + chunks internally) — per-doc
+            # calls would decode tiny batches and waste the vectorization
+            flat: list[str] = []
+            bounds: list[tuple[int, int]] = []
             for sentences in pdf["sentences"]:
+                bounds.append((len(flat), len(sentences)))
+                flat.extend(sentences)
+            labels = tagger.predict_sent_labels(flat)
+            spans_col = []
+            for (off, n), sentences in zip(bounds, pdf["sentences"]):
                 sents = list(sentences)
-                spans = tagger.doc_spans(sents)
+                spans = tagger.spans_from_labels(sents, labels[off : off + n])
                 if ent_fix_mode != "n":
                     spans = textproc.fix_ent_spans(sents, spans, ent_fix_mode)
                 spans_col.append(spans)
