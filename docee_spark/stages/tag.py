@@ -39,12 +39,18 @@ from ..pyref.spans import decode_spans, labels_from_spans
 _SPANS_FIELD = "spans: array<struct<text:string,field:string,dranges:array<struct<sent_idx:int,char_s:int,char_e:int>>>>"
 
 
-def length_bucketed(df: DataFrame, n_partitions: int, salt_buckets: int = 64) -> DataFrame:
+def length_bucketed(
+    df: DataFrame, n_partitions: int, salt_buckets: int | None = None
+) -> DataFrame:
     """Repartition by (doc-length bucket, salted doc hash): batches
     arriving at the Arrow UDF have homogeneous size → no straggler
     executors on the long tail of huge documents (analog of the
     reference's batch padding waste avoidance, SURVEY §4). The salt also
-    spreads hot hosts, folding skew handling into this single exchange."""
+    spreads hot hosts, folding skew handling into this single exchange.
+    Salt space scales with the partition count (8×) so (bucket, salt)
+    combos out-number partitions — see salted_repartition."""
+    if salt_buckets is None:
+        salt_buckets = 8 * n_partitions
     bucket = F.floor(F.log2(F.size("sentences") + F.lit(1)))
     salt = F.pmod(F.xxhash64("doc_id"), F.lit(salt_buckets))
     return df.repartition(n_partitions, bucket, salt)
