@@ -18,6 +18,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 _T = "{sf}/{name}.parquet"
 
@@ -464,13 +465,42 @@ def q_doc_mentions(spark, sf):
 # DocEE pipeline queries (non-SQL-expressible per-document decoding)
 # --------------------------------------------------------------------------
 
+def _canonical_recguid(triples):
+    """Renumber per-doc record ids deterministically by (event_type,
+    sorted pred=obj list): decode assigns recguids in decode order, which
+    is correct-but-arbitrary; the canonical numbering lets a fully
+    independent SQL oracle (pure derivation from gold_args.parquet, no
+    shared pyref code) reproduce the exact rows. Ties = identical records,
+    whose numbering is interchangeable in the row multiset."""
+    rec = triples.groupBy("doc_id", "recguid").agg(
+        F.first("event_type").alias("event_type"),
+        F.concat_ws(
+            "|", F.sort_array(F.collect_list(F.concat_ws("=", "pred", "obj")))
+        ).alias("rkey"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("event_type", "rkey")
+    rec = rec.select(
+        "doc_id", "recguid", (F.row_number().over(w) - 1).alias("canon_recguid")
+    )
+    return triples.join(rec, ["doc_id", "recguid"]).select(
+        "doc_id",
+        "event_type",
+        F.col("canon_recguid").alias("recguid"),
+        "subj",
+        "pred",
+        "obj",
+    )
+
+
 def q_docee_triples_gold(spark, sf):
-    """Full pipeline in gold-span mode on the deterministic fixture corpus
-    (P/R = 1.0 vs golden triples — asserted in tests, rows-only here)."""
+    """Full pipeline in gold-span mode on the deterministic fixture corpus.
+    Record ids canonicalized (see _canonical_recguid) so the oracle is a
+    pure DuckDB derivation from gold_args.parquet — no shared code."""
     from docee_spark.stages.pipeline import run_pipeline
 
     web, gold = _fixture_webtext_and_gold(spark)
-    return run_pipeline(web, gold=gold, mode="clique", adjacency="gold")["triples"]
+    t = run_pipeline(web, gold=gold, mode="clique", adjacency="gold")["triples"]
+    return _canonical_recguid(t)
 
 
 def q_docee_triples_heuristic(spark, sf):
@@ -960,6 +990,57 @@ from read_parquet('{{g}}/triples_{mode}.parquet')
 """
 
 
+def _docee_triples_gold_sql() -> str:
+    """Fully independent oracle for the gold-mode pipeline: derives the
+    triples in pure DuckDB SQL from gold_args.parquet (the fixture
+    annotations), never touching pyref decode output. subj = first
+    non-null argument in key-field-then-field order; recguid = canonical
+    per-doc numbering by (event_type, sorted pred=obj list), matching
+    _canonical_recguid on the Spark side."""
+    from docee_spark.config import CHFINANN_EVENT_TYPES
+
+    key_pairs = ", ".join(
+        f"('{et.name}','{kf}')" for et in CHFINANN_EVENT_TYPES for kf in et.key_fields
+    )
+    return f"""
+with nn as (
+  select doc_id, recguid, event_type, role, role_idx, arg
+  from read_parquet('{{g}}/gold_args.parquet')
+  where arg is not null
+),
+rec as (
+  select doc_id, recguid, event_type,
+         array_to_string(
+             list_sort(list(event_type || '#' || role || '=' || arg)),
+             '|') as rkey
+  from nn group by 1, 2, 3
+),
+canon as (
+  select doc_id, recguid,
+         cast(row_number() over (partition by doc_id
+                                 order by event_type, rkey) - 1 as int)
+           as canon_recguid
+  from rec
+),
+keyed as (
+  select *, case when (event_type, role) in ({key_pairs})
+                 then 0 else 1 end as key_rank
+  from nn
+),
+subj as (
+  select doc_id, recguid, arg as subj
+  from (select *, row_number() over (partition by doc_id, recguid
+                                     order by key_rank asc, role_idx asc) rn
+        from keyed) where rn = 1
+)
+select n.doc_id, n.event_type, c.canon_recguid as recguid, s.subj,
+       n.event_type || '#' || n.role as pred, n.arg as obj
+from nn n
+join canon c using (doc_id, recguid)
+join subj s using (doc_id, recguid)
+"""
+
+
 def _docee_vertices_sql() -> str:
     """Independent DuckDB re-implementation of stages.canonicalize
     (minhash = lexicographic min of md5 hex; 8 hashes, 4 bands × 2 rows,
@@ -1229,7 +1310,7 @@ def oracle_sql() -> dict[str, str]:
     toks = _TOKENS.format(c="text")
     g = _golden_dir()
     docee = {
-        "docee_triples_gold": _docee_triples_sql("gold"),
+        "docee_triples_gold": _docee_triples_gold_sql(),
         "docee_triples_heuristic": _docee_triples_sql("heuristic"),
         "docee_triples_greedy": _docee_triples_sql("greedy"),
         "docee_triples_dcfee": _docee_triples_sql("dcfee"),

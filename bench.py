@@ -76,13 +76,6 @@ def run_bench(cpus: int = CPUS, sf_dir: str = SF_DIR) -> dict:
 
     qtimes: dict[str, float] = {}
     qs = em.queries()
-    headline = [] if os.environ.get("BENCH_SKIP_QUERIES") else HEADLINE
-    for name in headline:
-        df = qs[name](spark, sf_dir)
-        df.count()  # warm plan (catalog, file listing)
-        t0 = time.perf_counter()
-        _force(qs[name](spark, sf_dir))
-        qtimes[name] = round(time.perf_counter() - t0, 3)
 
     # DocEE pipeline docs/s — the fused heuristic path (production shape:
     # one Arrow UDF, corpus generated ON the executors, no driver
@@ -159,6 +152,17 @@ def run_bench(cpus: int = CPUS, sf_dir: str = SF_DIR) -> dict:
             mpasses.append(time.perf_counter() - t0)
         qtimes["docee_pipeline_model"] = round(min(mpasses), 3)
         model_docs_per_sec = round(PIPELINE_DOCS / min(mpasses), 2)
+
+    # headline queries AFTER the pipeline measurement: the dedup battery
+    # heats the JVM (GC pressure, codegen cache) and on this throttling-
+    # prone host running it first contaminated the r2 pipeline record
+    headline = [] if os.environ.get("BENCH_SKIP_QUERIES") else HEADLINE
+    for name in headline:
+        df = qs[name](spark, sf_dir)
+        df.count()  # warm plan (catalog, file listing)
+        t0 = time.perf_counter()
+        _force(qs[name](spark, sf_dir))
+        qtimes[name] = round(time.perf_counter() - t0, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     return {
