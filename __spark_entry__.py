@@ -461,6 +461,59 @@ def q_doc_mentions(spark, sf):
     )
 
 
+def q_multimodal_features(spark, sf):
+    """Real bytes→features image decode end-to-end: synthesize BMP/PPM
+    images from a known per-pixel formula on the executors, decode them
+    with the built-in dependency-free codecs (operators.multimodal), emit
+    integer channel sums. The oracle recomputes the sums analytically from
+    the same formula — any stride/padding/channel-order bug in the codec
+    breaks the value hash."""
+    from docee_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_bmp,
+        encode_ppm,
+        extract_features,
+    )
+
+    ids = _read(spark, sf, "documents").select("doc_id").filter(F.col("doc_id") < 60)
+
+    def make(batches):
+        import pandas as pd
+
+        cols = [f.name for f in MEDIA_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 4 + i % 5, 3 + i % 4
+                rgb = bytes((i * 31 + j) % 256 for j in range(w * h * 3))
+                enc = encode_bmp if i % 2 == 0 else encode_ppm
+                rows.append(
+                    {
+                        "media_id": f"img{i:05d}",
+                        "kind": "image",
+                        "media": enc(w, h, rgb),
+                        "width": w,
+                        "height": h,
+                        "duration_ms": None,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    media = ids.mapInPandas(make, schema=MEDIA_SCHEMA)
+    feats = extract_features(media, use_fake=False)
+    fcol = F.col("features")
+    return feats.select(
+        "media_id",
+        fcol[0].cast("int").alias("width"),
+        fcol[1].cast("int").alias("height"),
+        fcol[2].cast("bigint").alias("n_px"),
+        fcol[3].cast("bigint").alias("sum_r"),
+        fcol[4].cast("bigint").alias("sum_g"),
+        fcol[5].cast("bigint").alias("sum_b"),
+    )
+
+
 # --------------------------------------------------------------------------
 # DocEE pipeline queries (non-SQL-expressible per-document decoding)
 # --------------------------------------------------------------------------
@@ -734,6 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_lsh_topk": q_embed_lsh_topk,
         "embed_ivf_topk": q_embed_ivf_topk,
         "doc_mentions": q_doc_mentions,
+        "multimodal_features": q_multimodal_features,
         "docee_triples_gold": q_docee_triples_gold,
         "docee_triples_heuristic": q_docee_triples_heuristic,
         "docee_triples_greedy": q_docee_triples_greedy,
@@ -1465,8 +1519,33 @@ select doc_id, 'mentions#' || word as pred, word as obj from (
   from documents)
 where word in ('customer', 'supplier', 'part', 'spark', 'query', 'table')
 """,
+        # analytic recomputation of the synthetic-image channel sums: the
+        # Spark side round-trips the same formula through real BMP/PPM
+        # encode + decode (operators.multimodal), so a codec bug breaks this
+        "multimodal_features": """
+with dims as (
+  select doc_id as i, 4 + doc_id % 5 as w, 3 + doc_id % 4 as h
+  from documents where doc_id < 60
+),
+px as (select i, w, h, unnest(range(w * h)) as p from dims),
+sums as (
+  select i, w, h,
+         sum((i * 31 + 3 * p) % 256) as sum_r,
+         sum((i * 31 + 3 * p + 1) % 256) as sum_g,
+         sum((i * 31 + 3 * p + 2) % 256) as sum_b
+  from px group by 1, 2, 3
+)
+select 'img' || lpad(cast(i as varchar), 5, '0') as media_id,
+       cast(w as int) as width, cast(h as int) as height,
+       cast(w * h as bigint) as n_px,
+       cast(sum_r as bigint) as sum_r,
+       cast(sum_g as bigint) as sum_g,
+       cast(sum_b as bigint) as sum_b
+from sums
+""",
         # docee_* oracles are merged in from the golden-fixture block above:
-        # relational jobs get independent DuckDB SQL over exploded gold
-        # tables; the per-document decoders hash-compare against golden
-        # triples parquet produced by the pure-Python (pyref) path.
+        # relational jobs (and the gold-mode pipeline) get independent
+        # DuckDB SQL over exploded gold tables; the remaining per-document
+        # decoder modes hash-compare against golden triples parquet
+        # produced by the pure-Python (pyref) path.
     }

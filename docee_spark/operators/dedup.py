@@ -47,7 +47,13 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     has too few partitions. At 100 TB the scan already yields thousands of
     splits and this is a no-op (no shuffle inserted)."""
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    try:
+        # JVM-side physical-plan partition count: avoids df.rdd, which
+        # builds the whole Python-serialization RDD conversion per call
+        n_parts = df._jdf.queryExecution().toRdd().getNumPartitions()
+    except Exception:  # pragma: no cover - private-API fallback
+        n_parts = df.rdd.getNumPartitions()
+    if n_parts < max(2, target // 2):
         return df.repartition(target)
     return df
 

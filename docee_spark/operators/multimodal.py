@@ -45,11 +45,136 @@ def set_decoder(kind: str, fn: Callable[[bytes], list[float]]) -> None:
     _DECODERS[kind] = fn
 
 
+# ---------------------------------------------------------------------------
+# Built-in dependency-free image codecs (uncompressed BMP + binary PPM).
+# These make the bytes→features path REAL end-to-end: the multimodal_features
+# oracle query encodes synthetic images from a known pixel formula, decodes
+# them here, and DuckDB recomputes the expected channel sums analytically —
+# a wrong stride/padding/channel-order in this parser breaks the value hash.
+# ---------------------------------------------------------------------------
+
+def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """Minimal 24-bit uncompressed bottom-up BMP writer. ``rgb`` is
+    row-major top-down RGB (3 bytes/px) — the natural logical layout; the
+    writer handles the format's bottom-up row order, BGR channel order,
+    and 4-byte row padding."""
+    import struct
+
+    row_pad = (-(width * 3)) % 4
+    stride = width * 3 + row_pad
+    pixel_bytes = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = rgb[y * width * 3 : (y + 1) * width * 3]
+        for x in range(width):
+            r, g, b = row[x * 3 : x * 3 + 3]
+            pixel_bytes += bytes((b, g, r))  # BGR on disk
+        pixel_bytes += b"\x00" * row_pad
+    offset = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", offset + height * stride, 0, 0, offset)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, height * stride, 0, 0, 0, 0
+    )
+    return header + info + bytes(pixel_bytes)
+
+
+def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
+    """Binary PPM (P6) writer; ``rgb`` row-major top-down RGB."""
+    return b"P6\n%d %d\n255\n" % (width, height) + rgb
+
+
+def _decode_bmp(data: bytes) -> tuple[int, int, bytes]:
+    import struct
+
+    if data[:2] != b"BM":
+        raise NotImplementedError("not a BMP")
+    offset = struct.unpack_from("<I", data, 10)[0]
+    hdr_size = struct.unpack_from("<I", data, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError(f"unsupported BMP header size {hdr_size}")
+    width, height = struct.unpack_from("<ii", data, 18)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only 24-bit uncompressed BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    top_down = height < 0
+    height = abs(height)
+    stride = (width * 3 + 3) & ~3
+    out = bytearray(width * height * 3)
+    for y in range(height):
+        src_y = y if top_down else height - 1 - y
+        row = data[offset + src_y * stride : offset + src_y * stride + width * 3]
+        if len(row) < width * 3:
+            raise ValueError("truncated BMP pixel data")
+        for x in range(width):
+            b, g, r = row[x * 3 : x * 3 + 3]
+            i = (y * width + x) * 3
+            out[i : i + 3] = bytes((r, g, b))
+    return width, height, bytes(out)
+
+
+def _decode_ppm(data: bytes) -> tuple[int, int, bytes]:
+    if data[:2] != b"P6":
+        raise NotImplementedError("not a P6 PPM")
+    # header: magic, width, height, maxval — whitespace separated,
+    # '#' comments allowed anywhere between tokens
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(data) and data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        tokens.append(int(data[start:pos]))
+    width, height, maxval = tokens
+    if maxval != 255:
+        raise NotImplementedError(f"only maxval=255 PPM supported, got {maxval}")
+    pos += 1  # single whitespace after maxval
+    rgb = data[pos : pos + width * height * 3]
+    if len(rgb) < width * height * 3:
+        raise ValueError("truncated PPM pixel data")
+    return width, height, rgb
+
+
+def image_stat_features(data: bytes) -> list[float]:
+    """bytes → [width, height, n_px, sum_r, sum_g, sum_b]. All values are
+    exact integers (≤ 2^53) so the vector survives the double round-trip
+    and integerizes losslessly in oracle comparisons."""
+    if data[:2] == b"BM":
+        w, h, rgb = _decode_bmp(data)
+    elif data[:2] == b"P6":
+        w, h, rgb = _decode_ppm(data)
+    else:
+        raise NotImplementedError(
+            f"unknown image magic {data[:2]!r}; built-in codecs: BMP, P6 PPM"
+        )
+    return [
+        float(w),
+        float(h),
+        float(w * h),
+        float(sum(rgb[0::3])),
+        float(sum(rgb[1::3])),
+        float(sum(rgb[2::3])),
+    ]
+
+
 def real_decode(kind: str, data: bytes) -> list[float]:
-    """Production decode hook — not available in this environment."""
+    """Decode hook: built-in BMP/P6-PPM codecs for images; anything else
+    (JPEG/PNG/audio/video) needs an injected decoder (set_decoder) since
+    no media libraries ship in this container."""
+    if kind == "image" and data:
+        return image_stat_features(bytes(data))
     raise NotImplementedError(
-        f"no media decoder registered for kind={kind!r}; this container has "
-        "no image/audio libraries — inject one with set_decoder()"
+        f"no media decoder for kind={kind!r} (built-in: uncompressed "
+        "BMP / P6 PPM images) — inject one with set_decoder()"
     )
 
 
@@ -89,7 +214,9 @@ def extract_features(
                         )
                     )
                 else:
-                    real_decode(kind, data)  # raises NotImplementedError
+                    feats.append(
+                        real_decode(kind, bytes(data) if data is not None else b"")
+                    )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

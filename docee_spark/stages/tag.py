@@ -192,7 +192,15 @@ MODEL_LOADS = 0
 
 def _tagger_from_broadcast(bc):
     global MODEL_LOADS
-    key = getattr(bc, "_path", None) or str(id(bc))
+    # Broadcast identity: prefer the public-ish broadcast id when present
+    # (JVM-tracked, stable across Spark versions), fall back to the pickle
+    # file path (python-worker side broadcasts expose only _path)
+    bid = getattr(bc, "id", None)
+    key = (
+        f"bcid:{bid}"
+        if bid is not None
+        else getattr(bc, "_path", None) or str(id(bc))
+    )
     tagger = _MODEL_CACHE.get(key)
     if tagger is None:
         from ..model.char_tagger import CharTagger

@@ -123,11 +123,90 @@ class TestMultimodal:
         out2 = {r["media_id"]: r["features"] for r in extract_features(df, dim=8).collect()}
         assert out == out2
 
-    def test_real_decode_is_stubbed(self):
+    def test_real_decode_unknown_codec_raises(self):
         from docee_spark.operators.multimodal import real_decode
 
+        # JPEG/PNG/audio need an injected decoder; built-ins are BMP/PPM
         with pytest.raises(NotImplementedError):
-            real_decode("image", b"x")
+            real_decode("image", b"\x89PNGfake")
+        with pytest.raises(NotImplementedError):
+            real_decode("audio", b"RIFFfake")
+
+    def test_builtin_codec_roundtrip(self):
+        from docee_spark.operators.multimodal import (
+            _decode_bmp,
+            _decode_ppm,
+            encode_bmp,
+            encode_ppm,
+            image_stat_features,
+        )
+
+        for w, h in [(5, 3), (4, 4), (7, 2), (1, 1)]:  # odd widths hit BMP padding
+            rgb = bytes((j * 7 + 3) % 256 for j in range(w * h * 3))
+            assert _decode_bmp(encode_bmp(w, h, rgb)) == (w, h, rgb)
+            assert _decode_ppm(encode_ppm(w, h, rgb)) == (w, h, rgb)
+            expected = [
+                float(w), float(h), float(w * h),
+                float(sum(rgb[0::3])), float(sum(rgb[1::3])), float(sum(rgb[2::3])),
+            ]
+            assert image_stat_features(encode_bmp(w, h, rgb)) == expected
+            assert image_stat_features(encode_ppm(w, h, rgb)) == expected
+
+    def test_builtin_codec_edge_cases(self):
+        import struct
+
+        from docee_spark.operators.multimodal import (
+            _decode_bmp,
+            _decode_ppm,
+            encode_bmp,
+            image_stat_features,
+        )
+
+        # PPM comments in header
+        assert _decode_ppm(b"P6\n# c\n3 2\n255\n" + bytes(range(18))) == (
+            3, 2, bytes(range(18)),
+        )
+        # top-down BMP (negative height) decodes to the same logical rows
+        w, h = 3, 2
+        rgb = bytes(range(w * h * 3))
+        up = bytearray(encode_bmp(w, h, rgb))
+        stride = (w * 3 + 3) & ~3
+        off = struct.unpack_from("<I", up, 10)[0]
+        rows = [bytes(up[off + i * stride : off + (i + 1) * stride]) for i in range(h)]
+        struct.pack_into("<i", up, 22, -h)  # flag top-down
+        top_down = bytes(up[:off]) + b"".join(reversed(rows))
+        assert _decode_bmp(top_down) == (w, h, rgb)
+        # truncated pixel data is an error, not garbage features
+        with pytest.raises(ValueError):
+            _decode_bmp(encode_bmp(4, 4, bytes(48))[:-20])
+        with pytest.raises(ValueError):
+            _decode_ppm(b"P6\n4 4\n255\n\x00\x01")
+        # unsupported variants are explicit NotImplementedError
+        with pytest.raises(NotImplementedError):
+            _decode_ppm(b"P6\n2 2\n65535\n" + bytes(24))
+        with pytest.raises(NotImplementedError):
+            image_stat_features(b"GIF89a")
+
+    def test_real_decode_used_in_extract(self, spark):
+        from docee_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            encode_bmp,
+            encode_ppm,
+            extract_features,
+        )
+
+        rgb = bytes((j * 11) % 256 for j in range(5 * 3 * 3))
+        rows = [
+            ("bmp1", "image", encode_bmp(5, 3, rgb), 5, 3, None),
+            ("ppm1", "image", encode_ppm(5, 3, rgb), 5, 3, None),
+        ]
+        df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        out = {
+            r["media_id"]: r["features"]
+            for r in extract_features(df, use_fake=False).collect()
+        }
+        assert out["bmp1"] == out["ppm1"]
+        assert out["bmp1"][:3] == [5.0, 3.0, 15.0]
 
     def test_injected_decoder_used(self, spark):
         from docee_spark.operators import multimodal as mm
