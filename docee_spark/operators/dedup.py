@@ -543,6 +543,7 @@ def embedding_cosine_pairs(
     vec_col: str = "embedding",
     n_sign_bits: int = 16,
     max_bucket: int = DEFAULT_MAX_BUCKET,
+    probe_flips: int = 0,
 ) -> DataFrame:
     """→ (id_a, id_b, cosine_e6 ≥ τ): near-duplicate embeddings, blocked
     by a sign-LSH bucket (first ``n_sign_bits`` dimension signs) so the
@@ -553,9 +554,11 @@ def embedding_cosine_pairs(
     expected bucket). ``max_bucket`` drops degenerate hot buckets (e.g.
     the all-positive bucket of non-centered embeddings) from pairing,
     with an observed counter. Recall loss from sign blocking is the
-    documented ANN trade-off; multi-probe = union of this over bit-
-    flipped probe buckets."""
-    from .similarity import cosine_e6, sign_bucket
+    documented ANN trade-off; ``probe_flips`` > 0 turns on multi-probe
+    (union over the Hamming-1 buckets of the closest hyperplanes, see
+    similarity.probe_buckets) to recover boundary-vector pairs — probe
+    rows scale the join input by 1 + probe_flips, caps still apply."""
+    from .similarity import cosine_e6, probe_buckets, sign_bucket
 
     v = df.select(
         F.col(id_col).alias("id"),
@@ -572,10 +575,44 @@ def embedding_cosine_pairs(
             "n_dropped_rows"
         ),
     )
-    keep = counts.filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket)).select(
+    min_n = 1 if probe_flips > 0 else 2  # probes can pair across buckets
+    keep = counts.filter((F.col("_n") >= min_n) & (F.col("_n") <= max_bucket)).select(
         "bucket"
     )
     v = v.join(F.broadcast(keep), "bucket")
+    if probe_flips > 0:
+        # probe side: each vector appears under its base + flipped
+        # buckets; base side keeps one bucket per vector, so a pair is
+        # found iff either endpoint probes the other's bucket. Probe rows
+        # are capped by the same keep-list (hot buckets stay dropped).
+        probes = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            F.explode(
+                probe_buckets(F.col(vec_col), n_sign_bits, probe_flips)
+            ).alias("bucket"),
+        ).join(F.broadcast(keep), "bucket")
+        a, b = probes.alias("a"), v.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.id") != F.col("b.id")),
+            )
+            .select(
+                F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+                F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+                F.col("a.vec").alias("vec_a"),
+                F.col("b.vec").alias("vec_b"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        pairs = cand.select(
+            "id_a",
+            "id_b",
+            cosine_e6(F.col("vec_a"), F.col("vec_b")).alias("cosine_e6"),
+        )
+        return pairs.filter(F.col("cosine_e6") >= threshold_e6)
     a, b = v.alias("a"), v.alias("b")
     pairs = a.join(
         b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))

@@ -106,6 +106,111 @@ class TestSimilarity:
         assert not any(q == 2 or n == 2 for q, n in got if (q, n) != (2, 2))
 
 
+class TestMultiProbe:
+    """Multi-probe sign-LSH: boundary vectors (tiny |value| on a bucketing
+    dimension) land on opposite sides of a hyperplane; probing the
+    Hamming-1 bucket of the closest hyperplane recovers them."""
+
+    def _boundary_corpus(self, spark):
+        base = [0.6, 0.5, 0.4, 0.3]
+        rows = []
+        for i in range(6):
+            shift = [x + 0.01 * i for x in base]
+            rows.append((2 * i, [0.001] + shift))       # bit0 = 1
+            rows.append((2 * i + 1, [-0.001] + shift))  # bit0 = 0
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_dedup_pairs_recall(self, spark):
+        from docee_spark.operators.dedup import embedding_cosine_pairs
+
+        df = self._boundary_corpus(spark)
+        expected = {(2 * i, 2 * i + 1) for i in range(6)}
+        got0 = {
+            (r.id_a, r.id_b)
+            for r in embedding_cosine_pairs(
+                df, threshold_e6=990_000, n_sign_bits=5, probe_flips=0
+            ).collect()
+        }
+        got1 = {
+            (r.id_a, r.id_b)
+            for r in embedding_cosine_pairs(
+                df, threshold_e6=990_000, n_sign_bits=5, probe_flips=1
+            ).collect()
+        }
+        assert not expected & got0  # sign blocking misses every boundary pair
+        assert expected <= got1     # one probe recovers them all
+        assert got0 <= got1         # multi-probe is a strict superset
+
+    def test_lsh_topk_recall_vs_brute_force(self, spark):
+        from docee_spark.operators.similarity import brute_force_topk, lsh_topk
+
+        df = self._boundary_corpus(spark)
+        queries = df.filter(F.col("vec_id") % 2 == 0)
+        truth = {
+            r.query_id: r.neighbor_id
+            for r in brute_force_topk(df, queries, k=1).collect()
+        }
+
+        def recall(probe_flips):
+            got = {
+                r.query_id: r.neighbor_id
+                for r in lsh_topk(
+                    df, queries, k=1, n_bits=5, probe_flips=probe_flips
+                ).collect()
+            }
+            return sum(got.get(q) == n for q, n in truth.items()) / len(truth)
+
+        r0, r1 = recall(0), recall(1)
+        assert r1 == 1.0       # probing the nearest hyperplane finds true NN
+        assert r0 < r1         # and strictly improves on single-probe
+
+    def test_recall_curves_monotone_sf0001(self, spark):
+        """Regression floor for the BENCH.md recall curves: more probes →
+        candidate superset → recall never decreases, and IVF at
+        nprobe=n_centroids is exhaustive (recall 1.0)."""
+        import numpy as np
+
+        from docee_spark.operators.similarity import (
+            brute_force_topk,
+            ivf_topk,
+            lsh_topk,
+            train_ivf_centroids,
+        )
+
+        em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        queries = em.filter(F.col("vec_id") < 16)
+
+        def sets(rows):
+            out = {}
+            for r in rows:
+                out.setdefault(r.query_id, set()).add(r.neighbor_id)
+            return out
+
+        truth = sets(brute_force_topk(em, queries, k=3).collect())
+
+        def recall(got):
+            return sum(len(truth[q] & got.get(q, set())) for q in truth) / sum(
+                len(truth[q]) for q in truth
+            )
+
+        lsh = [
+            recall(sets(lsh_topk(em, queries, k=3, n_bits=6, probe_flips=p).collect()))
+            for p in (0, 1, 2)
+        ]
+        assert lsh[0] <= lsh[1] <= lsh[2]
+
+        vecs = np.array(
+            [r.embedding for r in em.select("embedding").collect()], dtype=np.float64
+        )
+        cents = train_ivf_centroids(np.round(vecs * 10000).astype(np.int64))
+        ivf = [
+            recall(sets(ivf_topk(em, queries, cents, k=3, nprobe=p).collect()))
+            for p in (1, 4, len(cents))
+        ]
+        assert ivf[0] <= ivf[1] <= ivf[2]
+        assert ivf[-1] == 1.0  # full probe = exact
+
+
 class TestMultimodal:
     def test_feature_extraction_plumbing(self, spark):
         from docee_spark.operators.multimodal import MEDIA_SCHEMA, extract_features
