@@ -461,6 +461,62 @@ def q_doc_mentions(spark, sf):
     )
 
 
+def q_ingest_html(spark, sf):
+    """Generic-HTML ingest end-to-end with null-text rows: a third of the
+    corpus arrives text-less and must be recovered byte-deterministically
+    from adversarial html (script with raw <&>, entity in heading, comment
+    containing '>', footer boilerplate) via strip_boilerplate; a third has
+    no html; a third has both (text wins). The oracle recomputes the
+    expected extraction analytically — md5 over the full text, so any
+    extractor drift breaks the hash."""
+    from docee_spark.schema import WEBTEXT
+    from docee_spark.stages.ingest import ingest
+
+    d = (
+        _read(spark, sf, "documents")
+        .filter(F.col("doc_id") < 90)
+        .select("doc_id", "text")
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                i, m = int(i), int(i) % 3
+                html, text = None, t
+                if m == 0:
+                    text = None
+                    html = (
+                        '<html><body><script>var x = "<&>";</script>'
+                        "<h1>T&amp;1</h1><!-- c > c --><p>" + t
+                        + "</p><footer>junk</footer></body></html>"
+                    ).encode()
+                elif m == 2:
+                    html = b"<p>ignored: text wins</p>"
+                rows.append(
+                    {
+                        "url": f"https://h{i % 7}.example.com/d{i:05d}",
+                        "warc_ts": None,
+                        "html": html,
+                        "text": text,
+                        "lang": "en",
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    web = d.mapInPandas(make, schema=WEBTEXT)
+    out = ingest(web, use_html=True)
+    return out.select(
+        F.col("doc_id").alias("url"),
+        F.md5(F.col("text").cast("binary")).alias("text_md5"),
+        F.length("text").cast("int").alias("n_chars"),
+    )
+
+
 def q_multimodal_features(spark, sf):
     """Real bytes→features image decode end-to-end: synthesize BMP/PPM
     images from a known per-pixel formula on the executors, decode them
@@ -787,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_lsh_topk": q_embed_lsh_topk,
         "embed_ivf_topk": q_embed_ivf_topk,
         "doc_mentions": q_doc_mentions,
+        "ingest_html": q_ingest_html,
         "multimodal_features": q_multimodal_features,
         "docee_triples_gold": q_docee_triples_gold,
         "docee_triples_heuristic": q_docee_triples_heuristic,
@@ -1518,6 +1575,23 @@ select doc_id, 'mentions#' || word as pred, word as obj from (
   select doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) as word
   from documents)
 where word in ('customer', 'supplier', 'part', 'spark', 'query', 'table')
+""",
+        # analytic recomputation of the generic-HTML extraction: the Spark
+        # side recovers null-text rows from adversarial html through
+        # strip_boilerplate; expected text = 'T&1 ' + original (the
+        # template's surviving content), md5-hashed on both sides
+        "ingest_html": """
+with base as (select doc_id, text from documents where doc_id < 90),
+expected as (
+  select doc_id,
+         case when doc_id % 3 = 0 then 'T&1 ' || text else text end as text
+  from base
+)
+select 'https://h' || cast(doc_id % 7 as varchar) || '.example.com/d'
+         || lpad(cast(doc_id as varchar), 5, '0') as url,
+       md5(text) as text_md5,
+       cast(len(text) as int) as n_chars
+from expected
 """,
         # analytic recomputation of the synthetic-image channel sums: the
         # Spark side round-trips the same formula through real BMP/PPM

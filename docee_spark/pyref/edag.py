@@ -60,6 +60,7 @@ def edag_expand(
     fields: list[str],
     max_paths: int = 256,
     always_branch_none: bool = True,
+    stats: dict[str, int] | None = None,
 ) -> list[tuple[int | None, ...]]:
     """Frontier expansion → complete role paths (span indices or None).
 
@@ -94,7 +95,12 @@ def edag_expand(
         if len(nxt) > max_paths:
             # prune to the most complete paths (deterministic: non-null
             # count desc, then path order) — the cap exists only to bound
-            # adversarial documents (SURVEY §7 risk 2)
+            # adversarial documents (SURVEY §7 risk 2); COUNTED, never
+            # silent (A9): callers surface stats["n_paths_pruned"]
+            if stats is not None:
+                stats["n_paths_pruned"] = (
+                    stats.get("n_paths_pruned", 0) + len(nxt) - max_paths
+                )
             nxt.sort(
                 key=lambda p: (
                     -sum(1 for s in p if s is not None),
@@ -259,6 +265,7 @@ def decode_doc(
     exact_fields: bool = True,
     num_triggers: int = -1,
     min_conn: int = 1,
+    stats: dict[str, int] | None = None,
 ) -> dict[str, list[tuple[int | None, ...]]]:
     """Full per-document decode: event-type detection → combination
     enumeration (cliques, trigger-graph combinations, or EDAG expansion)
@@ -320,6 +327,11 @@ def decode_doc(
                         if c is None or c not in p
                     ] or [p + (None,) for p in partial]
                     partial = nxt[:max_paths]
+                    if len(nxt) > max_paths and stats is not None:
+                        stats["n_paths_pruned"] = (
+                            stats.get("n_paths_pruned", 0)
+                            + len(nxt) - max_paths
+                        )
                 for rec in partial:
                     if sum(1 for a in rec if a is not None) >= mins.get(et, 1):
                         out.setdefault(et, []).append(rec)
@@ -431,6 +443,7 @@ def decode_doc(
                 event_fields[et],
                 max_paths=max_paths,
                 always_branch_none=exact_fields,
+                stats=stats,
             )
             recs = [r for r in recs
                     if sum(1 for a in r if a is not None) >= mins.get(et, 1)]

@@ -124,6 +124,7 @@ def decode(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             events_col = []
+            pruned_col = []
             if use_gold_adj:
                 aux = pdf["events"]
             elif use_matrix_adj:
@@ -144,6 +145,7 @@ def decode(
                     adj = [list(row) for row in extra]
                 else:
                     adj = _sentence_adjacency(n, span_sents)
+                doc_stats: dict[str, int] = {}
                 decoded = decode_doc(
                     sents,
                     span_fields,
@@ -154,7 +156,9 @@ def decode(
                     mode=mode,
                     max_paths=max_paths,
                     exact_fields=exact_fields,
+                    stats=doc_stats,
                 )
+                pruned_col.append(int(doc_stats.get("n_paths_pruned", 0)))
                 recs = []
                 recguid = 0
                 for et in event_fields:  # deterministic catalog order
@@ -171,7 +175,10 @@ def decode(
                 out = out.drop(columns=["events"])
             if use_matrix_adj:
                 out = out.drop(columns=["adj"])
-            yield out.assign(events=events_col)
+            # n_paths_pruned: A9-style truncation counter for the EDAG /
+            # product path caps (0 everywhere else) — adversarial docs
+            # must show up in metrics, never silently lose records
+            yield out.assign(events=events_col, n_paths_pruned=pruned_col)
 
     base_fields = [
         f for f in tagged.schema.fields if f.name not in ("events", "adj")
@@ -179,4 +186,6 @@ def decode(
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in base_fields
     )
-    return tagged.mapInPandas(run, schema=out_schema + ", " + _EVENTS_FIELD)
+    return tagged.mapInPandas(
+        run, schema=out_schema + ", " + _EVENTS_FIELD + ", n_paths_pruned int"
+    )

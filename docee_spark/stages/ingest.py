@@ -40,22 +40,69 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
 
 import re as _re
 
+# comments stripped FIRST: '<!-- a > b -->' would otherwise leak ' b -->'
+# past the tag regex (which stops at the first '>')
+_COMMENTS = _re.compile(r"(?s)<!--.*?(?:-->|$)")
+_CDATA = _re.compile(r"(?s)<!\[CDATA\[.*?(?:\]\]>|$)")
+# container blocks: unterminated (crawler-truncated) blocks drop to EOF
+# rather than leaking raw JS/CSS into the text
 _DROP_BLOCKS = _re.compile(
-    r"(?is)<(script|style|nav|header|footer|aside|noscript)\b.*?</\1\s*>"
+    r"(?is)<(script|style|nav|header|footer|aside|noscript)\b[^>]*>"
+    r".*?(?:</\1\s*>|$)"
 )
-_TAGS = _re.compile(r"(?s)<[^>]+>")
+# a tag left open at EOF is dropped, not emitted as text
+_TAGS = _re.compile(r"(?s)<[^>]*(?:>|$)")
 _WS = _re.compile(r"[ \t\r\f\v]+")
+
+# frozen entity table (most common named refs; NOT stdlib html.unescape,
+# whose table could drift across Python versions — byte-stability per url
+# is the north-rule invariant, SURVEY §7 risk 3)
+_NAMED_ENTITIES = {
+    "amp": "&", "lt": "<", "gt": ">", "quot": '"', "apos": "'",
+    "nbsp": " ", "mdash": "—", "ndash": "–",
+    "hellip": "…", "copy": "©", "reg": "®",
+    "trade": "™", "laquo": "«", "raquo": "»",
+    "ldquo": "“", "rdquo": "”", "lsquo": "‘",
+    "rsquo": "’", "middot": "·", "bull": "•",
+    "deg": "°", "times": "×", "divide": "÷",
+    "euro": "€", "pound": "£", "yen": "¥",
+    "cent": "¢", "sect": "§", "para": "¶",
+    "plusmn": "±",
+}
+_ENTITY = _re.compile(r"&(#[xX]?[0-9a-fA-F]+|[a-zA-Z][a-zA-Z0-9]{1,30});")
+
+
+def _decode_entity(m: "_re.Match[str]") -> str:
+    body = m.group(1)
+    if body.startswith("#"):
+        try:
+            cp = int(body[2:], 16) if body[1] in "xX" else int(body[1:])
+        except ValueError:
+            return m.group(0)
+        # reject NUL, surrogates, out-of-range — keep the literal text
+        if 0 < cp <= 0x10FFFF and not (0xD800 <= cp <= 0xDFFF):
+            return chr(cp)
+        return m.group(0)
+    return _NAMED_ENTITIES.get(body, m.group(0))
 
 
 def strip_boilerplate(html: bytes) -> str:
-    """Generic extractor for arbitrary pages: drop script/style/nav/
-    header/footer/aside blocks, strip remaining tags, normalize
-    whitespace. Pure function of the bytes (frozen + golden-tested —
-    SURVEY §7 risk 3); the fixture extractor (``fixtures.extract_text``)
-    stays the byte-identity reference for annotated corpora."""
+    """Generic extractor for arbitrary pages: drop comments/CDATA and
+    script/style/nav/header/footer/aside blocks (including blocks left
+    unterminated by crawl truncation), strip remaining tags (including a
+    tag left open at EOF), decode numeric + common named character
+    entities from a frozen table, normalize whitespace. Pure function of
+    the bytes (frozen + golden-tested — SURVEY §7 risk 3); the fixture
+    extractor (``fixtures.extract_text``) stays the byte-identity
+    reference for annotated corpora. Entities are decoded AFTER tag
+    stripping, so escaped markup (&lt;script&gt;) correctly survives as
+    text content."""
     s = html.decode("utf-8", errors="replace")
+    s = _COMMENTS.sub(" ", s)
+    s = _CDATA.sub(" ", s)
     s = _DROP_BLOCKS.sub(" ", s)
     s = _TAGS.sub(" ", s)
+    s = _ENTITY.sub(_decode_entity, s)
     s = _WS.sub(" ", s)
     return "\n".join(
         line.strip() for line in s.split("\n") if line.strip()

@@ -201,6 +201,185 @@ class TestGenericExtractor:
 
         assert isinstance(strip_boilerplate(b"\xff\xfe<p>ok</p>"), str)
 
+    def test_comment_with_gt_and_unterminated_blocks(self):
+        from docee_spark.stages.ingest import strip_boilerplate
+
+        html = (
+            b"<html><body>"
+            b"<!-- comment with > inside -->"
+            b"<p>keep one.</p>"
+            b"<script>if (a > b) { alert('x'); }</script>"
+            b"<p>keep two.</p>"
+            b"<style>p > span { color: red }"  # unterminated -> drop to EOF
+        )
+        out = strip_boilerplate(html)
+        assert "keep one." in out and "keep two." in out
+        assert "comment" not in out
+        assert "alert" not in out
+        assert "color" not in out
+
+    def test_unclosed_script_never_leaks_js(self):
+        from docee_spark.stages.ingest import strip_boilerplate
+
+        out = strip_boilerplate(b"<p>before.</p><script>var leak = 'x';")
+        assert "before." in out and "leak" not in out
+
+    def test_entity_decoding_frozen_table(self):
+        from docee_spark.stages.ingest import strip_boilerplate
+
+        html = (
+            "<p>A &amp; B &#20013;&#x6587; &nbsp;x &bogus; &#xD800; &#0;</p>"
+        ).encode()
+        out = strip_boilerplate(html)
+        assert "A & B" in out
+        assert "中文" in out          # numeric dec + hex refs
+        assert "&bogus;" in out       # unknown named ref preserved as text
+        assert "&#xD800;" in out      # surrogate rejected
+        assert "&#0;" in out          # NUL rejected
+
+    def test_escaped_markup_survives_as_text(self):
+        from docee_spark.stages.ingest import strip_boilerplate
+
+        out = strip_boilerplate(b"<p>&lt;script&gt;alert(1)&lt;/script&gt;</p>")
+        assert "<script>alert(1)</script>" in out
+
+    def test_nested_unclosed_and_eof_open_tags(self):
+        from docee_spark.stages.ingest import strip_boilerplate
+
+        html = (
+            b"<div><p>outer <b>bold <i>both</b> flipped</i> tail</p>"
+            b"<p>open tag at eof <a href='x"
+        )
+        out = strip_boilerplate(html)
+        assert "outer bold both flipped tail" in out
+        assert "open tag at eof" in out
+        assert "href" not in out  # tag left open at EOF is dropped
+
+    def test_cdata_dropped(self):
+        from docee_spark.stages.ingest import strip_boilerplate
+
+        out = strip_boilerplate(
+            b"<p>a.</p><![CDATA[ raw > stuff ]]><p>b.</p><![CDATA[ unterminated"
+        )
+        assert "a." in out and "b." in out
+        assert "stuff" not in out and "unterminated" not in out
+
+    def test_10mb_document_bounded(self):
+        import time
+
+        from docee_spark.stages.ingest import strip_boilerplate
+
+        blob = b"<div class='r'><p>sentence %d goes here.</p><!-- pad --></div>"
+        html = b"<html><body>" + b"".join(blob % i for i in range(120_000))
+        assert len(html) > 7_000_000
+        t0 = time.perf_counter()
+        out = strip_boilerplate(html)
+        took = time.perf_counter() - t0
+        assert "sentence 0 goes here." in out
+        assert "sentence 119999 goes here." in out
+        assert "pad" not in out
+        assert took < 30  # linear regex passes, no catastrophic backtracking
+
+
+class TestAdversarialPipeline:
+    """Giant/messy real-web documents must flow through the caps with
+    counters, never blow up a task (SURVEY §7 risks 2+5, VERDICT r2 #3/#7)."""
+
+    def test_giant_messy_doc_capped_with_counters(self, spark):
+        from docee_spark.config import MAX_SENT_LEN, MAX_SENT_NUM
+        from docee_spark.schema import WEBTEXT
+
+        body = "".join(
+            f"<p>第{i}句华夏科技股份有限公司。</p>" for i in range(MAX_SENT_NUM * 4)
+        )
+        long_sent = "<p>" + "长" * (MAX_SENT_LEN * 2) + "。</p>"
+        giant = (
+            "<html><head><script>junk(" + "x" * 10000 + ")</script></head><body>"
+            + body + long_sent + "<footer>boiler"
+        ).encode()
+        web = spark.createDataFrame(
+            [("https://big.example.com/doc", None, giant, None, "zh")], WEBTEXT
+        )
+        seg = segment(ingest(web)).collect()[0]
+        assert seg["n_sents"] == MAX_SENT_NUM
+        assert seg["n_sents_dropped"] > 0
+        assert seg["n_sents_clipped"] >= 0  # long sentence may fall past cap
+        assert all(len(s) <= MAX_SENT_LEN for s in seg["sentences"])
+        # and the deep-fused production path completes on the same doc
+        res = run_pipeline(
+            web, entity_dict=heuristic_entity_dict(), mode="clique", fused="deep"
+        )
+        assert res["triples"].count() >= 0
+
+    def test_edag_path_cap_engages_with_counter(self, spark):
+        """A doc crafted for maximal per-role branching: 4×4×4×2×2 mutually
+        adjacent role candidates → 1125 partial paths > MAX_EDAG_PATHS
+        (1024). The cap must engage with a counted drop (n_paths_pruned)
+        and still emit records (reference risk: doc2edag.py:563-585 path
+        explosion)."""
+        from docee_spark.schema import DOCS_GOLD, WEBTEXT
+
+        layers = [
+            ("EquityHolder", 4),
+            ("FrozeShares", 4),
+            ("LegalInstitution", 4),
+            ("TotalHoldingShares", 2),
+            ("TotalHoldingRatio", 2),
+        ]
+        spans, layer_texts = [], {}
+        pos, parts = 0, []
+        for li, (role, n) in enumerate(layers):
+            texts = [f"{chr(65 + li)}{j:02d}" for j in range(n)]
+            layer_texts[role] = texts
+            for t in texts:
+                spans.append(
+                    {
+                        "text": t,
+                        "field": role,
+                        "dranges": [
+                            {"sent_idx": 0, "char_s": pos, "char_e": pos + len(t)}
+                        ],
+                    }
+                )
+                parts.append(t)
+                pos += len(t)
+        sent = "".join(parts) + "股权冻结。"  # cue keyword for EquityFreeze
+        # events: every cross-layer pair shares a record → the gold
+        # adjacency is complete across layers, so every candidate is
+        # compatible with every partial path (maximal branching)
+        events, recguid = [], 0
+        roles = [r for r, _ in layers]
+        for i in range(len(roles)):
+            for j in range(i + 1, len(roles)):
+                for a in layer_texts[roles[i]]:
+                    for b in layer_texts[roles[j]]:
+                        events.append(
+                            {
+                                "recguid": recguid,
+                                "type": "EquityFreeze",
+                                "args": {roles[i]: a, roles[j]: b},
+                            }
+                        )
+                        recguid += 1
+        url = "https://adv.example.com/edag"
+        web = spark.createDataFrame(
+            [(url, None, None, sent, "zh")], WEBTEXT
+        )
+        gold = spark.createDataFrame(
+            [(url, "m2m", [sent], spans, events)], DOCS_GOLD
+        )
+        res = run_pipeline(web, gold=gold, mode="edag", adjacency="gold")
+        dec = res["decoded"].collect()
+        assert len(dec) == 1
+        assert dec[0]["n_paths_pruned"] > 0  # cap engaged, counted
+        # pruning keeps the most-complete paths: full 5-role records survive
+        full = [
+            e for e in dec[0]["events"]
+            if sum(v is not None for v in dict(e["args"]).values()) >= 5
+        ]
+        assert full
+        assert res["triples"].count() > 0
+
 
 class TestRearrangementWired:
     """T2 wired into the tag stage: drange remap must round-trip through
