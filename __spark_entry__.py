@@ -417,6 +417,48 @@ def q_embed_lsh_topk(spark, sf):
     )
 
 
+def q_embed_lsh_topk_mp(spark, sf):
+    """Multi-probe sign-LSH ANN: queries probe their base bucket plus the
+    Hamming-1 buckets of their 2 closest hyperplanes (similarity.
+    probe_buckets) — the recall-recovery knob for boundary vectors. The
+    oracle re-derives the probe set (sort dims by |value|, flip those
+    bits) independently in SQL."""
+    from pyspark.sql import Window
+
+    from docee_spark.operators.similarity import probe_buckets, sign_bucket
+
+    em = _read(spark, sf, "embeddings")
+    c = em.select(
+        "vec_id",
+        _quantize(F.col("embedding")).alias("qvec"),
+        sign_bucket(F.col("embedding"), 6).alias("bucket"),
+    )
+    q = em.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        _quantize(F.col("embedding")).alias("q"),
+        F.explode(probe_buckets(F.col("embedding"), 6, 2)).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.aggregate(
+                F.zip_with(F.col("q"), F.col("qvec"), lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("dot_q"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot_q"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "dot_q", "rank")
+    )
+
+
 def _ivf_centroids(sf_dir: str):
     """Deterministic coarse quantizer for the IVF queries: seeded integer
     k-means over the quantized embeddings of ``sf_dir`` (bit-reproducible;
@@ -709,6 +751,20 @@ def q_docee_triples_scored(spark, sf):
     )["triples"]
 
 
+def q_docee_git_edges(spark, sf):
+    """G10 — GIT heterogeneous document-graph edges (git.py:930-989) over
+    the gold-tagged fixture corpus: sentence + mention nodes, typed
+    s-s / s-m / m-m edge lists, built row-locally with higher-order array
+    functions (no UDF, no shuffle). The oracle re-derives every edge in
+    DuckDB from the flat gold_mentions/gold_docs tables."""
+    from docee_spark.operators.analysis import git_hetero_edges
+    from docee_spark.stages.pipeline import run_pipeline
+
+    web, gold = _fixture_webtext_and_gold(spark)
+    tagged = run_pipeline(web, gold=gold, mode="clique", adjacency="gold")["tagged"]
+    return git_hetero_edges(tagged)
+
+
 def q_docee_vertices(spark, sf):
     """Canonicalized KG vertex table from the gold pipeline."""
     from docee_spark.stages.pipeline import run_pipeline
@@ -841,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_topk": q_embed_topk,
         "embed_lsh_buckets": q_embed_lsh_buckets,
         "embed_lsh_topk": q_embed_lsh_topk,
+        "embed_lsh_topk_mp": q_embed_lsh_topk_mp,
         "embed_ivf_topk": q_embed_ivf_topk,
         "doc_mentions": q_doc_mentions,
         "ingest_html": q_ingest_html,
@@ -854,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docee_triples_model": q_docee_triples_model,
         "docee_triples_model_edag": q_docee_triples_model_edag,
         "docee_triples_scored": q_docee_triples_scored,
+        "docee_git_edges": q_docee_git_edges,
         "docee_vertices": q_docee_vertices,
         "docee_adj_metrics": q_docee_adj_metrics,
         "docee_eval_rollup": q_docee_eval_rollup,
@@ -1084,6 +1142,43 @@ from ranked where rank <= 3
 """
 
 
+def _embed_lsh_mp_sql(n_bits: int = 6, flips: int = 2, k: int = 3) -> str:
+    """Multi-probe oracle: probe set = base bucket + flips of the bits
+    whose dimensions have the smallest (|value|, dim) — independent SQL
+    re-derivation of similarity.probe_buckets."""
+    bucket_expr = " + ".join(
+        f"(case when embedding[{j + 1}] > 0 then {1 << j} else 0 end)"
+        for j in range(n_bits)
+    )
+    return f"""
+with em as (select vec_id, {_QUANT.format(v="embedding")} as qvec,
+                   cast({bucket_expr} as int) as bucket, embedding
+            from embeddings),
+qprobe as (
+  select vec_id as query_id, qvec as q,
+         unnest(list_prepend(bucket,
+           list_transform(
+             list_sort(list_transform(range({n_bits}),
+                                      j -> {{'a': abs(embedding[j+1]), 'j': j}}))
+               [1:{flips}],
+             s -> cast(xor(bucket, 1 << s.j) as int)))) as bucket
+  from em where vec_id < 5
+),
+scored as (
+  select q.query_id, e.vec_id as neighbor_id, cast({_DOTQ} as bigint) as dot_q
+  from qprobe q join em e using (bucket)
+  where q.query_id != e.vec_id
+),
+ranked as (
+  select *, row_number() over (partition by query_id
+                               order by dot_q desc, neighbor_id asc) as rank
+  from scored
+)
+select query_id, neighbor_id, dot_q, cast(rank as int) as rank
+from ranked where rank <= {k}
+"""
+
+
 # --------------------------------------------------------------------------
 # DocEE golden-fixture oracles (docee_spark/golden.py writes the parquet)
 # --------------------------------------------------------------------------
@@ -1149,6 +1244,66 @@ select n.doc_id, n.event_type, c.canon_recguid as recguid, s.subj,
 from nn n
 join canon c using (doc_id, recguid)
 join subj s using (doc_id, recguid)
+"""
+
+
+def _docee_git_edges_sql() -> str:
+    """Independent DuckDB derivation of the GIT hetero-graph: node ids and
+    every typed edge recomputed from the FLAT gold tables (mentions +
+    per-doc sentence counts), no nested arrays, no shared code. Canonical
+    ordering matches operators.analysis.git_hetero_edges: spans by (first
+    mention sent_idx, char_s, text); mentions by (span, sent_idx, char_s)."""
+    return """
+with m0 as (
+  select doc_id, arg, sent_idx, char_s,
+         row_number() over (partition by doc_id, arg
+                            order by sent_idx, char_s, char_e) as drank
+  from read_parquet('{g}/gold_mentions.parquet')
+),
+span_ord as (
+  select doc_id, arg,
+         row_number() over (partition by doc_id
+                            order by sent_idx, char_s, arg) - 1 as span_idx
+  from m0 where drank = 1
+),
+ment as (
+  select m.doc_id, m.sent_idx, s.span_idx,
+         row_number() over (partition by m.doc_id
+                            order by s.span_idx, m.sent_idx, m.char_s) - 1 as mid
+  from m0 m join span_ord s using (doc_id, arg)
+),
+docs as (select doc_id, n_sents from read_parquet('{g}/gold_docs.parquet')),
+ss as (
+  select d.doc_id, 's-s' as edge_type, cast(i as int) as src, cast(j as int) as dst
+  from docs d, unnest(range(d.n_sents)) t1(i), unnest(range(d.n_sents)) t2(j)
+  where i != j
+),
+sm as (
+  select m.doc_id, 's-m' as edge_type,
+         cast(d.n_sents + m.mid as int) as src, cast(m.sent_idx as int) as dst
+  from ment m join docs d using (doc_id)
+  union all
+  select m.doc_id, 's-m', cast(m.sent_idx as int), cast(d.n_sents + m.mid as int)
+  from ment m join docs d using (doc_id)
+),
+mm_intra as (
+  select a.doc_id, 'm-m' as edge_type,
+         cast(d.n_sents + a.mid as int) as src, cast(d.n_sents + b.mid as int) as dst
+  from ment a
+  join ment b on a.doc_id = b.doc_id and a.sent_idx = b.sent_idx and a.mid != b.mid
+  join docs d on d.doc_id = a.doc_id
+),
+mm_inter as (
+  select a.doc_id, 'm-m' as edge_type,
+         cast(d.n_sents + a.mid as int) as src, cast(d.n_sents + b.mid as int) as dst
+  from ment a
+  join ment b on a.doc_id = b.doc_id and a.span_idx = b.span_idx and a.mid != b.mid
+  join docs d on d.doc_id = a.doc_id
+)
+select * from ss
+union all select * from sm
+union all select * from mm_intra
+union all select * from mm_inter
 """
 
 
@@ -1430,6 +1585,7 @@ def oracle_sql() -> dict[str, str]:
         "docee_triples_model": _docee_triples_sql("model"),
         "docee_triples_model_edag": _docee_triples_sql("model_edag"),
         "docee_triples_scored": _docee_triples_sql("scored"),
+        "docee_git_edges": _docee_git_edges_sql(),
         "docee_vertices": _docee_vertices_sql(),
         "docee_adj_metrics": "select * from read_parquet('{g}/adj_metrics.parquet')",
         "docee_eval_rollup": _docee_eval_rollup_sql(),
@@ -1570,6 +1726,7 @@ select cast("""
 from embeddings group by 1
 """,
         "embed_lsh_topk": _embed_topk_sql(bucketed=True),
+        "embed_lsh_topk_mp": _embed_lsh_mp_sql(),
         "doc_mentions": """
 select doc_id, 'mentions#' || word as pred, word as obj from (
   select doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) as word

@@ -276,3 +276,89 @@ class TestKeySentences:
                     (si for si in c if c[si] == max(c.values()))
                 )
                 assert got[(g["guid"], ev["recguid"])] == best, (g["guid"], ev)
+
+
+class TestGitHeteroEdges:
+    """G10 graph construction (git.py:930-989) against a hand-computed
+    golden: 2 sentences, 2 spans (one with 2 mentions), 3 mentions total.
+    Node ids: sentences 0,1; mentions 2,3,4."""
+
+    def test_hand_computed_golden(self, spark):
+        from docee_spark.operators.analysis import git_hetero_edges
+        from docee_spark.schema import SPANS
+
+        # span "AA": mentions in sent 0 (char 0) and sent 1 (char 3)
+        # span "B": mention in sent 0 (char 5)
+        # canonical span order: AA (first mention at (0,0)), B (at (0,5))
+        # mention order: AA@(0,0)=2, AA@(1,3)=3, B@(0,5)=4
+        spans = [
+            {
+                "text": "B",
+                "field": "x",
+                "dranges": [{"sent_idx": 0, "char_s": 5, "char_e": 6}],
+            },
+            {
+                "text": "AA",
+                "field": "y",
+                "dranges": [
+                    {"sent_idx": 1, "char_s": 3, "char_e": 5},  # unsorted on purpose
+                    {"sent_idx": 0, "char_s": 0, "char_e": 2},
+                ],
+            },
+        ]
+        df = spark.createDataFrame(
+            [("d1", ["AA...B.", "...AA.."], spans)],
+            spark.createDataFrame([("", [""],)], "doc_id string, sentences array<string>")
+            .schema.add("spans", SPANS),
+        )
+        got = {
+            (r.edge_type, r.src, r.dst)
+            for r in git_hetero_edges(df).collect()
+        }
+        want = {
+            # s-s complete directed over sentences {0,1}
+            ("s-s", 0, 1), ("s-s", 1, 0),
+            # s-m both directions: mention 2 in sent 0, 3 in sent 1, 4 in sent 0
+            ("s-m", 2, 0), ("s-m", 0, 2),
+            ("s-m", 3, 1), ("s-m", 1, 3),
+            ("s-m", 4, 0), ("s-m", 0, 4),
+            # m-m intra-sentence: mentions 2 and 4 share sentence 0
+            ("m-m", 2, 4), ("m-m", 4, 2),
+            # m-m inter same-entity: mentions 2 and 3 are span "AA"
+            ("m-m", 2, 3), ("m-m", 3, 2),
+        }
+        assert got == want
+
+    def test_row_counts_match_closed_form(self, spark, gold_df):
+        """On the fixture corpus: |s-s| = S(S-1) per doc and every edge
+        type present; spot-check totals via closed-form per-doc sums."""
+        from docee_spark.operators.analysis import git_hetero_edges
+
+        docs = gold_df.select(
+            F.col("guid").alias("doc_id"), "sentences", "spans"
+        )
+        edges = git_hetero_edges(docs)
+        ss = (
+            edges.filter(F.col("edge_type") == "s-s")
+            .groupBy("doc_id")
+            .count()
+            .collect()
+        )
+        S = {
+            r["doc_id"]: len(r["sentences"])
+            for r in docs.select("doc_id", "sentences").collect()
+        }
+        for r in ss:
+            s = S[r["doc_id"]]
+            assert r["count"] == s * (s - 1)
+        sm = edges.filter(F.col("edge_type") == "s-m").count()
+        n_mentions = docs.select(
+            F.sum(
+                F.aggregate(
+                    F.transform(F.col("spans"), lambda sp: F.size(sp["dranges"])),
+                    F.lit(0),
+                    lambda a, b: a + b,
+                )
+            )
+        ).collect()[0][0]
+        assert sm == 2 * n_mentions

@@ -195,3 +195,35 @@ class TestDedupScalePlans:
         plan = _plan(embedding_cosine_pairs(em, n_sign_bits=6))
         assert "CartesianProduct" not in plan
         assert "Join" in plan  # bucket equi-join
+
+    def test_multiprobe_pairs_still_bucket_join(self, spark):
+        """Multi-probe multiplies probe-side rows by 1+flips but must stay
+        a bucket equi-join — never a cartesian expansion."""
+        from docee_spark.operators.dedup import embedding_cosine_pairs
+
+        em = spark.read.parquet(f"{SF}/embeddings.parquet")
+        plan = _plan(embedding_cosine_pairs(em, n_sign_bits=6, probe_flips=2))
+        assert "CartesianProduct" not in plan
+        assert "Join" in plan
+
+
+class TestNewQueryPlans:
+    def test_ingest_html_scan_pruned_and_pushed(self, spark):
+        import __spark_entry__ as em
+
+        plan = _plan(em.q_ingest_html(spark, SF))
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert m and set(m.group(1).split(",")) == {
+            "doc_id:bigint",
+            "text:string",
+        }, plan
+        assert "LessThan(doc_id,90)" in plan
+
+    def test_multimodal_query_reads_only_doc_id(self, spark):
+        """The image bytes are synthesized in-UDF; the parquet scan must
+        read nothing but the id column."""
+        import __spark_entry__ as em
+
+        plan = _plan(em.q_multimodal_features(spark, SF))
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert m and m.group(1) == "doc_id:bigint", plan
