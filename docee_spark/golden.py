@@ -40,7 +40,7 @@ import pyarrow.parquet as pq
 
 from .config import CHFINANN_EVENT_TYPES, MAX_SENT_LEN, MAX_SENT_NUM, label_index
 
-VERSION = "v6"  # v4: +adj_metrics; v5: +triples_scored; v6: +model_edag (G8 e2e)
+VERSION = "v7"  # v5: +triples_scored; v6: +model_edag (G8 e2e); v7: +triples_biaffine (M3+M7)
 N_DOCS = 120
 SEED = 7
 
@@ -139,6 +139,27 @@ def _scored_events(sents: list[str], entity_dict: dict[str, str], scorer):
     span_fields = [s["field"] for s in spans]
     span_sents = [sorted({d["sent_idx"] for d in s["dranges"]}) for s in spans]
     adj = scorer.score_doc(span_fields, span_sents)
+    decoded = decode_doc(
+        sents, span_fields, span_sents, adj, _EVENT_FIELDS, _MIN_FIELDS,
+        mode="clique", max_paths=1024, exact_fields=False,
+    )
+    return _records_from_decoded(decoded, span_texts)
+
+
+def _biaffine_events(sents: list[str], entity_dict: dict[str, str], scorer):
+    """pyref twin of tag_heuristic + score_adjacency (M7 biaffine over
+    AWA-pooled span embeddings, M3) + decode(adjacency='matrix')."""
+    from .pyref.edag import decode_doc
+    from .stages.tag import _find_dict_spans, _merge_regex_spans
+
+    spans, taken = _find_dict_spans(sents, entity_dict)
+    spans = _merge_regex_spans(sents, spans, taken)
+    if not spans:
+        return []
+    span_texts = [s["text"] for s in spans]
+    span_fields = [s["field"] for s in spans]
+    span_sents = [sorted({d["sent_idx"] for d in s["dranges"]}) for s in spans]
+    adj = scorer.score_doc(sents, spans)
     decoded = decode_doc(
         sents, span_fields, span_sents, adj, _EVENT_FIELDS, _MIN_FIELDS,
         mode="clique", max_paths=1024, exact_fields=False,
@@ -264,6 +285,9 @@ def ensure_tagger(force: bool = False):
 SCORER_PATH = os.path.join(GOLDEN_DIR, "adj_scorer.npz")
 SCORER_TRAIN_DOCS = 400
 SCORER_TRAIN_SEED = 4321
+BIAFFINE_PATH = os.path.join(GOLDEN_DIR, "biaffine_scorer.npz")
+BIAFFINE_TRAIN_DOCS = 200
+BIAFFINE_TRAIN_SEED = 8765
 
 
 def ensure_scorer(force: bool = False):
@@ -282,6 +306,31 @@ def ensure_scorer(force: bool = False):
     scorer = train_adj_scorer(train_docs)
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     save_scorer(scorer, SCORER_PATH)
+    return scorer
+
+
+def ensure_biaffine(force: bool = False):
+    """Train-or-load the M7 biaffine scorer over M3 AWA-pooled span
+    embeddings of the M1 tagger's char features — all three parameter
+    groups trained jointly on gold adjacencies from a disjoint-seed
+    generator stream (model/biaffine_scorer.py)."""
+    from .model.biaffine_scorer import (
+        load_biaffine,
+        save_biaffine,
+        train_biaffine_scorer,
+    )
+
+    if not force and os.path.exists(BIAFFINE_PATH):
+        return load_biaffine(BIAFFINE_PATH)
+    from .fixtures import make_doc_indexed
+
+    train_docs = [
+        make_doc_indexed(i, seed=BIAFFINE_TRAIN_SEED)[1]
+        for i in range(BIAFFINE_TRAIN_DOCS)
+    ]
+    scorer = train_biaffine_scorer(train_docs, ensure_tagger())
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    save_biaffine(scorer, BIAFFINE_PATH)
     return scorer
 
 
@@ -311,9 +360,15 @@ def ensure_golden(force: bool = False) -> str:
         "trigger": "trigger",
         "trigger_inc": "trigger_incremental",
     }
-    triples = {name: [] for name in ("gold", "model", "model_edag", "scored", *heuristic_modes)}
+    triples = {
+        name: []
+        for name in (
+            "gold", "model", "model_edag", "scored", "biaffine", *heuristic_modes
+        )
+    }
     tagger = ensure_tagger()
     scorer = ensure_scorer()
+    biaffine = ensure_biaffine()
 
     for web, g in zip(web_rows, gold_rows):
         doc_id = g["guid"]
@@ -388,6 +443,9 @@ def ensure_golden(force: bool = False) -> str:
         )
         triples["scored"].extend(
             _flatten_triples(doc_id, _scored_events(sents, entity_dict, scorer))
+        )
+        triples["biaffine"].extend(
+            _flatten_triples(doc_id, _biaffine_events(sents, entity_dict, biaffine))
         )
         triples["model_edag"].extend(
             _flatten_triples(doc_id, _model_events(sents, tagger, mode="edag"))

@@ -61,9 +61,11 @@ def _gold_adjacency(n: int, span_texts: list[str], events) -> list[list[int]]:
 
 
 def score_adjacency(tagged: DataFrame, scorer) -> DataFrame:
-    """M6 — the trained adjacency scorer in front of the matrix slot
+    """M6/M7 — a trained adjacency scorer in front of the matrix slot
     (reference trigger_aware.py:375-387 shape: scores → threshold → 0/1
-    matrix). ``scorer``: a model.adj_scorer.AdjScorer or its arrays;
+    matrix). ``scorer``: a model.adj_scorer.AdjScorer, a
+    model.biaffine_scorer.BiaffineAdjScorer (biaffine over AWA-pooled
+    span embeddings — needs the sentence text), or either one's arrays;
     broadcast once, deserialized once per worker, batched per-doc pair
     scoring inside one Arrow UDF. Output rows gain ``adj`` and feed
     ``decode(adjacency="matrix")`` unchanged."""
@@ -74,12 +76,22 @@ def score_adjacency(tagged: DataFrame, scorer) -> DataFrame:
     bc = spark.sparkContext.broadcast(arrays)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..model.adj_scorer import AdjScorer
+        arr = bc.value  # once per worker
+        if "tag_W" in arr:  # biaffine artifact embeds its tagger
+            from ..model.biaffine_scorer import BiaffineAdjScorer
 
-        sc = AdjScorer.from_arrays(bc.value)  # once per worker
+            sc = BiaffineAdjScorer.from_arrays(arr)
+        else:
+            from ..model.adj_scorer import AdjScorer
+
+            sc = AdjScorer.from_arrays(arr)
+        needs_sents = getattr(sc, "needs_sentences", False)
         for pdf in batches:
             adj_col = []
-            for spans in pdf["spans"]:
+            for sentences, spans in zip(pdf["sentences"], pdf["spans"]):
+                if needs_sents:
+                    adj_col.append(sc.score_doc(list(sentences), list(spans)))
+                    continue
                 fields = [s["field"] for s in spans]
                 sents = [
                     sorted({d["sent_idx"] for d in s["dranges"]}) for s in spans
