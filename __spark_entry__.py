@@ -767,6 +767,22 @@ def q_docee_triples_biaffine(spark, sf):
     )["triples"]
 
 
+def q_docee_triples_doc_ctx(spark, sf):
+    """M4 model path: biaffine pair scoring over DOC-CONTEXTUALIZED span
+    embeddings — one trained residual self-attention layer over the joint
+    [spans ∥ sentences] node matrix (model/doc_context.py) in front of
+    the M7 biaffine, all parameters jointly trained."""
+    from docee_spark.fixtures import heuristic_entity_dict
+    from docee_spark.golden import ensure_doc_ctx
+    from docee_spark.stages.pipeline import run_pipeline
+
+    web, _ = _fixture_webtext_and_gold(spark)
+    return run_pipeline(
+        web, entity_dict=heuristic_entity_dict(), mode="clique",
+        adj_scorer=ensure_doc_ctx(),
+    )["triples"]
+
+
 def q_docee_git_edges(spark, sf):
     """G10 — GIT heterogeneous document-graph edges (git.py:930-989) over
     the gold-tagged fixture corpus: sentence + mention nodes, typed
@@ -928,6 +944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docee_triples_model_edag": q_docee_triples_model_edag,
         "docee_triples_scored": q_docee_triples_scored,
         "docee_triples_biaffine": q_docee_triples_biaffine,
+        "docee_triples_doc_ctx": q_docee_triples_doc_ctx,
         "docee_git_edges": q_docee_git_edges,
         "docee_vertices": q_docee_vertices,
         "docee_adj_metrics": q_docee_adj_metrics,
@@ -1603,6 +1620,7 @@ def oracle_sql() -> dict[str, str]:
         "docee_triples_model_edag": _docee_triples_sql("model_edag"),
         "docee_triples_scored": _docee_triples_sql("scored"),
         "docee_triples_biaffine": _docee_triples_sql("biaffine"),
+        "docee_triples_doc_ctx": _docee_triples_sql("doc_ctx"),
         "docee_git_edges": _docee_git_edges_sql(),
         "docee_vertices": _docee_vertices_sql(),
         "docee_adj_metrics": "select * from read_parquet('{g}/adj_metrics.parquet')",

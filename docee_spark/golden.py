@@ -40,7 +40,7 @@ import pyarrow.parquet as pq
 
 from .config import CHFINANN_EVENT_TYPES, MAX_SENT_LEN, MAX_SENT_NUM, label_index
 
-VERSION = "v7"  # v5: +triples_scored; v6: +model_edag (G8 e2e); v7: +triples_biaffine (M3+M7)
+VERSION = "v8"  # v6: +model_edag (G8); v7: +triples_biaffine (M3+M7); v8: +triples_doc_ctx (M4)
 N_DOCS = 120
 SEED = 7
 
@@ -288,6 +288,9 @@ SCORER_TRAIN_SEED = 4321
 BIAFFINE_PATH = os.path.join(GOLDEN_DIR, "biaffine_scorer.npz")
 BIAFFINE_TRAIN_DOCS = 200
 BIAFFINE_TRAIN_SEED = 8765
+DOC_CTX_PATH = os.path.join(GOLDEN_DIR, "doc_ctx_scorer.npz")
+DOC_CTX_TRAIN_DOCS = 200
+DOC_CTX_TRAIN_SEED = 5432
 
 
 def ensure_scorer(force: bool = False):
@@ -334,6 +337,35 @@ def ensure_biaffine(force: bool = False):
     return scorer
 
 
+def ensure_doc_ctx(force: bool = False):
+    """Train-or-load the M4 doc-context scorer: biaffine pair scoring over
+    span embeddings contextualized by one residual self-attention layer
+    over [spans ∥ sentences] (model/doc_context.py) — all parameters
+    trained jointly on gold adjacencies from a disjoint-seed stream."""
+    from .model.biaffine_scorer import (
+        DocCtxBiaffineScorer,
+        train_doc_context_scorer,
+    )
+
+    if not force and os.path.exists(DOC_CTX_PATH):
+        import numpy as np
+
+        with np.load(DOC_CTX_PATH, allow_pickle=False) as z:
+            return DocCtxBiaffineScorer.from_arrays(dict(z.items()))
+    from .fixtures import make_doc_indexed
+
+    train_docs = [
+        make_doc_indexed(i, seed=DOC_CTX_TRAIN_SEED)[1]
+        for i in range(DOC_CTX_TRAIN_DOCS)
+    ]
+    scorer = train_doc_context_scorer(train_docs, ensure_tagger())
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    from .model.biaffine_scorer import save_biaffine
+
+    save_biaffine(scorer, DOC_CTX_PATH)
+    return scorer
+
+
 def ensure_golden(force: bool = False) -> str:
     """Generate the golden tables if missing/stale; return the directory."""
     manifest_path = os.path.join(GOLDEN_DIR, "manifest.json")
@@ -363,12 +395,14 @@ def ensure_golden(force: bool = False) -> str:
     triples = {
         name: []
         for name in (
-            "gold", "model", "model_edag", "scored", "biaffine", *heuristic_modes
+            "gold", "model", "model_edag", "scored", "biaffine", "doc_ctx",
+            *heuristic_modes
         )
     }
     tagger = ensure_tagger()
     scorer = ensure_scorer()
     biaffine = ensure_biaffine()
+    doc_ctx = ensure_doc_ctx()
 
     for web, g in zip(web_rows, gold_rows):
         doc_id = g["guid"]
@@ -446,6 +480,9 @@ def ensure_golden(force: bool = False) -> str:
         )
         triples["biaffine"].extend(
             _flatten_triples(doc_id, _biaffine_events(sents, entity_dict, biaffine))
+        )
+        triples["doc_ctx"].extend(
+            _flatten_triples(doc_id, _biaffine_events(sents, entity_dict, doc_ctx))
         )
         triples["model_edag"].extend(
             _flatten_triples(doc_id, _model_events(sents, tagger, mode="edag"))

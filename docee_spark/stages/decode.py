@@ -77,7 +77,11 @@ def score_adjacency(tagged: DataFrame, scorer) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         arr = bc.value  # once per worker
-        if "tag_W" in arr:  # biaffine artifact embeds its tagger
+        if "ctx_Wq" in arr:  # doc-context (M4) variant
+            from ..model.biaffine_scorer import DocCtxBiaffineScorer
+
+            sc = DocCtxBiaffineScorer.from_arrays(arr)
+        elif "tag_W" in arr:  # biaffine artifact embeds its tagger
             from ..model.biaffine_scorer import BiaffineAdjScorer
 
             sc = BiaffineAdjScorer.from_arrays(arr)

@@ -171,3 +171,114 @@ class TestBiaffineScorer:
                 assert got[w["url"]] == want, w["url"]
                 checked += 1
         assert checked >= 50
+
+
+class TestDocContext:
+    """M4 — doc-context attention layer: exact gradients, trained quality,
+    and the Spark matrix-slot dispatch."""
+
+    def test_attention_backward_matches_numerical(self):
+        from docee_spark.model.doc_context import DocContextAttention
+
+        rng = np.random.default_rng(5)
+        ctx = DocContextAttention.init(4, rng)
+        Z = rng.normal(size=(6, 4))
+        G = rng.normal(size=(6, 4))
+        _, cache = ctx.forward(Z)
+        gWq, gWk, gWv, gZ = ctx.backward(cache, G)
+
+        def loss():
+            return float((ctx.forward(Z)[0] * G).sum())
+
+        eps = 1e-6
+        for M, gM in ((ctx.Wq, gWq), (ctx.Wk, gWk), (ctx.Wv, gWv)):
+            for idx in ((0, 0), (1, 2), (3, 1)):
+                M[idx] += eps
+                lp = loss()
+                M[idx] -= 2 * eps
+                lm = loss()
+                M[idx] += eps
+                assert abs(gM[idx] - (lp - lm) / (2 * eps)) < 1e-6
+        for idx in ((0, 1), (5, 3)):
+            Zs = Z.copy()
+            Zs[idx] += eps
+            lp = float((ctx.forward(Zs)[0] * G).sum())
+            Zs[idx] -= 2 * eps
+            lm = float((ctx.forward(Zs)[0] * G).sum())
+            assert abs(gZ[idx] - (lp - lm) / (2 * eps)) < 1e-6
+
+    def test_context_actually_mixes_nodes(self):
+        """The layer must propagate information across nodes: perturbing
+        one sentence node changes other rows' outputs (doc-level context,
+        the point of M4)."""
+        from docee_spark.model.doc_context import DocContextAttention
+
+        rng = np.random.default_rng(7)
+        ctx = DocContextAttention(
+            rng.normal(0, 0.5, (4, 4)),
+            rng.normal(0, 0.5, (4, 4)),
+            rng.normal(0, 0.5, (4, 4)),
+        )
+        Z = rng.normal(size=(5, 4))
+        base, _ = ctx.forward(Z)
+        Z2 = Z.copy()
+        Z2[4] += 1.0
+        out2, _ = ctx.forward(Z2)
+        assert not np.allclose(base[0], out2[0])
+
+    def test_trained_doc_ctx_pair_quality(self):
+        from docee_spark.fixtures import make_doc_indexed
+        from docee_spark.golden import ensure_doc_ctx
+        from docee_spark.pyref.graph import adjacency_from_records
+
+        sc = ensure_doc_ctx()
+        tp = fp = tn = fn = 0
+        for i in range(60):
+            g = make_doc_indexed(i, seed=999)[1]
+            spans = g["spans"]
+            if len(spans) < 2:
+                continue
+            t2i = {s["text"]: k for k, s in enumerate(spans)}
+            records = [
+                [t2i[v] for v in ev["args"].values() if v in t2i]
+                for ev in g["events"]
+            ]
+            gold = adjacency_from_records(len(spans), records)
+            adj = sc.score_doc(g["sentences"], spans)
+            for a in range(len(spans)):
+                for b in range(a + 1, len(spans)):
+                    pred, y = adj[a][b], gold[a][b]
+                    tp += pred and y
+                    fp += pred and not y
+                    fn += (not pred) and y
+                    tn += (not pred) and (not y)
+        acc = (tp + tn) / (tp + fp + tn + fn)
+        assert acc >= 0.95, acc
+
+    def test_artifact_roundtrip_and_dispatch(self, tmp_path):
+        import numpy as _np
+
+        from docee_spark.fixtures import make_doc_indexed
+        from docee_spark.golden import ensure_doc_ctx
+        from docee_spark.model.biaffine_scorer import (
+            DocCtxBiaffineScorer,
+            load_biaffine,
+            save_biaffine,
+        )
+
+        sc = ensure_doc_ctx()
+        p = str(tmp_path / "c.npz")
+        save_biaffine(sc, p)
+        with _np.load(p, allow_pickle=False) as z:
+            arrays = dict(z.items())
+        assert "ctx_Wq" in arrays  # dispatch key used by score_adjacency
+        sc2 = DocCtxBiaffineScorer.from_arrays(arrays)
+        g = make_doc_indexed(0, seed=999)[1]
+        assert sc.score_doc(g["sentences"], g["spans"]) == sc2.score_doc(
+            g["sentences"], g["spans"]
+        )
+        # load_biaffine on a NON-ctx artifact still yields the plain class
+        from docee_spark.golden import BIAFFINE_PATH
+
+        plain = load_biaffine(BIAFFINE_PATH)
+        assert not isinstance(plain, DocCtxBiaffineScorer)
