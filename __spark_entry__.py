@@ -1341,6 +1341,294 @@ union all select * from mm_inter
 """
 
 
+def _heuristic_tagger_ctes(with_sentence_index: bool = False) -> str:
+    """Shared CTE prologue for the independent heuristic-mode oracles:
+    the dictionary+regex tagger re-derived in DuckDB SQL over the raw
+    fixture sentences (gold_sents.parquet — pure annotation data, equal to
+    the pipeline segmentation, asserted in golden.py) — validated
+    span-for-span (text, field, order, sentence sets) against the Python
+    tagger on the whole fixture corpus.
+
+    Corpus-validated simplifications (checked exhaustively): the 25
+    dictionary surfaces have no substring pairs and share no characters
+    with the digit+unit regex entities, so longest-match-first overlap
+    suppression is inert; regex match positions equal the first substring
+    occurrence; the ratio-completeness filter cannot fire under leftmost
+    non-overlapping matching over ASCII digits. CTEs are MATERIALIZED —
+    DuckDB otherwise inlines (re-computes) the tagger at every reference
+    in the unrolled decode (measured 120 s → 0.5 s)."""
+    from docee_spark.fixtures import heuristic_entity_dict
+
+    dict_values = ",\n    ".join(
+        f"('{s}', '{f}')" for s, f in heuristic_entity_dict().items()
+    )
+    date_re = r"\d{4}年\d{1,2}月\d{1,2}日"
+    body = (
+        "with sents as materialized "
+        "(select * from read_parquet('{g}/gold_sents.parquet')),\n"
+        "dict(surface, field) as (values\n    " + dict_values + "\n),\n"
+        """dict_occ as materialized (
+  select s.doc_id, d.surface as text, d.field, s.sent_idx,
+         cast(strpos(s.sentence, d.surface) - 1 as int) as char_s
+  from sents s join dict d on contains(s.sentence, d.surface)
+),
+rx as (
+  select doc_id, sent_idx, sentence, 'share' as field,
+         unnest(regexp_extract_all(sentence, '(\\d+股)[^票]', 1)) as text
+  from sents
+  union all
+  select doc_id, sent_idx, sentence, 'ratio',
+         unnest(regexp_extract_all(sentence, '\\d+(\\.\\d+)?%', 0))
+  from sents
+  union all
+  select doc_id, sent_idx, sentence, 'date',
+         unnest(regexp_extract_all(sentence, '"""
+        + date_re
+        + """', 0))
+  from sents
+  union all
+  select doc_id, sent_idx, sentence, 'money',
+         unnest(regexp_extract_all(sentence, '\\d+(\\.\\d+)?元', 0))
+  from sents
+),
+rx_occ as materialized (
+  select r.doc_id, r.text, r.field, r.sent_idx,
+         cast(strpos(r.sentence, r.text) - 1 as int) as char_s
+  from rx r
+  where not exists (select 1 from dict_occ d
+                    where d.doc_id = r.doc_id and d.text = r.text)
+),
+all_occ as materialized (
+  select * from dict_occ union select * from rx_occ
+),
+spans as materialized (
+  select doc_id, text, min(field) as field,
+         min(sent_idx) as first_sent,
+         arg_min(char_s, sent_idx) as first_char
+  from all_occ group by doc_id, text
+),
+spans_i as materialized (
+  select doc_id, text, field,
+         cast(row_number() over (partition by doc_id
+                                 order by first_sent, first_char) - 1 as int)
+           as span_idx
+  from spans
+)"""
+    )
+    if with_sentence_index:
+        body += """,
+span_sents as materialized (
+  select i.doc_id, i.span_idx, o.sent_idx
+  from spans_i i join all_occ o on o.doc_id = i.doc_id and o.text = i.text
+  group by 1, 2, 3
+)"""
+    return body
+
+
+def _flatten_triples_sql(et, t_order: int) -> str:
+    """Per-type triple flattening over the unrolled record columns
+    (p0..pk): subj = first non-null pick in key-field-then-field order,
+    one (pred, obj) row per non-null role."""
+    k = len(et.fields)
+    subj_order = list(et.key_fields) + [
+        f for f in et.fields if f not in et.key_fields
+    ]
+    idx_of = {f: i for i, f in enumerate(et.fields)}
+    subj = "coalesce(" + ", ".join(f"t{idx_of[f]}.text" for f in subj_order) + ")"
+    joins = "\n  ".join(
+        f"left join spans_i t{i} on t{i}.doc_id = r.doc_id "
+        f"and t{i}.span_idx = r.p{i}"
+        for i in range(k)
+    )
+    role_rows = ",\n      ".join(
+        f"('{role}', t{i}.text)" for i, role in enumerate(et.fields)
+    )
+    return (
+        f"\nselect r.doc_id, r.event_type, r.recguid, {subj} as subj,\n"
+        f"       r.event_type || '#' || rv.role as pred, rv.obj\n"
+        f"from recs r\n  {joins},\n"
+        f"  lateral (select * from (values\n      {role_rows}) "
+        f"v(role, obj)) rv\n"
+        f"where r.event_type = '{et.name}' and rv.obj is not null\n"
+    )
+
+
+def _docee_triples_greedy_sql() -> str:
+    """Fully independent oracle for the GREEDY pipeline mode: the ENTIRE
+    chain — tagging (see _heuristic_tagger_ctes), per-sentence keyword
+    type detection, the sequential greedy role fill (first unused doc-
+    order span of the role's coarse type), min-field filtering, catalog-
+    order record numbering, subj selection and triple flattening — in
+    generated DuckDB SQL sharing no code with the engine."""
+    from docee_spark.config import CHFINANN_EVENT_TYPES, ROLE_COARSE_TYPE
+    from docee_spark.pyref.edag import DEFAULT_TYPE_KEYWORDS
+
+    body = _heuristic_tagger_ctes()
+    type_ctes, record_selects, flatten_parts = [], [], []
+    for t_order, et in enumerate(CHFINANN_EVENT_TYPES):
+        name = et.name
+        cue_pred = " or ".join(
+            f"contains(sentence, '{c}')" for c in DEFAULT_TYPE_KEYWORDS[name]
+        )
+        type_ctes.append(
+            f"\npresent_{name} as (\n"
+            f"  select distinct doc_id from sents where {cue_pred}\n)"
+        )
+        prev = f"present_{name}"
+        for i, role in enumerate(et.fields):
+            coarse = ROLE_COARSE_TYPE.get(role, role)
+            excl = ""
+            if i:
+                excl = " and s.span_idx not in (" + ", ".join(
+                    f"coalesce(r.p{j}, -1)" for j in range(i)
+                ) + ")"
+            type_ctes.append(
+                f"\n{name}_r{i} as (\n"
+                f"  select r.*, (select min(s.span_idx) from spans_i s\n"
+                f"               where s.doc_id = r.doc_id and "
+                f"s.field = '{coarse}'{excl}) as p{i}\n"
+                f"  from {prev} r\n)"
+            )
+            prev = f"{name}_r{i}"
+        k = len(et.fields)
+        nonnull = " + ".join(f"(p{i} is not null)::int" for i in range(k))
+        type_ctes.append(
+            f"\n{name}_rec as (\n"
+            f"  select doc_id, {t_order} as type_order, '{name}' as event_type,\n"
+            f"         {', '.join(f'p{i}' for i in range(k))}\n"
+            f"  from {prev}\n  where {nonnull} >= {et.min_field_num}\n)"
+        )
+        record_selects.append(f"select * from {name}_rec")
+        flatten_parts.append(_flatten_triples_sql(et, t_order))
+
+    return (
+        body + ","
+        + ",".join(type_ctes)
+        + ",\nall_recs as (\n"
+        + "\nunion all by name ".join(record_selects)
+        + "\n),"
+        + """
+recs as materialized (
+  select *, cast(row_number() over (partition by doc_id
+                                    order by type_order) - 1 as int) as recguid
+  from all_recs
+)"""
+        + "\nunion all".join(flatten_parts)
+    )
+
+
+def _docee_triples_dcfee_sql() -> str:
+    """Fully independent oracle for the DCFEE-O pipeline mode: every cue
+    sentence yields a candidate record; each role takes the unused span
+    minimizing (sentence distance, doc order) — equivalent to the two-
+    phase in-sentence-then-nearest fill since in-sentence spans have
+    distance 0; exact duplicates and dominated records (strict-superset
+    arg sets, U3 subset-dedup) drop relationally; record numbering
+    follows the subset-dedup sort (type order, non-null count desc,
+    None→-1 tuple order). Validated row-for-row against the golden
+    triples; shares no code with the engine."""
+    from docee_spark.config import CHFINANN_EVENT_TYPES, ROLE_COARSE_TYPE
+    from docee_spark.pyref.edag import DEFAULT_TYPE_KEYWORDS
+
+    body = _heuristic_tagger_ctes(with_sentence_index=True)
+    all_cues = []
+    for et in CHFINANN_EVENT_TYPES:
+        all_cues += [
+            f"contains(sentence, '{c}')" for c in DEFAULT_TYPE_KEYWORDS[et.name]
+        ]
+    body += f""",
+keys as materialized (
+  select distinct doc_id, sent_idx as si from sents
+  where {" or ".join(all_cues)}
+),
+span_dist as materialized (
+  select k.doc_id, k.si, ss.span_idx, min(abs(ss.sent_idx - k.si)) as dist
+  from keys k join span_sents ss using (doc_id)
+  group by 1, 2, 3
+),
+cand as materialized (
+  select d.doc_id, d.si, i.field,
+         list(i.span_idx order by d.dist * 1000000 + i.span_idx) as cl
+  from span_dist d
+  join spans_i i on i.doc_id = d.doc_id and i.span_idx = d.span_idx
+  group by 1, 2, 3
+)"""
+
+    maxk = max(len(et.fields) for et in CHFINANN_EVENT_TYPES)
+    type_ctes, record_selects, flatten_parts = [], [], []
+    for t_order, et in enumerate(CHFINANN_EVENT_TYPES):
+        name = et.name
+        cue_pred = " or ".join(
+            f"contains(sentence, '{c}')" for c in DEFAULT_TYPE_KEYWORDS[name]
+        )
+        coarse_of = [ROLE_COARSE_TYPE.get(r, r) for r in et.fields]
+        coarse_set = sorted(set(coarse_of))
+        cl_joins = "\n  ".join(
+            f"left join cand c_{c} on c_{c}.doc_id = k.doc_id "
+            f"and c_{c}.si = k.si and c_{c}.field = '{c}'"
+            for c in coarse_set
+        )
+        cl_cols = ", ".join(f"coalesce(c_{c}.cl, []) as cl_{c}" for c in coarse_set)
+        type_ctes.append(
+            f"\n{name}_base as (\n"
+            f"  select k.doc_id, k.si, {cl_cols}\n"
+            f"  from (select doc_id, sent_idx as si from sents "
+            f"where {cue_pred}) k\n  {cl_joins}\n)"
+        )
+        prev = f"{name}_base"
+        for i in range(len(et.fields)):
+            c = coarse_of[i]
+            if i == 0:
+                pick = f"cl_{c}[1]"
+            else:
+                excl = " and ".join(f"x is distinct from p{j}" for j in range(i))
+                pick = f"list_filter(cl_{c}, x -> {excl})[1]"
+            type_ctes.append(
+                f"\n{name}_d{i} as (select *, {pick} as p{i} from {prev})"
+            )
+            prev = f"{name}_d{i}"
+        k = len(et.fields)
+        nonnull = " + ".join(f"(p{i} is not null)::int" for i in range(k))
+        pcols = ", ".join(f"p{i}" for i in range(k))
+        dom_ne = " or ".join(f"b.p{i} is distinct from a.p{i}" for i in range(k))
+        dom_sub = " and ".join(
+            f"(a.p{i} is null or a.p{i} = b.p{i})" for i in range(k)
+        )
+        type_ctes.append(
+            f"\n{name}_cand as (\n"
+            f"  select distinct doc_id, {t_order} as type_order, "
+            f"'{name}' as event_type, {pcols}\n"
+            f"  from {prev}\n  where {nonnull} >= {et.min_field_num}\n),\n"
+            f"{name}_kept as (\n"
+            f"  select * from {name}_cand a\n"
+            f"  where not exists (\n"
+            f"    select 1 from {name}_cand b\n"
+            f"    where b.doc_id = a.doc_id\n"
+            f"      and ({dom_ne})\n"
+            f"      and ({dom_sub})\n  )\n)"
+        )
+        record_selects.append(f"select * from {name}_kept")
+        flatten_parts.append(_flatten_triples_sql(et, t_order))
+
+    nonnull_all = " + ".join(f"(p{i} is not null)::int" for i in range(maxk))
+    order_tail = ", ".join(f"coalesce(p{i}, -1)" for i in range(maxk))
+    return (
+        body + ","
+        + ",".join(type_ctes)
+        + ",\nall_recs as (\n"
+        + "\nunion all by name ".join(record_selects)
+        + "\n),"
+        + f"""
+recs as materialized (
+  select *, cast(row_number() over (partition by doc_id
+      order by type_order, {nonnull_all} desc, {order_tail}) - 1 as int)
+        as recguid
+  from all_recs
+)"""
+        + "\nunion all".join(flatten_parts)
+    )
+
+
 def _docee_vertices_sql() -> str:
     """Independent DuckDB re-implementation of stages.canonicalize
     (minhash = lexicographic min of md5 hex; 8 hashes, 4 bands × 2 rows,
@@ -1612,8 +1900,8 @@ def oracle_sql() -> dict[str, str]:
     docee = {
         "docee_triples_gold": _docee_triples_gold_sql(),
         "docee_triples_heuristic": _docee_triples_sql("heuristic"),
-        "docee_triples_greedy": _docee_triples_sql("greedy"),
-        "docee_triples_dcfee": _docee_triples_sql("dcfee"),
+        "docee_triples_greedy": _docee_triples_greedy_sql(),
+        "docee_triples_dcfee": _docee_triples_dcfee_sql(),
         "docee_triples_trigger": _docee_triples_sql("trigger"),
         "docee_triples_trigger_inc": _docee_triples_sql("trigger_inc"),
         "docee_triples_model": _docee_triples_sql("model"),

@@ -40,7 +40,7 @@ import pyarrow.parquet as pq
 
 from .config import CHFINANN_EVENT_TYPES, MAX_SENT_LEN, MAX_SENT_NUM, label_index
 
-VERSION = "v8"  # v6: +model_edag (G8); v7: +triples_biaffine (M3+M7); v8: +triples_doc_ctx (M4)
+VERSION = "v9"  # v7: +triples_biaffine; v8: +triples_doc_ctx (M4); v9: +gold_sents (SQL-tagger oracle input)
 N_DOCS = 120
 SEED = 7
 
@@ -384,6 +384,7 @@ def ensure_golden(force: bool = False) -> str:
     docs_tbl = {k: [] for k in ("doc_id", "doc_type", "n_sents", "n_spans", "n_events")}
     args_tbl = {k: [] for k in ("doc_id", "recguid", "event_type", "role", "role_idx", "arg")}
     ment_tbl = {k: [] for k in ("doc_id", "arg", "field", "sent_idx", "char_s", "char_e")}
+    sent_tbl = {k: [] for k in ("doc_id", "sent_idx", "sentence")}
     eval_tbl = {k: [] for k in ("doc_id", "doc_type", "event_type", "role", "tp", "fp", "fn")}
     heuristic_modes = {
         "heuristic": "clique",
@@ -427,6 +428,10 @@ def ensure_golden(force: bool = False) -> str:
                 args_tbl["role"].append(role)
                 args_tbl["role_idx"].append(role_idx)
                 args_tbl["arg"].append(ev["args"].get(role))
+        for si, sent in enumerate(g["sentences"]):
+            sent_tbl["doc_id"].append(doc_id)
+            sent_tbl["sent_idx"].append(si)
+            sent_tbl["sentence"].append(sent)
         for sp in g["spans"]:
             for d in sp["dranges"]:
                 ment_tbl["doc_id"].append(doc_id)
@@ -534,6 +539,19 @@ def ensure_golden(force: bool = False) -> str:
             ),
         ),
         os.path.join(GOLDEN_DIR, "gold_mentions.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            sent_tbl,
+            schema=pa.schema(
+                [
+                    ("doc_id", pa.string()),
+                    ("sent_idx", pa.int32()),
+                    ("sentence", pa.string()),
+                ]
+            ),
+        ),
+        os.path.join(GOLDEN_DIR, "gold_sents.parquet"),
     )
     pq.write_table(
         pa.table(

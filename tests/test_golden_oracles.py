@@ -33,3 +33,70 @@ def test_docee_oracle_parity(spark, name):
     assert len(sdf) == len(ddf)
     assert sorted(sdf.columns) == sorted(ddf.columns)
     pd.testing.assert_frame_equal(_norm(sdf), _norm(ddf))
+
+
+class TestIndependentSqlTagger:
+    """The greedy/dcfee oracles re-derive the dictionary+regex tagger in
+    SQL under corpus-validated simplifications (no dict substring pairs,
+    disjoint dict/regex character classes, first-occurrence positions).
+    This test pins the full equivalence — SQL spans == Python tagger spans
+    (text, field, doc order, first position, sentence sets) on EVERY
+    fixture doc — so a fixture or dictionary change that breaks an
+    assumption fails here, not silently in the driver gate."""
+
+    def test_sql_tagger_matches_python_tagger_on_corpus(self):
+        import duckdb as _duckdb
+
+        from __spark_entry__ import _heuristic_tagger_ctes
+        from docee_spark.fixtures import generate_corpus, heuristic_entity_dict
+        from docee_spark.golden import ensure_golden
+        from docee_spark.stages.tag import _find_dict_spans, _merge_regex_spans
+
+        g = ensure_golden()
+        sql = _heuristic_tagger_ctes(with_sentence_index=True).replace("{g}", g)
+        sql += """
+select i.doc_id, i.span_idx, i.text, i.field,
+       array_to_string(list_sort(list(ss.sent_idx)), ',') as sent_set
+from spans_i i join span_sents ss on ss.doc_id = i.doc_id
+                                 and ss.span_idx = i.span_idx
+group by 1, 2, 3, 4
+"""
+        got = {}
+        for doc_id, idx, text, field, ss in _duckdb.sql(sql).fetchall():
+            got.setdefault(doc_id, []).append((idx, text, field, ss))
+
+        ed = heuristic_entity_dict()
+        _, gold = generate_corpus(120, seed=7)
+        assert len(got) > 0
+        for gd in gold:
+            sents = list(gd["sentences"])
+            spans, taken = _find_dict_spans(sents, ed)
+            spans = _merge_regex_spans(sents, spans, taken)
+            want = [
+                (
+                    i,
+                    sp["text"],
+                    sp["field"],
+                    ",".join(
+                        str(x)
+                        for x in sorted({d["sent_idx"] for d in sp["dranges"]})
+                    ),
+                )
+                for i, sp in enumerate(spans)
+            ]
+            assert sorted(got.get(gd["guid"], [])) == want, gd["guid"]
+
+    def test_dictionary_assumptions_hold(self):
+        """The inert-overlap simplification requires: no dict surface is a
+        substring of another, and no surface contains a digit (every regex
+        entity starts with a digit run, so digit-free surfaces can only
+        overlap a regex match if a digit run immediately precedes a
+        surface in the text — a case the full-equivalence test above would
+        catch on this corpus)."""
+        from docee_spark.fixtures import heuristic_entity_dict
+
+        ed = heuristic_entity_dict()
+        for a in ed:
+            for b in ed:
+                assert a == b or a not in b, (a, b)
+            assert not any(c.isdigit() for c in a), a
