@@ -751,6 +751,19 @@ def q_docee_triples_scored(spark, sf):
     )["triples"]
 
 
+def q_docee_triples_product(spark, sf):
+    """M10 ProductDec / DCFEE-M analog: per key sentence, the capped
+    cross-product of in-sentence role candidates (reference
+    modules/__init__.py:63-101, dcfee.py DCFEE-M)."""
+    from docee_spark.fixtures import heuristic_entity_dict
+    from docee_spark.stages.pipeline import run_pipeline
+
+    web, _ = _fixture_webtext_and_gold(spark)
+    return run_pipeline(
+        web, entity_dict=heuristic_entity_dict(), mode="product", fused=True
+    )["triples"]
+
+
 def q_docee_triples_biaffine(spark, sf):
     """M7+M3 model path: trained biaffine pair scorer over AWA-pooled
     span embeddings (attention query, biaffine form and linear weights
@@ -938,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docee_triples_heuristic": q_docee_triples_heuristic,
         "docee_triples_greedy": q_docee_triples_greedy,
         "docee_triples_dcfee": q_docee_triples_dcfee,
+        "docee_triples_product": q_docee_triples_product,
         "docee_triples_trigger": q_docee_triples_trigger,
         "docee_triples_trigger_inc": q_docee_triples_trigger_inc,
         "docee_triples_model": q_docee_triples_model,
@@ -1629,6 +1643,126 @@ recs as materialized (
     )
 
 
+def _docee_triples_product_sql() -> str:
+    """Fully independent oracle for the PRODUCT pipeline mode (M10
+    ProductDec / DCFEE-M analog): per cue sentence, the cross-product of
+    in-sentence role candidates — each level branches over unused
+    candidates; a level with no viable candidate for ANY path extends
+    every path with NULL (the Python comprehension's `or` fallback),
+    while individually exhausted paths die. Exact duplicates and
+    dominated records drop relationally; numbering follows the
+    subset-dedup sort. The max_paths cap is validated inert on this
+    corpus (1024 vs unbounded gives identical output — asserted in
+    tests), so the SQL needs no truncation. Every per-level CTE is
+    MATERIALIZED: the `not exists` fallback references each level twice,
+    and inlining would re-compute the whole chain 2^k times."""
+    from docee_spark.config import CHFINANN_EVENT_TYPES, ROLE_COARSE_TYPE
+    from docee_spark.pyref.edag import DEFAULT_TYPE_KEYWORDS
+
+    body = _heuristic_tagger_ctes(with_sentence_index=True)
+    body += """,
+in_sent_cand as materialized (
+  select ss.doc_id, ss.sent_idx as si, i.field,
+         list(i.span_idx order by i.span_idx) as cl
+  from span_sents ss join spans_i i
+    on i.doc_id = ss.doc_id and i.span_idx = ss.span_idx
+  group by 1, 2, 3
+)"""
+
+    maxk = max(len(et.fields) for et in CHFINANN_EVENT_TYPES)
+    type_ctes, record_selects, flatten_parts = [], [], []
+    for t_order, et in enumerate(CHFINANN_EVENT_TYPES):
+        name = et.name
+        cue_pred = " or ".join(
+            f"contains(sentence, '{c}')" for c in DEFAULT_TYPE_KEYWORDS[name]
+        )
+        coarse_of = [ROLE_COARSE_TYPE.get(r, r) for r in et.fields]
+        coarse_set = sorted(set(coarse_of))
+        cl_joins = "\n  ".join(
+            f"left join in_sent_cand c_{c} on c_{c}.doc_id = k.doc_id "
+            f"and c_{c}.si = k.si and c_{c}.field = '{c}'"
+            for c in coarse_set
+        )
+        cl_cols = ", ".join(
+            f"coalesce(c_{c}.cl, []) as cl_{c}" for c in coarse_set
+        )
+        type_ctes.append(
+            f"\n{name}_base as materialized (\n"
+            f"  select k.doc_id, k.si, {cl_cols}\n"
+            f"  from (select doc_id, sent_idx as si from sents "
+            f"where {cue_pred}) k\n  {cl_joins}\n)"
+        )
+        prev = f"{name}_base"
+        for i in range(len(et.fields)):
+            c = coarse_of[i]
+            if i == 0:
+                type_ctes.append(
+                    f"\n{name}_l0 as materialized (\n"
+                    f"  select *, unnest(if(len(cl_{c}) = 0, "
+                    f"[cast(null as int)], cl_{c})) as p0\n"
+                    f"  from {prev}\n)"
+                )
+            else:
+                excl = " and ".join(
+                    f"x is distinct from p{j}" for j in range(i)
+                )
+                type_ctes.append(
+                    f"\n{name}_l{i}_raw as materialized (\n"
+                    f"  select *, unnest(list_filter(cl_{c}, x -> {excl})) "
+                    f"as p{i}\n  from {prev}\n),\n"
+                    f"{name}_l{i} as materialized (\n"
+                    f"  select * from {name}_l{i}_raw\n"
+                    f"  union all by name\n"
+                    f"  select *, cast(null as int) as p{i} from {prev} b\n"
+                    f"  where not exists (select 1 from {name}_l{i}_raw r\n"
+                    f"                    where r.doc_id = b.doc_id "
+                    f"and r.si = b.si)\n)"
+                )
+            prev = f"{name}_l{i}"
+        k = len(et.fields)
+        nonnull = " + ".join(f"(p{i} is not null)::int" for i in range(k))
+        pcols = ", ".join(f"p{i}" for i in range(k))
+        dom_ne = " or ".join(
+            f"b.p{i} is distinct from a.p{i}" for i in range(k)
+        )
+        dom_sub = " and ".join(
+            f"(a.p{i} is null or a.p{i} = b.p{i})" for i in range(k)
+        )
+        type_ctes.append(
+            f"\n{name}_cand as materialized (\n"
+            f"  select distinct doc_id, {t_order} as type_order, "
+            f"'{name}' as event_type, {pcols}\n"
+            f"  from {prev}\n  where {nonnull} >= {et.min_field_num}\n),\n"
+            f"{name}_kept as materialized (\n"
+            f"  select * from {name}_cand a\n"
+            f"  where not exists (\n"
+            f"    select 1 from {name}_cand b\n"
+            f"    where b.doc_id = a.doc_id\n"
+            f"      and ({dom_ne})\n"
+            f"      and ({dom_sub})\n  )\n)"
+        )
+        record_selects.append(f"select * from {name}_kept")
+        flatten_parts.append(_flatten_triples_sql(et, t_order))
+
+    nonnull_all = " + ".join(f"(p{i} is not null)::int" for i in range(maxk))
+    order_tail = ", ".join(f"coalesce(p{i}, -1)" for i in range(maxk))
+    return (
+        body + ","
+        + ",".join(type_ctes)
+        + ",\nall_recs as (\n"
+        + "\nunion all by name ".join(record_selects)
+        + "\n),"
+        + f"""
+recs as materialized (
+  select *, cast(row_number() over (partition by doc_id
+      order by type_order, {nonnull_all} desc, {order_tail}) - 1 as int)
+        as recguid
+  from all_recs
+)"""
+        + "\nunion all".join(flatten_parts)
+    )
+
+
 def _docee_vertices_sql() -> str:
     """Independent DuckDB re-implementation of stages.canonicalize
     (minhash = lexicographic min of md5 hex; 8 hashes, 4 bands × 2 rows,
@@ -1902,6 +2036,7 @@ def oracle_sql() -> dict[str, str]:
         "docee_triples_heuristic": _docee_triples_sql("heuristic"),
         "docee_triples_greedy": _docee_triples_greedy_sql(),
         "docee_triples_dcfee": _docee_triples_dcfee_sql(),
+        "docee_triples_product": _docee_triples_product_sql(),
         "docee_triples_trigger": _docee_triples_sql("trigger"),
         "docee_triples_trigger_inc": _docee_triples_sql("trigger_inc"),
         "docee_triples_model": _docee_triples_sql("model"),

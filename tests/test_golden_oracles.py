@@ -100,3 +100,35 @@ group by 1, 2, 3, 4
             for b in ed:
                 assert a == b or a not in b, (a, b)
             assert not any(c.isdigit() for c in a), a
+
+
+def test_product_mode_cap_inert_on_fixture_corpus():
+    """The independent product-mode oracle carries no max_paths
+    truncation; valid only while the cap never engages on this corpus —
+    pinned here (1024 vs unbounded must decode identically)."""
+    from docee_spark.fixtures import generate_corpus, heuristic_entity_dict
+    from docee_spark.golden import _segment, _heuristic_events
+    import docee_spark.golden as G
+    from docee_spark.pyref.edag import decode_doc
+    from docee_spark.stages.decode import _sentence_adjacency
+    from docee_spark.stages.tag import _find_dict_spans, _merge_regex_spans
+
+    ed = heuristic_entity_dict()
+    web, _ = generate_corpus(120, seed=7)
+
+    def decode(sents, max_paths):
+        spans, taken = _find_dict_spans(sents, ed)
+        spans = _merge_regex_spans(sents, spans, taken)
+        if not spans:
+            return {}
+        fields = [s["field"] for s in spans]
+        ss = [sorted({d["sent_idx"] for d in s["dranges"]}) for s in spans]
+        adj = _sentence_adjacency(len(spans), ss)
+        return decode_doc(
+            sents, fields, ss, adj, G._EVENT_FIELDS, G._MIN_FIELDS,
+            mode="product", max_paths=max_paths, exact_fields=False,
+        )
+
+    for w in web:
+        sents = _segment(w["text"], lang=w["lang"])
+        assert decode(sents, 1024) == decode(sents, 10**9), w["url"]
