@@ -1763,6 +1763,160 @@ recs as materialized (
     )
 
 
+def _docee_triples_heuristic_sql() -> str:
+    """Fully independent oracle for the flagship CLIQUE pipeline mode.
+    Combination enumeration exploits a corpus-validated identity, pinned
+    by pytest: with sentence adjacency (every sentence's span set is a
+    clique and every edge comes from some sentence), the maximal cliques
+    of the co-occurrence graph equal the maximal-by-subset per-sentence
+    span sets — relationally expressible as a dominance anti-join. Per
+    clique: candidate types = types cued by any sentence containing any
+    member; each candidate type greedily fills a record from clique
+    members (doc order, coarse-type match); best type = most filled
+    roles, earliest catalog type on ties, min-field gate; then U3
+    subset-dedup and subset-dedup-order numbering. Entire chain in
+    generated DuckDB SQL sharing no code with the engine."""
+    from docee_spark.config import CHFINANN_EVENT_TYPES, ROLE_COARSE_TYPE
+    from docee_spark.pyref.edag import DEFAULT_TYPE_KEYWORDS
+
+    body = _heuristic_tagger_ctes(with_sentence_index=True)
+    kw_rows = ",\n      ".join(
+        f"('{et}', '{cue}')"
+        for et, cues in DEFAULT_TYPE_KEYWORDS.items()
+        for cue in cues
+    )
+    body += f""",
+sent_sets as materialized (
+  select doc_id, list_sort(list(distinct span_idx)) as members
+  from span_sents group by doc_id, sent_idx
+),
+sets_u as materialized (
+  select distinct doc_id, members from sent_sets
+),
+cliques as materialized (
+  select doc_id, members,
+         cast(row_number() over (partition by doc_id order by members) as int)
+           as clique_id
+  from sets_u a
+  where not exists (
+    select 1 from sets_u b
+    where b.doc_id = a.doc_id and a.members != b.members
+      and len(list_filter(a.members, x -> not list_contains(b.members, x))) = 0
+  )
+),
+clique_types as materialized (
+  select c.doc_id, c.clique_id, kw.event_type
+  from cliques c
+  join span_sents ss on ss.doc_id = c.doc_id
+                    and list_contains(c.members, ss.span_idx)
+  join sents s on s.doc_id = c.doc_id and s.sent_idx = ss.sent_idx
+  join (values
+      {kw_rows}
+    ) kw(event_type, cue) on contains(s.sentence, kw.cue)
+  group by 1, 2, 3
+),
+clique_cand as materialized (
+  select c.doc_id, c.clique_id, i.field,
+         list(i.span_idx order by i.span_idx) as cl
+  from cliques c
+  join spans_i i on i.doc_id = c.doc_id
+                and list_contains(c.members, i.span_idx)
+  group by 1, 2, 3
+)"""
+
+    maxk = max(len(et.fields) for et in CHFINANN_EVENT_TYPES)
+    type_ctes, record_selects, flatten_parts = [], [], []
+    for t_order, et in enumerate(CHFINANN_EVENT_TYPES):
+        name = et.name
+        coarse_of = [ROLE_COARSE_TYPE.get(r, r) for r in et.fields]
+        coarse_set = sorted(set(coarse_of))
+        cl_joins = "\n  ".join(
+            f"left join clique_cand c_{c} on c_{c}.doc_id = k.doc_id "
+            f"and c_{c}.clique_id = k.clique_id and c_{c}.field = '{c}'"
+            for c in coarse_set
+        )
+        cl_cols = ", ".join(
+            f"coalesce(c_{c}.cl, []) as cl_{c}" for c in coarse_set
+        )
+        type_ctes.append(
+            f"\n{name}_base as materialized (\n"
+            f"  select k.doc_id, k.clique_id, {cl_cols}\n"
+            f"  from (select doc_id, clique_id from clique_types "
+            f"where event_type = '{name}') k\n  {cl_joins}\n)"
+        )
+        prev = f"{name}_base"
+        for i in range(len(et.fields)):
+            c = coarse_of[i]
+            if i == 0:
+                pick = f"cl_{c}[1]"
+            else:
+                excl = " and ".join(
+                    f"x is distinct from p{j}" for j in range(i)
+                )
+                pick = f"list_filter(cl_{c}, x -> {excl})[1]"
+            type_ctes.append(
+                f"\n{name}_d{i} as materialized "
+                f"(select *, {pick} as p{i} from {prev})"
+            )
+            prev = f"{name}_d{i}"
+        k = len(et.fields)
+        nonnull = " + ".join(f"(p{i} is not null)::int" for i in range(k))
+        pcols = ", ".join(f"p{i}" for i in range(k))
+        type_ctes.append(
+            f"\n{name}_filled as materialized (\n"
+            f"  select doc_id, clique_id, {t_order} as type_order, "
+            f"'{name}' as event_type,\n"
+            f"         {nonnull} as n_filled, {pcols}\n"
+            f"  from {prev}\n  where {nonnull} >= {et.min_field_num}\n)"
+        )
+        record_selects.append(f"select * from {name}_filled")
+        flatten_parts.append(_flatten_triples_sql(et, t_order))
+
+    nonnull_all = " + ".join(f"(p{i} is not null)::int" for i in range(maxk))
+    order_tail = ", ".join(f"coalesce(p{i}, -1)" for i in range(maxk))
+    dom_ne = " or ".join(
+        f"b.p{i} is distinct from a.p{i}" for i in range(maxk)
+    )
+    dom_sub = " and ".join(
+        f"(a.p{i} is null or a.p{i} = b.p{i})" for i in range(maxk)
+    )
+    p_all = ", ".join(f"p{i}" for i in range(maxk))
+    return (
+        body + ","
+        + ",".join(type_ctes)
+        + ",\nall_filled as materialized (\n"
+        + "\nunion all by name ".join(record_selects)
+        + "\n),"
+        + f"""
+best as materialized (
+  select * from (
+    select *, row_number() over (partition by doc_id, clique_id
+                                 order by n_filled desc, type_order asc) rn
+    from all_filled) where rn = 1
+),
+cand_recs as materialized (
+  select distinct doc_id, type_order, event_type, {p_all}
+  from best
+),
+kept as materialized (
+  select * from cand_recs a
+  where not exists (
+    select 1 from cand_recs b
+    where b.doc_id = a.doc_id and b.event_type = a.event_type
+      and ({dom_ne})
+      and ({dom_sub})
+  )
+),
+recs as materialized (
+  select *, cast(row_number() over (partition by doc_id
+      order by type_order, {nonnull_all} desc, {order_tail}) - 1 as int)
+        as recguid
+  from kept
+)"""
+        + "\nunion all".join(flatten_parts)
+    )
+
+
 def _docee_vertices_sql() -> str:
     """Independent DuckDB re-implementation of stages.canonicalize
     (minhash = lexicographic min of md5 hex; 8 hashes, 4 bands × 2 rows,
@@ -2033,7 +2187,7 @@ def oracle_sql() -> dict[str, str]:
     g = _golden_dir()
     docee = {
         "docee_triples_gold": _docee_triples_gold_sql(),
-        "docee_triples_heuristic": _docee_triples_sql("heuristic"),
+        "docee_triples_heuristic": _docee_triples_heuristic_sql(),
         "docee_triples_greedy": _docee_triples_greedy_sql(),
         "docee_triples_dcfee": _docee_triples_dcfee_sql(),
         "docee_triples_product": _docee_triples_product_sql(),

@@ -132,3 +132,37 @@ def test_product_mode_cap_inert_on_fixture_corpus():
     for w in web:
         sents = _segment(w["text"], lang=w["lang"])
         assert decode(sents, 1024) == decode(sents, 10**9), w["url"]
+
+
+def test_max_cliques_equal_maximal_sentence_sets_on_fixture_corpus():
+    """The independent clique-mode oracle enumerates combinations as
+    maximal-by-subset per-sentence span sets. With sentence adjacency this
+    equals Bron–Kerbosch maximal cliques whenever no clique spans
+    sentences without being contained in one (no diamond merges) — true
+    on this corpus and pinned here doc-for-doc."""
+    from docee_spark.fixtures import generate_corpus, heuristic_entity_dict
+    from docee_spark.golden import _segment
+    from docee_spark.pyref.graph import max_cliques_bk
+    from docee_spark.stages.decode import _sentence_adjacency
+    from docee_spark.stages.tag import _find_dict_spans, _merge_regex_spans
+
+    ed = heuristic_entity_dict()
+    web, _ = generate_corpus(120, seed=7)
+    for w in web:
+        sents = _segment(w["text"], lang=w["lang"])
+        spans, taken = _find_dict_spans(sents, ed)
+        spans = _merge_regex_spans(sents, spans, taken)
+        if not spans:
+            continue
+        ss = [sorted({d["sent_idx"] for d in s["dranges"]}) for s in spans]
+        adj = _sentence_adjacency(len(spans), ss)
+        cliques = {tuple(sorted(c)) for c in max_cliques_bk(adj, min_num_arg=1)}
+        by_sent = {}
+        for i, sl in enumerate(ss):
+            for si in sl:
+                by_sent.setdefault(si, set()).add(i)
+        sets = list({frozenset(v) for v in by_sent.values()})
+        maximal = {
+            tuple(sorted(a)) for a in sets if not any(a < b for b in sets)
+        }
+        assert cliques == maximal, w["url"]
