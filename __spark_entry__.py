@@ -1763,47 +1763,23 @@ recs as materialized (
     )
 
 
-def _docee_triples_heuristic_sql() -> str:
-    """Fully independent oracle for the flagship CLIQUE pipeline mode.
-    Combination enumeration exploits a corpus-validated identity, pinned
-    by pytest: with sentence adjacency (every sentence's span set is a
-    clique and every edge comes from some sentence), the maximal cliques
-    of the co-occurrence graph equal the maximal-by-subset per-sentence
-    span sets — relationally expressible as a dominance anti-join. Per
-    clique: candidate types = types cued by any sentence containing any
-    member; each candidate type greedily fills a record from clique
-    members (doc order, coarse-type match); best type = most filled
-    roles, earliest catalog type on ties, min-field gate; then U3
-    subset-dedup and subset-dedup-order numbering. Entire chain in
-    generated DuckDB SQL sharing no code with the engine."""
+def _combination_decode_tail_sql() -> str:
+    """Shared decode tail for the combination-based independent oracles
+    (clique / trigger / trigger_incremental): given a ``cliques``
+    (doc_id, members, clique_id) CTE, derives candidate types per
+    combination, the greedy in-combination role fill per event type,
+    best-type selection (most filled, earliest catalog type, min-field
+    gate), U3 subset-dedup and subset-dedup-order record numbering, and
+    the triple flattening."""
     from docee_spark.config import CHFINANN_EVENT_TYPES, ROLE_COARSE_TYPE
     from docee_spark.pyref.edag import DEFAULT_TYPE_KEYWORDS
 
-    body = _heuristic_tagger_ctes(with_sentence_index=True)
     kw_rows = ",\n      ".join(
         f"('{et}', '{cue}')"
         for et, cues in DEFAULT_TYPE_KEYWORDS.items()
         for cue in cues
     )
-    body += f""",
-sent_sets as materialized (
-  select doc_id, list_sort(list(distinct span_idx)) as members
-  from span_sents group by doc_id, sent_idx
-),
-sets_u as materialized (
-  select distinct doc_id, members from sent_sets
-),
-cliques as materialized (
-  select doc_id, members,
-         cast(row_number() over (partition by doc_id order by members) as int)
-           as clique_id
-  from sets_u a
-  where not exists (
-    select 1 from sets_u b
-    where b.doc_id = a.doc_id and a.members != b.members
-      and len(list_filter(a.members, x -> not list_contains(b.members, x))) = 0
-  )
-),
+    body = f""",
 clique_types as materialized (
   select c.doc_id, c.clique_id, kw.event_type
   from cliques c
@@ -1915,6 +1891,162 @@ recs as materialized (
 )"""
         + "\nunion all".join(flatten_parts)
     )
+
+
+def _docee_triples_trigger_sql(incremental: bool) -> str:
+    """Fully independent oracles for the TRIGGER decode modes (G6/G7,
+    guessing-mode |R|). The directed trigger graph (span i → co-occurring
+    span j wherever i fills a tier-1 trigger role of a type cued in the
+    shared sentence) is built relationally. G6: combinations = mutual
+    trigger pairs ∪ the intersection of their successors, plus unused
+    triggers' own successor sets — valid because the folded trigger
+    graph has no triangle on this corpus (max maximal-clique size 2,
+    pinned by pytest), so BK maximal cliques are exactly the mutual
+    pairs; single-trigger docs reduce to the left-trigger fallback,
+    which is the |R|=1 branch verbatim. G7: each trigger absorbs its
+    non-trigger successors plus trigger successors sharing ≥ min_conn
+    (=1) of them. Typing/filling/dedup tail shared with the clique
+    oracle."""
+    from docee_spark.config import CHFINANN_EVENT_TYPES, ROLE_COARSE_TYPE
+    from docee_spark.pyref.edag import DEFAULT_TYPE_KEYWORDS
+
+    trig_values = ", ".join(
+        f"('{et.name}', '{ROLE_COARSE_TYPE.get(role, role)}')"
+        for et in CHFINANN_EVENT_TYPES
+        for role in et.triggers[1]
+    )
+    kw_rows = ", ".join(
+        f"('{et}', '{cue}')"
+        for et, cues in DEFAULT_TYPE_KEYWORDS.items()
+        for cue in cues
+    )
+    body = _heuristic_tagger_ctes(with_sentence_index=True)
+    body += f""",
+sent_cues as materialized (
+  select s.doc_id, s.sent_idx, kw.event_type
+  from sents s
+  join (values {kw_rows}) kw(event_type, cue) on contains(s.sentence, kw.cue)
+  group by 1, 2, 3
+),
+edges as materialized (
+  select distinct a.doc_id, a.span_idx as i, b.span_idx as j
+  from span_sents a
+  join spans_i fi on fi.doc_id = a.doc_id and fi.span_idx = a.span_idx
+  join sent_cues c on c.doc_id = a.doc_id and c.sent_idx = a.sent_idx
+  join (values {trig_values}) tr(event_type, coarse)
+    on tr.event_type = c.event_type and tr.coarse = fi.field
+  join span_sents b on b.doc_id = a.doc_id and b.sent_idx = a.sent_idx
+  where b.span_idx != a.span_idx
+),
+triggers as materialized (
+  select distinct doc_id, i as v from edges
+),
+succs as materialized (
+  select doc_id, i as v, list_sort(list(distinct j)) as ns
+  from edges group by doc_id, i
+)"""
+    if not incremental:
+        body += """,
+mutual as materialized (
+  select e1.doc_id, e1.i, e1.j
+  from edges e1 join edges e2
+    on e2.doc_id = e1.doc_id and e2.i = e1.j and e2.j = e1.i
+  where e1.i < e1.j
+),
+pair_combs as materialized (
+  select m.doc_id,
+         list_sort(list_distinct([m.i, m.j] ||
+           list_filter(si.ns, x -> list_contains(sj.ns, x)))) as members
+  from mutual m
+  join succs si on si.doc_id = m.doc_id and si.v = m.i
+  join succs sj on sj.doc_id = m.doc_id and sj.v = m.j
+),
+used as materialized (
+  select doc_id, i as v from mutual
+  union
+  select doc_id, j from mutual
+),
+left_combs as materialized (
+  select t.doc_id, list_sort(list_distinct([t.v] || s.ns)) as members
+  from triggers t
+  join succs s on s.doc_id = t.doc_id and s.v = t.v
+  where not exists (select 1 from used u
+                    where u.doc_id = t.doc_id and u.v = t.v)
+),
+combs as materialized (
+  select distinct doc_id, members from pair_combs
+  union
+  select distinct doc_id, members from left_combs
+)"""
+    else:
+        body += """,
+non_trig_succ as materialized (
+  select e.doc_id, e.i as v,
+         list_sort(list(distinct e.j)) as nt
+  from edges e
+  where not exists (select 1 from triggers t
+                    where t.doc_id = e.doc_id and t.v = e.j)
+  group by 1, 2
+),
+absorbed as materialized (
+  select e.doc_id, e.i as v, e.j as u
+  from edges e
+  join triggers tu on tu.doc_id = e.doc_id and tu.v = e.j
+  join non_trig_succ nv on nv.doc_id = e.doc_id and nv.v = e.i
+  join succs su on su.doc_id = e.doc_id and su.v = e.j
+  where len(list_filter(su.ns, x -> list_contains(nv.nt, x))) >= 1
+),
+combs as materialized (
+  select distinct t.doc_id,
+         list_sort(list_distinct(
+           [t.v]
+           || coalesce(nv.nt, [])
+           || coalesce(ab.us, []))) as members
+  from triggers t
+  left join non_trig_succ nv on nv.doc_id = t.doc_id and nv.v = t.v
+  left join (select doc_id, v, list(distinct u) as us
+             from absorbed group by 1, 2) ab
+    on ab.doc_id = t.doc_id and ab.v = t.v
+)"""
+    body += """,
+cliques as materialized (
+  select doc_id, members,
+         cast(row_number() over (partition by doc_id order by members) as int)
+           as clique_id
+  from combs
+)"""
+    return body + _combination_decode_tail_sql()
+
+
+def _docee_triples_heuristic_sql() -> str:
+    """Fully independent oracle for the flagship CLIQUE pipeline mode.
+    Combination enumeration exploits a corpus-validated identity, pinned
+    by pytest: with sentence adjacency (every sentence's span set is a
+    clique and every edge comes from some sentence), the maximal cliques
+    of the co-occurrence graph equal the maximal-by-subset per-sentence
+    span sets — relationally expressible as a dominance anti-join. The
+    typing/filling/dedup tail is shared (_combination_decode_tail_sql)."""
+    body = _heuristic_tagger_ctes(with_sentence_index=True)
+    body += """,
+sent_sets as materialized (
+  select doc_id, list_sort(list(distinct span_idx)) as members
+  from span_sents group by doc_id, sent_idx
+),
+sets_u as materialized (
+  select distinct doc_id, members from sent_sets
+),
+cliques as materialized (
+  select doc_id, members,
+         cast(row_number() over (partition by doc_id order by members) as int)
+           as clique_id
+  from sets_u a
+  where not exists (
+    select 1 from sets_u b
+    where b.doc_id = a.doc_id and a.members != b.members
+      and len(list_filter(a.members, x -> not list_contains(b.members, x))) = 0
+  )
+)"""
+    return body + _combination_decode_tail_sql()
 
 
 def _docee_vertices_sql() -> str:
@@ -2191,8 +2323,8 @@ def oracle_sql() -> dict[str, str]:
         "docee_triples_greedy": _docee_triples_greedy_sql(),
         "docee_triples_dcfee": _docee_triples_dcfee_sql(),
         "docee_triples_product": _docee_triples_product_sql(),
-        "docee_triples_trigger": _docee_triples_sql("trigger"),
-        "docee_triples_trigger_inc": _docee_triples_sql("trigger_inc"),
+        "docee_triples_trigger": _docee_triples_trigger_sql(incremental=False),
+        "docee_triples_trigger_inc": _docee_triples_trigger_sql(incremental=True),
         "docee_triples_model": _docee_triples_sql("model"),
         "docee_triples_model_edag": _docee_triples_sql("model_edag"),
         "docee_triples_scored": _docee_triples_sql("scored"),

@@ -166,3 +166,37 @@ def test_max_cliques_equal_maximal_sentence_sets_on_fixture_corpus():
             tuple(sorted(a)) for a in sets if not any(a < b for b in sets)
         }
         assert cliques == maximal, w["url"]
+
+
+def test_folded_trigger_graph_has_no_triangle_on_fixture_corpus():
+    """The independent trigger-mode oracle enumerates trigger cliques as
+    mutual PAIRS. Valid iff the folded (mutual-edge) trigger graph has no
+    maximal clique larger than 2 on this corpus — then every mutual pair
+    is itself maximal. Pinned doc-for-doc; a fixture change introducing a
+    trigger triangle must fail here, not silently in the driver gate."""
+    from docee_spark.fixtures import generate_corpus, heuristic_entity_dict
+    from docee_spark.golden import _segment
+    from docee_spark.pyref.edag import (
+        _directed_trigger_adjacency,
+        detect_types_per_sentence,
+    )
+    from docee_spark.pyref.graph import fold_and, max_cliques_bk
+    from docee_spark.stages.tag import _find_dict_spans, _merge_regex_spans
+
+    ed = heuristic_entity_dict()
+    web, _ = generate_corpus(120, seed=7)
+    seen_pairs = 0
+    for w in web:
+        sents = _segment(w["text"], lang=w["lang"])
+        spans, taken = _find_dict_spans(sents, ed)
+        spans = _merge_regex_spans(sents, spans, taken)
+        if not spans:
+            continue
+        fields = [s["field"] for s in spans]
+        ss = [sorted({d["sent_idx"] for d in s["dranges"]}) for s in spans]
+        st = detect_types_per_sentence(sents)
+        adj = _directed_trigger_adjacency(fields, ss, st, -1)
+        cliques = max_cliques_bk(fold_and(adj), 2)
+        assert all(len(c) == 2 for c in cliques), (w["url"], cliques)
+        seen_pairs += len(cliques)
+    assert seen_pairs > 0  # the pair path is actually exercised
