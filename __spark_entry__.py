@@ -810,6 +810,22 @@ def q_docee_git_edges(spark, sf):
     return git_hetero_edges(tagged)
 
 
+def q_docee_edges(spark, sf):
+    """Canonicalized KG edge table from the gold pipeline — the second
+    half of the graph-materialize surface (vertices being the first).
+    recguid is decode-order-arbitrary and is dropped; the edge relation
+    keeps (src, pred, dst) with doc/event provenance. The oracle derives
+    BOTH halves independently: triples in pure SQL from gold_args, and
+    entity resolution via the independent DuckDB canonicalizer."""
+    from docee_spark.stages.pipeline import run_pipeline
+
+    web, gold = _fixture_webtext_and_gold(spark)
+    edges = run_pipeline(web, gold=gold, mode="clique", adjacency="gold")[
+        "edges"
+    ]
+    return edges.select("src", "pred", "dst", "doc_id", "event_type")
+
+
 def q_docee_vertices(spark, sf):
     """Canonicalized KG vertex table from the gold pipeline."""
     from docee_spark.stages.pipeline import run_pipeline
@@ -961,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docee_triples_doc_ctx": q_docee_triples_doc_ctx,
         "docee_git_edges": q_docee_git_edges,
         "docee_vertices": q_docee_vertices,
+        "docee_edges": q_docee_edges,
         "docee_adj_metrics": q_docee_adj_metrics,
         "docee_eval_rollup": q_docee_eval_rollup,
         "docee_eval_report": q_docee_eval_report,
@@ -2049,6 +2066,74 @@ cliques as materialized (
     return body + _combination_decode_tail_sql()
 
 
+def _docee_edges_sql() -> str:
+    """Fully independent oracle for the KG edge table: composes the pure
+    gold-triples derivation (_docee_triples_gold_sql semantics, from
+    gold_args.parquet) with the independent DuckDB canonicalizer
+    (_docee_vertices_sql semantics: md5-minhash banding + 2
+    label-propagation passes) — neither the decode path nor
+    stages.canonicalize contributes any code."""
+    gold = _docee_triples_gold_sql().strip()
+    # turn the standalone gold-triples statement into a CTE
+    final_idx = gold.rindex("select n.doc_id")
+    gold_ctes = gold[:final_idx].rstrip().rstrip(",")  # "with nn as (...) ..."
+    gold_final = gold[final_idx:]
+    m_cols = ",\n    ".join(
+        f"list_min(list_transform(shingles, s -> md5('{i}|' || s))) as m{i}"
+        for i in range(8)
+    )
+    bands = "\n  union all ".join(
+        f"select surface, '{b}:' || m{2 * b} || ':' || m{2 * b + 1} as band "
+        f"from sig"
+        for b in range(4)
+    )
+    return f"""{gold_ctes},
+gtrips as materialized (
+  {gold_final}
+),
+mentions as (
+  select subj as surface from gtrips where subj is not null
+  union all
+  select obj from gtrips where obj is not null
+),
+surfaces as (
+  select surface,
+         case when regexp_matches(surface, '^[\\x00-\\x7f]*$')
+              then lower(trim(surface)) else trim(surface) end as norm
+  from mentions group by surface
+),
+sh as (
+  select surface, norm,
+         list_distinct(list_transform(
+             range(1, len(rpad(norm, 3, '_')) - 1),
+             i -> substring(rpad(norm, 3, '_'), cast(i as int), 3))) as shingles
+  from surfaces
+),
+sig as materialized (
+  select surface, norm,
+    {m_cols}
+  from sh
+),
+membership as materialized (
+  {bands}
+),
+rep0 as (select surface, norm as lsh_rep from sig),
+bmin1 as (select band, min(lsh_rep) as band_min
+          from membership join rep0 using (surface) group by band),
+rep1 as (select surface, min(band_min) as lsh_rep
+         from membership join bmin1 using (band) group by surface),
+bmin2 as (select band, min(lsh_rep) as band_min
+          from membership join rep1 using (surface) group by band),
+rep2 as materialized (
+  select surface, min(band_min) as lsh_rep
+  from membership join bmin2 using (band) group by surface)
+select rs.lsh_rep as src, t.pred, ro.lsh_rep as dst, t.doc_id, t.event_type
+from gtrips t
+join rep2 rs on rs.surface = t.subj
+join rep2 ro on ro.surface = t.obj
+"""
+
+
 def _docee_vertices_sql() -> str:
     """Independent DuckDB re-implementation of stages.canonicalize
     (minhash = lexicographic min of md5 hex; 8 hashes, 4 bands × 2 rows,
@@ -2332,6 +2417,7 @@ def oracle_sql() -> dict[str, str]:
         "docee_triples_doc_ctx": _docee_triples_sql("doc_ctx"),
         "docee_git_edges": _docee_git_edges_sql(),
         "docee_vertices": _docee_vertices_sql(),
+        "docee_edges": _docee_edges_sql(),
         "docee_adj_metrics": "select * from read_parquet('{g}/adj_metrics.parquet')",
         "docee_eval_rollup": _docee_eval_rollup_sql(),
         "docee_eval_report": _docee_eval_report_sql(),
