@@ -2192,11 +2192,23 @@ group by 1
 
 def _docee_eval_rollup_sql() -> str:
     return """
-with r as (
+with eval_stats as (
+  -- independent derivation for the GOLD-mode pipeline: P/R = 1.0 means
+  -- the greedy matching is the identity pairing, so tp per (doc, type,
+  -- role) = the count of non-null gold args and fp = fn = 0 — pure
+  -- annotation data, no pyref matching code in the chain (the matching
+  -- algorithm itself is pytest-pinned incl. order sensitivity)
+  select a.doc_id, d.doc_type, a.event_type, a.role,
+         count(a.arg) as tp, 0 as fp, 0 as fn
+  from read_parquet('{g}/gold_args.parquet') a
+  join read_parquet('{g}/gold_docs.parquet') d using (doc_id)
+  group by 1, 2, 3, 4
+),
+r as (
   select event_type, role,
          cast(sum(tp) as bigint) as tp, cast(sum(fp) as bigint) as fp,
          cast(sum(fn) as bigint) as fn
-  from read_parquet('{g}/eval_stats.parquet')
+  from eval_stats
   group by rollup(event_type, role)
 ),
 m as (
@@ -2225,13 +2237,25 @@ def _docee_eval_report_sql() -> str:
   cast(floor(case when p + r > 0 then 2 * p * r / (p + r) else 0.0 end * 10000) as bigint) as f1_e4
 """
     return f"""
-with cls as (
+with eval_stats as (
+  -- independent derivation for the GOLD-mode pipeline: P/R = 1.0 means
+  -- the greedy matching is the identity pairing, so tp per (doc, type,
+  -- role) = the count of non-null gold args and fp = fn = 0 — pure
+  -- annotation data, no pyref matching code in the chain (the matching
+  -- algorithm itself is pytest-pinned incl. order sensitivity)
+  select a.doc_id, d.doc_type, a.event_type, a.role,
+         count(a.arg) as tp, 0 as fp, 0 as fn
+  from read_parquet('{{g}}/gold_args.parquet') a
+  join read_parquet('{{g}}/gold_docs.parquet') d using (doc_id)
+  group by 1, 2, 3, 4
+),
+cls as (
   select doc_id, case when n_events > 1 then 'multi' else 'single' end as subset
   from read_parquet('{{g}}/gold_docs.parquet')
 ),
 st as (
   select s.*, c.subset
-  from read_parquet('{{g}}/eval_stats.parquet') s join cls c using (doc_id)
+  from eval_stats s join cls c using (doc_id)
 ),
 per_type as (
   select subset, event_type,
