@@ -2134,6 +2134,101 @@ join rep2 ro on ro.surface = t.obj
 """
 
 
+def _docee_adj_metrics_sql() -> str:
+    """Fully independent oracle for the A5 adjacency/connection/trigger
+    metrics: BOTH adjacency sides re-derived from the flat annotations —
+    predicted edges = ordered pairs of distinct spans sharing a sentence
+    (gold_mentions), gold edges = ordered pairs of distinct co-arguments
+    within a record (gold_args) — then the exact-match / connection /
+    trigger micro P/R/F1 aggregation recomputed relationally
+    (full-outer-join set algebra). No engine or pyref code in the
+    chain."""
+    return """
+with pred_e as (
+  select distinct a.doc_id, a.arg as i, b.arg as j
+  from read_parquet('{g}/gold_mentions.parquet') a
+  join read_parquet('{g}/gold_mentions.parquet') b
+    on b.doc_id = a.doc_id and b.sent_idx = a.sent_idx and b.arg != a.arg
+),
+nn as (
+  select doc_id, recguid, arg
+  from read_parquet('{g}/gold_args.parquet') where arg is not null
+),
+gold_e as (
+  select distinct a.doc_id, a.arg as i, b.arg as j
+  from nn a join nn b
+    on b.doc_id = a.doc_id and b.recguid = a.recguid and b.arg != a.arg
+),
+uni as (
+  select coalesce(p.doc_id, q.doc_id) as doc_id,
+         (p.doc_id is not null) as in_p, (q.doc_id is not null) as in_g
+  from pred_e p full outer join gold_e q
+    on q.doc_id = p.doc_id and q.i = p.i and q.j = p.j
+),
+conn_cnt as (
+  select doc_id,
+         sum((in_p and in_g)::int) as tp,
+         sum((in_p and not in_g)::int) as fp,
+         sum((not in_p and in_g)::int) as fn
+  from uni group by 1
+),
+pred_t as (select distinct doc_id, i from pred_e),
+gold_t as (select distinct doc_id, i from gold_e),
+unit as (
+  select coalesce(p.doc_id, q.doc_id) as doc_id,
+         (p.doc_id is not null) as in_p, (q.doc_id is not null) as in_g
+  from pred_t p full outer join gold_t q
+    on q.doc_id = p.doc_id and q.i = p.i
+),
+trig_cnt as (
+  select doc_id,
+         sum((in_p and in_g)::int) as tp,
+         sum((in_p and not in_g)::int) as fp,
+         sum((not in_p and in_g)::int) as fn
+  from unit group by 1
+),
+per_doc as (
+  select d.doc_id,
+         coalesce(c.tp, 0) as conn_tp, coalesce(c.fp, 0) as conn_fp,
+         coalesce(c.fn, 0) as conn_fn,
+         coalesce(t.tp, 0) as trig_tp, coalesce(t.fp, 0) as trig_fp,
+         coalesce(t.fn, 0) as trig_fn,
+         (coalesce(c.fp, 0) = 0 and coalesce(c.fn, 0) = 0)::int as exact
+  from read_parquet('{g}/gold_docs.parquet') d
+  left join conn_cnt c using (doc_id)
+  left join trig_cnt t using (doc_id)
+),
+agg as (
+  select cast(count(*) as bigint) as n_docs,
+         cast(floor(sum(exact) * 10000 / count(*)) as bigint) as exact_acc_e4,
+         cast(sum(conn_tp) as bigint) as conn_tp,
+         cast(sum(conn_fp) as bigint) as conn_fp,
+         cast(sum(conn_fn) as bigint) as conn_fn,
+         cast(sum(trig_tp) as bigint) as trig_tp,
+         cast(sum(trig_fp) as bigint) as trig_fp,
+         cast(sum(trig_fn) as bigint) as trig_fn
+  from per_doc
+),
+m as (
+  select *,
+    case when conn_tp + conn_fp > 0 then conn_tp / cast(conn_tp + conn_fp as double) else 0.0 end as cp,
+    case when conn_tp + conn_fn > 0 then conn_tp / cast(conn_tp + conn_fn as double) else 0.0 end as cr,
+    case when trig_tp + trig_fp > 0 then trig_tp / cast(trig_tp + trig_fp as double) else 0.0 end as tp_,
+    case when trig_tp + trig_fn > 0 then trig_tp / cast(trig_tp + trig_fn as double) else 0.0 end as tr_
+  from agg
+)
+select n_docs, exact_acc_e4, conn_tp, conn_fp, conn_fn,
+  cast(floor(cp * 10000) as bigint) as conn_precision_e4,
+  cast(floor(cr * 10000) as bigint) as conn_recall_e4,
+  cast(floor(case when cp + cr > 0 then 2 * cp * cr / (cp + cr) else 0.0 end * 10000) as bigint) as conn_f1_e4,
+  trig_tp, trig_fp, trig_fn,
+  cast(floor(tp_ * 10000) as bigint) as trig_precision_e4,
+  cast(floor(tr_ * 10000) as bigint) as trig_recall_e4,
+  cast(floor(case when tp_ + tr_ > 0 then 2 * tp_ * tr_ / (tp_ + tr_) else 0.0 end * 10000) as bigint) as trig_f1_e4
+from m
+"""
+
+
 def _docee_vertices_sql() -> str:
     """Independent DuckDB re-implementation of stages.canonicalize
     (minhash = lexicographic min of md5 hex; 8 hashes, 4 bands × 2 rows,
@@ -2442,7 +2537,7 @@ def oracle_sql() -> dict[str, str]:
         "docee_git_edges": _docee_git_edges_sql(),
         "docee_vertices": _docee_vertices_sql(),
         "docee_edges": _docee_edges_sql(),
-        "docee_adj_metrics": "select * from read_parquet('{g}/adj_metrics.parquet')",
+        "docee_adj_metrics": _docee_adj_metrics_sql(),
         "docee_eval_rollup": _docee_eval_rollup_sql(),
         "docee_eval_report": _docee_eval_report_sql(),
         "docee_trigger_importance": _docee_trigger_importance_sql(),
