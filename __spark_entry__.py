@@ -1780,14 +1780,22 @@ recs as materialized (
     )
 
 
-def _combination_decode_tail_sql() -> str:
+def _combination_decode_tail_sql(exact_fields: bool = False) -> str:
     """Shared decode tail for the combination-based independent oracles
     (clique / trigger / trigger_incremental): given a ``cliques``
     (doc_id, members, clique_id) CTE, derives candidate types per
     combination, the greedy in-combination role fill per event type,
     best-type selection (most filled, earliest catalog type, min-field
     gate), U3 subset-dedup and subset-dedup-order record numbering, and
-    the triple flattening."""
+    the triple flattening.
+
+    ``exact_fields=True`` is the model-tagger variant: span fields are
+    exact role names, and field_matches' coarse fallback is provably dead
+    (ROLE_COARSE_TYPE values are lowercase coarse names, role names are
+    CamelCase — a model field can never equal a role's coarse type), so
+    the fill reduces to "first doc-order clique member whose field IS the
+    role"; no cross-role exclusion is possible because role names are
+    unique within a type and each span carries exactly one field."""
     from docee_spark.config import CHFINANN_EVENT_TYPES, ROLE_COARSE_TYPE
     from docee_spark.pyref.edag import DEFAULT_TYPE_KEYWORDS
 
@@ -1821,15 +1829,23 @@ clique_cand as materialized (
     type_ctes, record_selects, flatten_parts = [], [], []
     for t_order, et in enumerate(CHFINANN_EVENT_TYPES):
         name = et.name
+        assert len(set(et.fields)) == len(et.fields), name
         coarse_of = [ROLE_COARSE_TYPE.get(r, r) for r in et.fields]
-        coarse_set = sorted(set(coarse_of))
+        if exact_fields:
+            # one candidate list per ROLE (exact field name); coarse
+            # fallback dead (see docstring)
+            join_keys = sorted(set(et.fields))
+            field_of = {r: r for r in et.fields}
+        else:
+            join_keys = sorted(set(coarse_of))
+            field_of = dict(zip(et.fields, coarse_of))
         cl_joins = "\n  ".join(
             f"left join clique_cand c_{c} on c_{c}.doc_id = k.doc_id "
             f"and c_{c}.clique_id = k.clique_id and c_{c}.field = '{c}'"
-            for c in coarse_set
+            for c in join_keys
         )
         cl_cols = ", ".join(
-            f"coalesce(c_{c}.cl, []) as cl_{c}" for c in coarse_set
+            f"coalesce(c_{c}.cl, []) as cl_{c}" for c in join_keys
         )
         type_ctes.append(
             f"\n{name}_base as materialized (\n"
@@ -1839,8 +1855,8 @@ clique_cand as materialized (
         )
         prev = f"{name}_base"
         for i in range(len(et.fields)):
-            c = coarse_of[i]
-            if i == 0:
+            c = field_of[et.fields[i]]
+            if i == 0 or exact_fields:
                 pick = f"cl_{c}[1]"
             else:
                 excl = " and ".join(
@@ -2066,13 +2082,57 @@ cliques as materialized (
     return body + _combination_decode_tail_sql()
 
 
-def _docee_edges_sql() -> str:
-    """Fully independent oracle for the KG edge table: composes the pure
-    gold-triples derivation (_docee_triples_gold_sql semantics, from
-    gold_args.parquet) with the independent DuckDB canonicalizer
-    (_docee_vertices_sql semantics: md5-minhash banding + 2
-    label-propagation passes) — neither the decode path nor
-    stages.canonicalize contributes any code."""
+def _docee_triples_model_sql() -> str:
+    """Decode-independent oracle for the trained-model CLIQUE mode: the
+    ENTIRE combination decode — sentence-set cliques (same corpus-pinned
+    maximal-by-subset identity as the flagship oracle, re-pinned for
+    MODEL spans in tests/test_golden_oracles.py), keyword typing,
+    exact-field role fill, best-type selection, subset-dedup, numbering
+    and triple flattening — re-derived in generated DuckDB SQL over
+    ``model_spans.parquet`` (the M1 tagger's span predictions, dumped
+    flat by golden.py from the single-process pyref twin). Only the
+    tagger inference itself remains on a shared code path; everything
+    downstream is verified by code the engine does not share."""
+    body = """with sents as materialized (
+  select * from read_parquet('{g}/gold_sents.parquet')),
+mspans as materialized (
+  select * from read_parquet('{g}/model_spans.parquet')),
+spans_i as materialized (
+  select distinct doc_id, span_idx, field, text from mspans
+),
+span_sents as materialized (
+  select distinct doc_id, span_idx, sent_idx from mspans
+),
+sent_sets as materialized (
+  select doc_id, list_sort(list(distinct span_idx)) as members
+  from span_sents group by doc_id, sent_idx
+),
+sets_u as materialized (
+  select distinct doc_id, members from sent_sets
+),
+cliques as materialized (
+  select doc_id, members,
+         cast(row_number() over (partition by doc_id order by members) as int)
+           as clique_id
+  from sets_u a
+  where not exists (
+    select 1 from sets_u b
+    where b.doc_id = a.doc_id and a.members != b.members
+      and len(list_filter(a.members, x -> not list_contains(b.members, x))) = 0
+  )
+)"""
+    return body + _combination_decode_tail_sql(exact_fields=True)
+
+
+def _gold_canon_ctes() -> str:
+    """Shared CTE block: the pure gold-triples derivation
+    (_docee_triples_gold_sql semantics, from gold_args.parquet) composed
+    with an independent DuckDB re-implementation of stages.canonicalize
+    (minhash = lexicographic min of md5 hex; 8 hashes, 4 bands × 2 rows,
+    2 label-propagation passes). Ends with ``rep2(surface, lsh_rep)``
+    plus ``gtrips`` and ``surfaces(surface, n_mentions, norm)`` in scope
+    — neither the decode path nor stages.canonicalize contributes any
+    code to this chain."""
     gold = _docee_triples_gold_sql().strip()
     # turn the standalone gold-triples statement into a CTE
     final_idx = gold.rindex("select n.doc_id")
@@ -2097,7 +2157,7 @@ mentions as (
   select obj from gtrips where obj is not null
 ),
 surfaces as (
-  select surface,
+  select surface, count(*) as n_mentions,
          case when regexp_matches(surface, '^[\\x00-\\x7f]*$')
               then lower(trim(surface)) else trim(surface) end as norm
   from mentions group by surface
@@ -2126,7 +2186,13 @@ bmin2 as (select band, min(lsh_rep) as band_min
           from membership join rep1 using (surface) group by band),
 rep2 as materialized (
   select surface, min(band_min) as lsh_rep
-  from membership join bmin2 using (band) group by surface)
+  from membership join bmin2 using (band) group by surface)"""
+
+
+def _docee_edges_sql() -> str:
+    """Fully independent oracle for the KG edge table: the shared
+    gold-derivation + canonicalizer CTE block, projected as edges."""
+    return f"""{_gold_canon_ctes()}
 select rs.lsh_rep as src, t.pred, ro.lsh_rep as dst, t.doc_id, t.event_type
 from gtrips t
 join rep2 rs on rs.surface = t.subj
@@ -2230,54 +2296,11 @@ from m
 
 
 def _docee_vertices_sql() -> str:
-    """Independent DuckDB re-implementation of stages.canonicalize
-    (minhash = lexicographic min of md5 hex; 8 hashes, 4 bands × 2 rows,
-    2 label-propagation passes) over the golden gold-mode triples."""
-    m_cols = ",\n    ".join(
-        f"list_min(list_transform(shingles, s -> md5('{i}|' || s))) as m{i}"
-        for i in range(8)
-    )
-    bands = "\n  union all ".join(
-        f"select surface, '{b}:' || m{2 * b} || ':' || m{2 * b + 1} as band from sig"
-        for b in range(4)
-    )
-    return f"""
-with trips as (select subj, obj from read_parquet('{{g}}/triples_gold.parquet')),
-mentions as (
-  select subj as surface from trips where subj is not null
-  union all
-  select obj from trips where obj is not null
-),
-surfaces as (
-  select surface, count(*) as n_mentions,
-         case when regexp_matches(surface, '^[\\x00-\\x7f]*$')
-              then lower(trim(surface)) else trim(surface) end as norm
-  from mentions group by surface
-),
-sh as (
-  select surface, norm,
-         list_distinct(list_transform(
-             range(1, len(rpad(norm, 3, '_')) - 1),
-             i -> substring(rpad(norm, 3, '_'), cast(i as int), 3))) as shingles
-  from surfaces
-),
-sig as (
-  select surface, norm,
-    {m_cols}
-  from sh
-),
-membership as (
-  {bands}
-),
-rep0 as (select surface, norm as lsh_rep from sig),
-bmin1 as (select band, min(lsh_rep) as band_min
-          from membership join rep0 using (surface) group by band),
-rep1 as (select surface, min(band_min) as lsh_rep
-         from membership join bmin1 using (band) group by surface),
-bmin2 as (select band, min(lsh_rep) as band_min
-          from membership join rep1 using (surface) group by band),
-rep2 as (select surface, min(band_min) as lsh_rep
-         from membership join bmin2 using (band) group by surface)
+    """Fully independent oracle for the KG vertex table: the shared
+    gold-derivation + canonicalizer CTE block (pure SQL from
+    gold_args.parquet — no golden triples parquet, no shared code),
+    aggregated to canonical entities."""
+    return f"""{_gold_canon_ctes()}
 select r.lsh_rep as entity_id, min(s.surface) as surface,
        cast(sum(s.n_mentions) as bigint) as n_mentions
 from surfaces s join rep2 r using (surface)
@@ -2529,7 +2552,7 @@ def oracle_sql() -> dict[str, str]:
         "docee_triples_product": _docee_triples_product_sql(),
         "docee_triples_trigger": _docee_triples_trigger_sql(incremental=False),
         "docee_triples_trigger_inc": _docee_triples_trigger_sql(incremental=True),
-        "docee_triples_model": _docee_triples_sql("model"),
+        "docee_triples_model": _docee_triples_model_sql(),
         "docee_triples_model_edag": _docee_triples_sql("model_edag"),
         "docee_triples_scored": _docee_triples_sql("scored"),
         "docee_triples_biaffine": _docee_triples_sql("biaffine"),

@@ -50,10 +50,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="T2 sentence re-arrangement cap (chars)")
     args = p.parse_args(argv)
 
-    from .fixtures import distributed_corpus, heuristic_entity_dict
-    from .session import get_spark
-    from .stages.pipeline import StageStore, run_pipeline
-    from .stages.sinks import write_kg
+    # absolute imports: spark-submit runs this file as a plain __main__
+    # script (no parent package), with `docee_spark` supplied by
+    # --py-files — relative imports would break under that invocation
+    from docee_spark.fixtures import distributed_corpus, heuristic_entity_dict
+    from docee_spark.session import get_spark
+    from docee_spark.stages.pipeline import StageStore, run_pipeline
+    from docee_spark.stages.sinks import write_kg
 
     spark = get_spark("docee_kg")
     if args.input:
@@ -69,12 +72,12 @@ def main(argv: list[str] | None = None) -> int:
 
     model = scorer = None
     if args.tagger_model:
-        from .model.char_tagger import load_tagger
+        from docee_spark.model.char_tagger import load_tagger
 
         model = load_tagger(args.tagger_model)
         entity_dict = None  # the trained tagger replaces the dictionary
     if args.adj_scorer:
-        from .model.adj_scorer import load_scorer
+        from docee_spark.model.adj_scorer import load_scorer
 
         scorer = load_scorer(args.adj_scorer)
 

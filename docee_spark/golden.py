@@ -40,7 +40,7 @@ import pyarrow.parquet as pq
 
 from .config import CHFINANN_EVENT_TYPES, MAX_SENT_LEN, MAX_SENT_NUM, label_index
 
-VERSION = "v9"  # v7: +triples_biaffine; v8: +triples_doc_ctx (M4); v9: +gold_sents (SQL-tagger oracle input)
+VERSION = "v10"  # v9: +gold_sents (SQL-tagger oracle input); v10: +model_spans (SQL-decode oracle input)
 N_DOCS = 120
 SEED = 7
 
@@ -114,15 +114,6 @@ def _decode_spans_records(
         mode=mode, max_paths=1024, exact_fields=exact_fields,
     )
     return _records_from_decoded(decoded, span_texts)
-
-
-def _model_events(sents: list[str], tagger, mode: str = "clique"):
-    """pyref twin of tag_model (M1) + sentence-adjacency decode (model
-    fields are exact role names → exact_fields=True, letting the EDAG
-    expansion run its real per-role branching)."""
-    return _decode_spans_records(
-        sents, tagger.doc_spans(sents), mode, exact_fields=True
-    )
 
 
 def _scored_events(sents: list[str], entity_dict: dict[str, str], scorer):
@@ -381,6 +372,7 @@ def ensure_golden(force: bool = False) -> str:
     web_rows, gold_rows = generate_corpus(N_DOCS, seed=SEED)
     entity_dict = heuristic_entity_dict()
 
+    mspan_tbl = {k: [] for k in ("doc_id", "span_idx", "field", "text", "sent_idx")}
     docs_tbl = {k: [] for k in ("doc_id", "doc_type", "n_sents", "n_spans", "n_events")}
     args_tbl = {k: [] for k in ("doc_id", "recguid", "event_type", "role", "role_idx", "arg")}
     ment_tbl = {k: [] for k in ("doc_id", "arg", "field", "sent_idx", "char_s", "char_e")}
@@ -477,8 +469,25 @@ def ensure_golden(force: bool = False) -> str:
                     doc_id, _heuristic_events(sents, entity_dict, decode_mode)
                 )
             )
+        # model spans: inferred ONCE, decoded for both model modes AND
+        # dumped flat — the model_spans table lets the docee_triples_model
+        # oracle re-derive the entire clique decode in pure SQL, leaving
+        # only the tagger inference itself on a shared code path
+        model_spans = tagger.doc_spans(sents)
+        for sp_idx, sp in enumerate(model_spans):
+            for si in sorted({d["sent_idx"] for d in sp["dranges"]}):
+                mspan_tbl["doc_id"].append(doc_id)
+                mspan_tbl["span_idx"].append(sp_idx)
+                mspan_tbl["field"].append(sp["field"])
+                mspan_tbl["text"].append(sp["text"])
+                mspan_tbl["sent_idx"].append(si)
         triples["model"].extend(
-            _flatten_triples(doc_id, _model_events(sents, tagger))
+            _flatten_triples(
+                doc_id,
+                _decode_spans_records(
+                    sents, model_spans, "clique", exact_fields=True
+                ),
+            )
         )
         triples["scored"].extend(
             _flatten_triples(doc_id, _scored_events(sents, entity_dict, scorer))
@@ -490,7 +499,12 @@ def ensure_golden(force: bool = False) -> str:
             _flatten_triples(doc_id, _biaffine_events(sents, entity_dict, doc_ctx))
         )
         triples["model_edag"].extend(
-            _flatten_triples(doc_id, _model_events(sents, tagger, mode="edag"))
+            _flatten_triples(
+                doc_id,
+                _decode_spans_records(
+                    sents, model_spans, "edag", exact_fields=True
+                ),
+            )
         )
 
     pq.write_table(
@@ -552,6 +566,21 @@ def ensure_golden(force: bool = False) -> str:
             ),
         ),
         os.path.join(GOLDEN_DIR, "gold_sents.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            mspan_tbl,
+            schema=pa.schema(
+                [
+                    ("doc_id", pa.string()),
+                    ("span_idx", pa.int32()),
+                    ("field", pa.string()),
+                    ("text", pa.string()),
+                    ("sent_idx", pa.int32()),
+                ]
+            ),
+        ),
+        os.path.join(GOLDEN_DIR, "model_spans.parquet"),
     )
     pq.write_table(
         pa.table(

@@ -168,6 +168,38 @@ def test_max_cliques_equal_maximal_sentence_sets_on_fixture_corpus():
         assert cliques == maximal, w["url"]
 
 
+def test_max_cliques_equal_maximal_sentence_sets_for_model_spans():
+    """Same identity, re-pinned for the TRAINED tagger's predicted spans
+    — the docee_triples_model oracle enumerates its combinations as
+    maximal-by-subset sentence sets over model_spans.parquet, which is
+    only equal to the pyref BK clique decode when this holds doc-for-doc
+    on the model's own (imperfect, P/R≈0.993) span predictions."""
+    from docee_spark.fixtures import generate_corpus
+    from docee_spark.golden import _segment, ensure_tagger
+    from docee_spark.pyref.graph import max_cliques_bk
+    from docee_spark.stages.decode import _sentence_adjacency
+
+    tagger = ensure_tagger()
+    web, _ = generate_corpus(120, seed=7)
+    for w in web:
+        sents = _segment(w["text"], lang=w["lang"])
+        spans = tagger.doc_spans(sents)
+        if not spans:
+            continue
+        ss = [sorted({d["sent_idx"] for d in s["dranges"]}) for s in spans]
+        adj = _sentence_adjacency(len(spans), ss)
+        cliques = {tuple(sorted(c)) for c in max_cliques_bk(adj, min_num_arg=1)}
+        by_sent = {}
+        for i, sl in enumerate(ss):
+            for si in sl:
+                by_sent.setdefault(si, set()).add(i)
+        sets = list({frozenset(v) for v in by_sent.values()})
+        maximal = {
+            tuple(sorted(a)) for a in sets if not any(a < b for b in sets)
+        }
+        assert cliques == maximal, w["url"]
+
+
 def test_folded_trigger_graph_has_no_triangle_on_fixture_corpus():
     """The independent trigger-mode oracle enumerates trigger cliques as
     mutual PAIRS. Valid iff the folded (mutual-edge) trigger graph has no
