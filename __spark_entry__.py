@@ -1254,13 +1254,6 @@ def _golden_dir() -> str:
     return ensure_golden()
 
 
-def _docee_triples_sql(mode: str) -> str:
-    return f"""
-select doc_id, event_type, recguid, subj, pred, obj
-from read_parquet('{{g}}/triples_{mode}.parquet')
-"""
-
-
 def _docee_triples_gold_sql() -> str:
     """Fully independent oracle for the gold-mode pipeline: derives the
     triples in pure DuckDB SQL from gold_args.parquet (the fixture
@@ -1881,14 +1874,6 @@ clique_cand as materialized (
         record_selects.append(f"select * from {name}_filled")
         flatten_parts.append(_flatten_triples_sql(et, t_order))
 
-    nonnull_all = " + ".join(f"(p{i} is not null)::int" for i in range(maxk))
-    order_tail = ", ".join(f"coalesce(p{i}, -1)" for i in range(maxk))
-    dom_ne = " or ".join(
-        f"b.p{i} is distinct from a.p{i}" for i in range(maxk)
-    )
-    dom_sub = " and ".join(
-        f"(a.p{i} is null or a.p{i} = b.p{i})" for i in range(maxk)
-    )
     p_all = ", ".join(f"p{i}" for i in range(maxk))
     return (
         body + ","
@@ -1906,7 +1891,29 @@ best as materialized (
 cand_recs as materialized (
   select distinct doc_id, type_order, event_type, {p_all}
   from best
-),
+)"""
+        + _dedup_number_flatten_sql(flatten_parts)
+    )
+
+
+def _dedup_number_flatten_sql(flatten_parts: list[str]) -> str:
+    """Shared tail-of-tail: given a ``cand_recs`` (doc_id, type_order,
+    event_type, p0..pk) CTE, applies U3 subset-dedup (dominance
+    anti-join), the deterministic subset-dedup-order recguid numbering,
+    and the per-type triple flattening."""
+    from docee_spark.config import CHFINANN_EVENT_TYPES
+
+    maxk = max(len(et.fields) for et in CHFINANN_EVENT_TYPES)
+    nonnull_all = " + ".join(f"(p{i} is not null)::int" for i in range(maxk))
+    order_tail = ", ".join(f"coalesce(p{i}, -1)" for i in range(maxk))
+    dom_ne = " or ".join(
+        f"b.p{i} is distinct from a.p{i}" for i in range(maxk)
+    )
+    dom_sub = " and ".join(
+        f"(a.p{i} is null or a.p{i} = b.p{i})" for i in range(maxk)
+    )
+    return (
+        f""",
 kept as materialized (
   select * from cand_recs a
   where not exists (
@@ -2093,16 +2100,7 @@ def _docee_triples_model_sql() -> str:
     flat by golden.py from the single-process pyref twin). Only the
     tagger inference itself remains on a shared code path; everything
     downstream is verified by code the engine does not share."""
-    body = """with sents as materialized (
-  select * from read_parquet('{g}/gold_sents.parquet')),
-mspans as materialized (
-  select * from read_parquet('{g}/model_spans.parquet')),
-spans_i as materialized (
-  select distinct doc_id, span_idx, field, text from mspans
-),
-span_sents as materialized (
-  select distinct doc_id, span_idx, sent_idx from mspans
-),
+    body = _MODEL_SPAN_PROLOGUE + """,
 sent_sets as materialized (
   select doc_id, list_sort(list(distinct span_idx)) as members
   from span_sents group by doc_id, sent_idx
@@ -2122,6 +2120,181 @@ cliques as materialized (
   )
 )"""
     return body + _combination_decode_tail_sql(exact_fields=True)
+
+
+_MODEL_SPAN_PROLOGUE = """with sents as materialized (
+  select * from read_parquet('{g}/gold_sents.parquet')),
+mspans as materialized (
+  select * from read_parquet('{g}/model_spans.parquet')),
+spans_i as materialized (
+  select distinct doc_id, span_idx, field, text from mspans
+),
+span_sents as materialized (
+  select distinct doc_id, span_idx, sent_idx from mspans
+)"""
+
+
+def _docee_triples_model_edag_sql() -> str:
+    """Decode-independent oracle for the trained-model EDAG mode (G8,
+    the Doc2EDAG shape): the per-role frontier expansion is UNROLLED into
+    one CTE per role — a path branches on every exact-field candidate
+    that is sentence-adjacent to all previously chosen members, plus the
+    always-taken None branch (exact_fields semantics) — over
+    ``model_spans.parquet``; cue-sentence type gating, min-field gate,
+    subset-dedup, numbering and flattening re-derived relationally.
+    Exact only because the max_paths=1024 cap never fires on this corpus
+    (every frontier ≤ cap at every level — pinned by pytest
+    test_model_edag_cap_never_fires_on_fixture_corpus, making the
+    uncapped SQL expansion identical to the capped pyref decode)."""
+    from docee_spark.config import CHFINANN_EVENT_TYPES
+    from docee_spark.pyref.edag import DEFAULT_TYPE_KEYWORDS
+
+    kw_rows = ",\n      ".join(
+        f"('{et}', '{cue}')"
+        for et, cues in DEFAULT_TYPE_KEYWORDS.items()
+        for cue in cues
+    )
+    body = (
+        _MODEL_SPAN_PROLOGUE
+        + f""",
+nbrs as materialized (
+  -- sentence adjacency as a neighbour list (i ~ j iff they share a
+  -- sentence; self excluded — a path never re-adds a chosen member)
+  select a.doc_id, a.span_idx, list(distinct b.span_idx) as nb
+  from span_sents a
+  join span_sents b on b.doc_id = a.doc_id and b.sent_idx = a.sent_idx
+                   and b.span_idx != a.span_idx
+  group by 1, 2
+),
+span_cue as materialized (
+  -- span is eligible for a type iff one of its sentences cues the type
+  select distinct ss.doc_id, ss.span_idx, kw.event_type
+  from span_sents ss
+  join sents s on s.doc_id = ss.doc_id and s.sent_idx = ss.sent_idx
+  join (values
+      {kw_rows}
+    ) kw(event_type, cue) on contains(s.sentence, kw.cue)
+),
+doc_types as materialized (
+  select distinct doc_id, event_type from span_cue
+)"""
+    )
+
+    type_ctes, record_selects, flatten_parts = [], [], []
+    for t_order, et in enumerate(CHFINANN_EVENT_TYPES):
+        name = et.name
+        assert et.min_field_num >= 1, name  # gate subsumes all-None drop
+        type_ctes.append(
+            f"""
+{name}_cand as materialized (
+  select i.doc_id, i.span_idx, i.field, coalesce(n.nb, []) as nb
+  from spans_i i
+  join span_cue c on c.doc_id = i.doc_id and c.span_idx = i.span_idx
+                 and c.event_type = '{name}'
+  left join nbrs n on n.doc_id = i.doc_id and n.span_idx = i.span_idx
+),
+{name}_e0 as materialized (
+  select doc_id, cast([] as int[]) as chosen
+  from doc_types where event_type = '{name}'
+)"""
+        )
+        prev = f"{name}_e0"
+        for i, role in enumerate(et.fields):
+            pcols = ", ".join(f"p.p{j}" for j in range(i))
+            pcols = (pcols + ", ") if pcols else ""
+            type_ctes.append(
+                f"""
+{name}_e{i + 1} as materialized (
+  select p.doc_id, list_append(p.chosen, c.span_idx) as chosen,
+         {pcols}c.span_idx as p{i}
+  from {prev} p
+  join {name}_cand c on c.doc_id = p.doc_id and c.field = '{role}'
+   and not list_contains(p.chosen, c.span_idx)
+   and len(list_filter(p.chosen, s -> not list_contains(c.nb, s))) = 0
+  union all by name
+  select p.doc_id, p.chosen, {pcols}cast(null as int) as p{i}
+  from {prev} p
+)"""
+            )
+            prev = f"{name}_e{i + 1}"
+        k = len(et.fields)
+        nonnull = " + ".join(f"(p{i} is not null)::int" for i in range(k))
+        pcols_f = ", ".join(f"p{i}" for i in range(k))
+        type_ctes.append(
+            f"""
+{name}_filled as materialized (
+  select distinct doc_id, {t_order} as type_order,
+         '{name}' as event_type, {pcols_f}
+  from {prev}
+  where {nonnull} >= {et.min_field_num}
+)"""
+        )
+        record_selects.append(f"select * from {name}_filled")
+        flatten_parts.append(_flatten_triples_sql(et, t_order))
+
+    return (
+        body + ","
+        + ",".join(type_ctes)
+        + ",\ncand_recs as materialized (\n"
+        + "\nunion all by name ".join(record_selects)
+        + "\n)"
+        + _dedup_number_flatten_sql(flatten_parts)
+    )
+
+
+def _docee_triples_matrix_sql(adj_table: str) -> str:
+    """Decode-independent oracle for the scored-adjacency CLIQUE modes
+    (M6 pair scorer / M7 biaffine / M4 doc-context): the heuristic tagger
+    is re-derived in SQL (_heuristic_tagger_ctes, span-for-span order
+    parity pinned), the trained scorer's thresholded adjacency comes from
+    the dumped ``adj_{mode}.parquet``, and maximal cliques are enumerated
+    by a RECURSIVE CTE — each clique grown in canonical ascending-vertex
+    order (so every clique is generated exactly once), kept iff no
+    outside vertex is adjacent to all members. Fully general (no
+    corpus-pinned identity needed); only the scorer inference itself
+    shares code with the engine. Typing/filling/dedup tail shared."""
+    body = _heuristic_tagger_ctes(with_sentence_index=True)
+    body += f""",
+adj_e as materialized (
+  select doc_id, i, j from read_parquet('{{g}}/{adj_table}')
+),
+nb as materialized (
+  -- neighbour lists exactly as pyref.graph.neighbours reads the matrix
+  select doc_id, i as span_idx, list(j) as nbl
+  from adj_e group by 1, 2
+),
+verts as materialized (
+  select s.doc_id, s.span_idx, coalesce(n.nbl, []) as nbl
+  from spans_i s
+  left join nb n on n.doc_id = s.doc_id and n.span_idx = s.span_idx
+),
+cliq as materialized (
+  with recursive grow as (
+    select doc_id, [span_idx] as members, span_idx as last
+    from verts
+    union all
+    select g.doc_id, list_append(g.members, v.span_idx), v.span_idx
+    from grow g
+    join verts v on v.doc_id = g.doc_id and v.span_idx > g.last
+     and len(list_filter(g.members,
+                         m -> not list_contains(v.nbl, m))) = 0
+  )
+  select doc_id, members from grow
+),
+cliques as materialized (
+  select doc_id, members,
+         cast(row_number() over (partition by doc_id order by members) as int)
+           as clique_id
+  from cliq c
+  where not exists (
+    select 1 from verts v
+    where v.doc_id = c.doc_id
+      and not list_contains(c.members, v.span_idx)
+      and len(list_filter(c.members,
+                          m -> not list_contains(v.nbl, m))) = 0
+  )
+)"""
+    return body + _combination_decode_tail_sql()
 
 
 def _gold_canon_ctes() -> str:
@@ -2553,10 +2726,10 @@ def oracle_sql() -> dict[str, str]:
         "docee_triples_trigger": _docee_triples_trigger_sql(incremental=False),
         "docee_triples_trigger_inc": _docee_triples_trigger_sql(incremental=True),
         "docee_triples_model": _docee_triples_model_sql(),
-        "docee_triples_model_edag": _docee_triples_sql("model_edag"),
-        "docee_triples_scored": _docee_triples_sql("scored"),
-        "docee_triples_biaffine": _docee_triples_sql("biaffine"),
-        "docee_triples_doc_ctx": _docee_triples_sql("doc_ctx"),
+        "docee_triples_model_edag": _docee_triples_model_edag_sql(),
+        "docee_triples_scored": _docee_triples_matrix_sql("adj_scored.parquet"),
+        "docee_triples_biaffine": _docee_triples_matrix_sql("adj_biaffine.parquet"),
+        "docee_triples_doc_ctx": _docee_triples_matrix_sql("adj_doc_ctx.parquet"),
         "docee_git_edges": _docee_git_edges_sql(),
         "docee_vertices": _docee_vertices_sql(),
         "docee_edges": _docee_edges_sql(),

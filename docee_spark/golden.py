@@ -40,7 +40,7 @@ import pyarrow.parquet as pq
 
 from .config import CHFINANN_EVENT_TYPES, MAX_SENT_LEN, MAX_SENT_NUM, label_index
 
-VERSION = "v10"  # v9: +gold_sents (SQL-tagger oracle input); v10: +model_spans (SQL-decode oracle input)
+VERSION = "v11"  # v10: +model_spans (SQL-decode oracle input); v11: +adj_* scorer adjacencies
 N_DOCS = 120
 SEED = 7
 
@@ -116,41 +116,24 @@ def _decode_spans_records(
     return _records_from_decoded(decoded, span_texts)
 
 
-def _scored_events(sents: list[str], entity_dict: dict[str, str], scorer):
-    """pyref twin of tag_heuristic + score_adjacency (M6) +
-    decode(adjacency='matrix', mode='clique')."""
-    from .pyref.edag import decode_doc
+def _heuristic_spans(sents: list[str], entity_dict: dict[str, str]):
+    """Shared head of the no-gold paths: the dictionary+regex tagger."""
     from .stages.tag import _find_dict_spans, _merge_regex_spans
 
     spans, taken = _find_dict_spans(sents, entity_dict)
-    spans = _merge_regex_spans(sents, spans, taken)
+    return _merge_regex_spans(sents, spans, taken)
+
+
+def _matrix_events(sents: list[str], spans: list[dict], adj):
+    """Clique decode over a scored adjacency MATRIX (the
+    adjacency='matrix' slot shared by M6/M7/M4 scorers)."""
+    from .pyref.edag import decode_doc
+
     if not spans:
         return []
     span_texts = [s["text"] for s in spans]
     span_fields = [s["field"] for s in spans]
     span_sents = [sorted({d["sent_idx"] for d in s["dranges"]}) for s in spans]
-    adj = scorer.score_doc(span_fields, span_sents)
-    decoded = decode_doc(
-        sents, span_fields, span_sents, adj, _EVENT_FIELDS, _MIN_FIELDS,
-        mode="clique", max_paths=1024, exact_fields=False,
-    )
-    return _records_from_decoded(decoded, span_texts)
-
-
-def _biaffine_events(sents: list[str], entity_dict: dict[str, str], scorer):
-    """pyref twin of tag_heuristic + score_adjacency (M7 biaffine over
-    AWA-pooled span embeddings, M3) + decode(adjacency='matrix')."""
-    from .pyref.edag import decode_doc
-    from .stages.tag import _find_dict_spans, _merge_regex_spans
-
-    spans, taken = _find_dict_spans(sents, entity_dict)
-    spans = _merge_regex_spans(sents, spans, taken)
-    if not spans:
-        return []
-    span_texts = [s["text"] for s in spans]
-    span_fields = [s["field"] for s in spans]
-    span_sents = [sorted({d["sent_idx"] for d in s["dranges"]}) for s in spans]
-    adj = scorer.score_doc(sents, spans)
     decoded = decode_doc(
         sents, span_fields, span_sents, adj, _EVENT_FIELDS, _MIN_FIELDS,
         mode="clique", max_paths=1024, exact_fields=False,
@@ -373,6 +356,10 @@ def ensure_golden(force: bool = False) -> str:
     entity_dict = heuristic_entity_dict()
 
     mspan_tbl = {k: [] for k in ("doc_id", "span_idx", "field", "text", "sent_idx")}
+    adj_tbl = {
+        m: {k: [] for k in ("doc_id", "i", "j")}
+        for m in ("scored", "biaffine", "doc_ctx")
+    }
     docs_tbl = {k: [] for k in ("doc_id", "doc_type", "n_sents", "n_spans", "n_events")}
     args_tbl = {k: [] for k in ("doc_id", "recguid", "event_type", "role", "role_idx", "arg")}
     ment_tbl = {k: [] for k in ("doc_id", "arg", "field", "sent_idx", "char_s", "char_e")}
@@ -489,15 +476,35 @@ def ensure_golden(force: bool = False) -> str:
                 ),
             )
         )
-        triples["scored"].extend(
-            _flatten_triples(doc_id, _scored_events(sents, entity_dict, scorer))
-        )
-        triples["biaffine"].extend(
-            _flatten_triples(doc_id, _biaffine_events(sents, entity_dict, biaffine))
-        )
-        triples["doc_ctx"].extend(
-            _flatten_triples(doc_id, _biaffine_events(sents, entity_dict, doc_ctx))
-        )
+        # scored-matrix modes: heuristic spans tagged ONCE, each trained
+        # scorer's thresholded adjacency dumped flat — the adj_* tables
+        # let the docee_triples_{scored,biaffine,doc_ctx} oracles
+        # re-derive the entire maximal-clique decode in pure SQL
+        # (recursive-CTE clique enumeration), leaving only the scorer
+        # inference itself on a shared code path
+        h_spans = _heuristic_spans(sents, entity_dict)
+        if h_spans:
+            h_fields = [s["field"] for s in h_spans]
+            h_sents = [
+                sorted({d["sent_idx"] for d in s["dranges"]}) for s in h_spans
+            ]
+            scorer_adjs = {
+                "scored": scorer.score_doc(h_fields, h_sents),
+                "biaffine": biaffine.score_doc(sents, h_spans),
+                "doc_ctx": doc_ctx.score_doc(sents, h_spans),
+            }
+        else:
+            scorer_adjs = {"scored": [], "biaffine": [], "doc_ctx": []}
+        for mode_name, adj in scorer_adjs.items():
+            for i, row in enumerate(adj):
+                for j, v in enumerate(row):
+                    if v == 1 and i != j:
+                        adj_tbl[mode_name]["doc_id"].append(doc_id)
+                        adj_tbl[mode_name]["i"].append(i)
+                        adj_tbl[mode_name]["j"].append(j)
+            triples[mode_name].extend(
+                _flatten_triples(doc_id, _matrix_events(sents, h_spans, adj))
+            )
         triples["model_edag"].extend(
             _flatten_triples(
                 doc_id,
@@ -582,6 +589,20 @@ def ensure_golden(force: bool = False) -> str:
         ),
         os.path.join(GOLDEN_DIR, "model_spans.parquet"),
     )
+    for mode_name, tbl in adj_tbl.items():
+        pq.write_table(
+            pa.table(
+                tbl,
+                schema=pa.schema(
+                    [
+                        ("doc_id", pa.string()),
+                        ("i", pa.int32()),
+                        ("j", pa.int32()),
+                    ]
+                ),
+            ),
+            os.path.join(GOLDEN_DIR, f"adj_{mode_name}.parquet"),
+        )
     pq.write_table(
         pa.table(
             eval_tbl,

@@ -145,7 +145,12 @@ class TestBiaffineScorer:
         """Pipeline with adj_scorer=biaffine == the pyref twin
         (_biaffine_events) doc for doc."""
         from docee_spark.fixtures import heuristic_entity_dict
-        from docee_spark.golden import _biaffine_events, _segment, ensure_biaffine
+        from docee_spark.golden import (
+            _heuristic_spans,
+            _matrix_events,
+            _segment,
+            ensure_biaffine,
+        )
         from docee_spark.stages.pipeline import run_pipeline
 
         sc = ensure_biaffine()
@@ -163,9 +168,11 @@ class TestBiaffineScorer:
         checked = 0
         for w in web_rows:
             sents = _segment(w["text"], lang=w["lang"])
+            spans = _heuristic_spans(sents, ed)
+            adj = sc.score_doc(sents, spans) if spans else []
             want = {
                 (e["type"], tuple(sorted((k, v) for k, v in e["args"].items() if v)))
-                for e in _biaffine_events(sents, ed, sc)
+                for e in _matrix_events(sents, spans, adj)
             }
             if w["url"] in got:
                 assert got[w["url"]] == want, w["url"]

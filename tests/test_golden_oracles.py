@@ -200,6 +200,35 @@ def test_max_cliques_equal_maximal_sentence_sets_for_model_spans():
         assert cliques == maximal, w["url"]
 
 
+def test_model_edag_cap_never_fires_on_fixture_corpus():
+    """The docee_triples_model_edag oracle unrolls the EDAG frontier
+    expansion WITHOUT the max_paths cap — exact only while the capped
+    pyref decode never prunes on this corpus. Pinned doc-for-doc: zero
+    pruned paths at max_paths=1024 across every fixture document."""
+    import docee_spark.golden as G
+    from docee_spark.fixtures import generate_corpus
+    from docee_spark.golden import _segment, ensure_tagger
+    from docee_spark.pyref.edag import decode_doc
+    from docee_spark.stages.decode import _sentence_adjacency
+
+    tagger = ensure_tagger()
+    web, _ = generate_corpus(120, seed=7)
+    for w in web:
+        sents = _segment(w["text"], lang=w["lang"])
+        spans = tagger.doc_spans(sents)
+        if not spans:
+            continue
+        ss = [sorted({d["sent_idx"] for d in s["dranges"]}) for s in spans]
+        adj = _sentence_adjacency(len(spans), ss)
+        stats: dict[str, int] = {}
+        decode_doc(
+            sents, [s["field"] for s in spans], ss, adj,
+            G._EVENT_FIELDS, G._MIN_FIELDS,
+            mode="edag", max_paths=1024, exact_fields=True, stats=stats,
+        )
+        assert stats.get("n_paths_pruned", 0) == 0, w["url"]
+
+
 def test_folded_trigger_graph_has_no_triangle_on_fixture_corpus():
     """The independent trigger-mode oracle enumerates trigger cliques as
     mutual PAIRS. Valid iff the folded (mutual-edge) trigger graph has no
