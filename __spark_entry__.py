@@ -796,6 +796,22 @@ def q_docee_triples_doc_ctx(spark, sf):
     )["triples"]
 
 
+def q_docee_triples_git_rgcn(spark, sf):
+    """G10 model path: biaffine pair scoring over span embeddings
+    enriched by one trained relational graph-convolution layer on the
+    GIT-typed document graph (model/rgcn.py — the torch-free analog of
+    GIT's RGCN, git.py:1003+), all parameters jointly trained."""
+    from docee_spark.fixtures import heuristic_entity_dict
+    from docee_spark.golden import ensure_git_rgcn
+    from docee_spark.stages.pipeline import run_pipeline
+
+    web, _ = _fixture_webtext_and_gold(spark)
+    return run_pipeline(
+        web, entity_dict=heuristic_entity_dict(), mode="clique",
+        adj_scorer=ensure_git_rgcn(),
+    )["triples"]
+
+
 def q_docee_git_edges(spark, sf):
     """G10 — GIT heterogeneous document-graph edges (git.py:930-989) over
     the gold-tagged fixture corpus: sentence + mention nodes, typed
@@ -975,6 +991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docee_triples_scored": q_docee_triples_scored,
         "docee_triples_biaffine": q_docee_triples_biaffine,
         "docee_triples_doc_ctx": q_docee_triples_doc_ctx,
+        "docee_triples_git_rgcn": q_docee_triples_git_rgcn,
         "docee_git_edges": q_docee_git_edges,
         "docee_vertices": q_docee_vertices,
         "docee_edges": q_docee_edges,
@@ -2730,6 +2747,7 @@ def oracle_sql() -> dict[str, str]:
         "docee_triples_scored": _docee_triples_matrix_sql("adj_scored.parquet"),
         "docee_triples_biaffine": _docee_triples_matrix_sql("adj_biaffine.parquet"),
         "docee_triples_doc_ctx": _docee_triples_matrix_sql("adj_doc_ctx.parquet"),
+        "docee_triples_git_rgcn": _docee_triples_matrix_sql("adj_git_rgcn.parquet"),
         "docee_git_edges": _docee_git_edges_sql(),
         "docee_vertices": _docee_vertices_sql(),
         "docee_edges": _docee_edges_sql(),

@@ -40,7 +40,7 @@ import pyarrow.parquet as pq
 
 from .config import CHFINANN_EVENT_TYPES, MAX_SENT_LEN, MAX_SENT_NUM, label_index
 
-VERSION = "v11"  # v10: +model_spans (SQL-decode oracle input); v11: +adj_* scorer adjacencies
+VERSION = "v12"  # v11: +adj_* scorer adjacencies; v12: +git_rgcn (G10 scorer mode)
 N_DOCS = 120
 SEED = 7
 
@@ -265,6 +265,9 @@ BIAFFINE_TRAIN_SEED = 8765
 DOC_CTX_PATH = os.path.join(GOLDEN_DIR, "doc_ctx_scorer.npz")
 DOC_CTX_TRAIN_DOCS = 200
 DOC_CTX_TRAIN_SEED = 5432
+GIT_RGCN_PATH = os.path.join(GOLDEN_DIR, "git_rgcn_scorer.npz")
+GIT_RGCN_TRAIN_DOCS = 200
+GIT_RGCN_TRAIN_SEED = 3141
 
 
 def ensure_scorer(force: bool = False):
@@ -340,6 +343,32 @@ def ensure_doc_ctx(force: bool = False):
     return scorer
 
 
+def ensure_git_rgcn(force: bool = False):
+    """Train-or-load the G10 GIT-RGCN scorer: biaffine pair scoring over
+    span embeddings enriched by one relational graph-convolution layer on
+    the GIT-typed document graph (model/rgcn.py) — all parameters trained
+    jointly on gold adjacencies from a disjoint-seed stream."""
+    from .model.rgcn import GitRgcnScorer, train_git_rgcn_scorer
+
+    if not force and os.path.exists(GIT_RGCN_PATH):
+        import numpy as np
+
+        with np.load(GIT_RGCN_PATH, allow_pickle=False) as z:
+            return GitRgcnScorer.from_arrays(dict(z.items()))
+    from .fixtures import make_doc_indexed
+
+    train_docs = [
+        make_doc_indexed(i, seed=GIT_RGCN_TRAIN_SEED)[1]
+        for i in range(GIT_RGCN_TRAIN_DOCS)
+    ]
+    scorer = train_git_rgcn_scorer(train_docs, ensure_tagger())
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    from .model.biaffine_scorer import save_biaffine
+
+    save_biaffine(scorer, GIT_RGCN_PATH)
+    return scorer
+
+
 def ensure_golden(force: bool = False) -> str:
     """Generate the golden tables if missing/stale; return the directory."""
     manifest_path = os.path.join(GOLDEN_DIR, "manifest.json")
@@ -358,7 +387,7 @@ def ensure_golden(force: bool = False) -> str:
     mspan_tbl = {k: [] for k in ("doc_id", "span_idx", "field", "text", "sent_idx")}
     adj_tbl = {
         m: {k: [] for k in ("doc_id", "i", "j")}
-        for m in ("scored", "biaffine", "doc_ctx")
+        for m in ("scored", "biaffine", "doc_ctx", "git_rgcn")
     }
     docs_tbl = {k: [] for k in ("doc_id", "doc_type", "n_sents", "n_spans", "n_events")}
     args_tbl = {k: [] for k in ("doc_id", "recguid", "event_type", "role", "role_idx", "arg")}
@@ -376,6 +405,7 @@ def ensure_golden(force: bool = False) -> str:
         name: []
         for name in (
             "gold", "model", "model_edag", "scored", "biaffine", "doc_ctx",
+            "git_rgcn",
             *heuristic_modes
         )
     }
@@ -383,6 +413,7 @@ def ensure_golden(force: bool = False) -> str:
     scorer = ensure_scorer()
     biaffine = ensure_biaffine()
     doc_ctx = ensure_doc_ctx()
+    git_rgcn = ensure_git_rgcn()
 
     for web, g in zip(web_rows, gold_rows):
         doc_id = g["guid"]
@@ -492,9 +523,12 @@ def ensure_golden(force: bool = False) -> str:
                 "scored": scorer.score_doc(h_fields, h_sents),
                 "biaffine": biaffine.score_doc(sents, h_spans),
                 "doc_ctx": doc_ctx.score_doc(sents, h_spans),
+                "git_rgcn": git_rgcn.score_doc(sents, h_spans),
             }
         else:
-            scorer_adjs = {"scored": [], "biaffine": [], "doc_ctx": []}
+            scorer_adjs = {
+                m: [] for m in ("scored", "biaffine", "doc_ctx", "git_rgcn")
+            }
         for mode_name, adj in scorer_adjs.items():
             for i, row in enumerate(adj):
                 for j, v in enumerate(row):

@@ -77,7 +77,11 @@ def score_adjacency(tagged: DataFrame, scorer) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         arr = bc.value  # once per worker
-        if "ctx_Wq" in arr:  # doc-context (M4) variant
+        if "rgcn_Wss" in arr:  # GIT RGCN (G10) variant
+            from ..model.rgcn import GitRgcnScorer
+
+            sc = GitRgcnScorer.from_arrays(arr)
+        elif "ctx_Wq" in arr:  # doc-context (M4) variant
             from ..model.biaffine_scorer import DocCtxBiaffineScorer
 
             sc = DocCtxBiaffineScorer.from_arrays(arr)
