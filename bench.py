@@ -55,6 +55,25 @@ def _force(df) -> int:
     return 0
 
 
+def host_health_probe() -> float:
+    """Deterministic single-thread CPU probe (seconds; lower = healthier).
+
+    This sandbox host shows bimodal hypervisor throttling: identical
+    code varies 2-5× between windows (see BENCH.md). Recording a fixed
+    numpy workload alongside every bench run lets a reader normalize a
+    record for host health — an idle healthy window measures ~0.1-0.4 s;
+    a throttled window inflates this proportionally to the query times."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(512, 512))
+    b = rng.normal(size=(512, 512))
+    t0 = time.perf_counter()
+    for _ in range(30):
+        a = np.tanh(a @ b * 1e-3)
+    return round(time.perf_counter() - t0, 3)
+
+
 def run_bench(cpus: int = CPUS, sf_dir: str = SF_DIR) -> dict:
     os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
     import __spark_entry__ as em
@@ -74,6 +93,7 @@ def run_bench(cpus: int = CPUS, sf_dir: str = SF_DIR) -> dict:
         },
     )
 
+    health_start = host_health_probe()
     qtimes: dict[str, float] = {}
     qs = em.queries()
 
@@ -175,6 +195,10 @@ def run_bench(cpus: int = CPUS, sf_dir: str = SF_DIR) -> dict:
         "pipeline_docs": PIPELINE_DOCS,
         "pipeline_passes": pipeline_passes,
         "model_pipeline_docs_per_sec": model_docs_per_sec,
+        # single-thread CPU probe at start/end (seconds; ~0.1-0.4 s
+        # healthy-idle; inflated proportionally in a hypervisor-throttle
+        # window — use to normalize this record for host health)
+        "host_health_sec": [health_start, host_health_probe()],
     }
 
 

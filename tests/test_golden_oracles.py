@@ -4,7 +4,7 @@ their DuckDB oracles bit-for-bit (the driver's CORRECTNESS gate).
 Covers one query per oracle family: a decoder hash-compare
 (triples_heuristic), an independent SQL re-implementation
 (vertices = canonicalize), and a relational job (key_sentences).
-The full 51-query sweep lives in tools/check_oracles.py.
+The full 53-query sweep lives in tools/check_oracles.py.
 """
 
 from __future__ import annotations
