@@ -2268,8 +2268,11 @@ def _docee_triples_matrix_sql(adj_table: str) -> str:
     by a RECURSIVE CTE — each clique grown in canonical ascending-vertex
     order (so every clique is generated exactly once), kept iff no
     outside vertex is adjacent to all members. Fully general (no
-    corpus-pinned identity needed); only the scorer inference itself
-    shares code with the engine. Typing/filling/dedup tail shared."""
+    corpus-pinned identity needed — every scorer emits a SYMMETRIC
+    matrix by construction, adj[i][j]=adj[j][i] on threshold, so
+    maximal-clique semantics are well-defined); only the scorer
+    inference itself shares code with the engine. Typing/filling/dedup
+    tail shared."""
     body = _heuristic_tagger_ctes(with_sentence_index=True)
     body += f""",
 adj_e as materialized (
