@@ -1369,10 +1369,14 @@ mm_intra as (
   join docs d on d.doc_id = a.doc_id
 ),
 mm_inter as (
+  -- same-entity INTER-sentence only (git.py:985-988): without the
+  -- sent_idx filter a span with two mentions in one sentence would emit
+  -- the same edge row here AND in mm_intra
   select a.doc_id, 'm-m' as edge_type,
          cast(d.n_sents + a.mid as int) as src, cast(d.n_sents + b.mid as int) as dst
   from ment a
-  join ment b on a.doc_id = b.doc_id and a.span_idx = b.span_idx and a.mid != b.mid
+  join ment b on a.doc_id = b.doc_id and a.span_idx = b.span_idx
+             and a.sent_idx != b.sent_idx and a.mid != b.mid
   join docs d on d.doc_id = a.doc_id
 )
 select * from ss
@@ -2941,9 +2945,10 @@ select 'img' || lpad(cast(i as varchar), 5, '0') as media_id,
        cast(sum_b as bigint) as sum_b
 from sums
 """,
-        # docee_* oracles are merged in from the golden-fixture block above:
-        # relational jobs (and the gold-mode pipeline) get independent
-        # DuckDB SQL over exploded gold tables; the remaining per-document
-        # decoder modes hash-compare against golden triples parquet
-        # produced by the pure-Python (pyref) path.
+        # docee_* oracles are merged in from the golden-fixture block
+        # above: EVERY one is an independent SQL derivation — relational
+        # jobs and the heuristic/gold decode chains from exploded gold
+        # tables, the model modes from dumped model_spans/adj_* inputs
+        # (recursive-CTE cliques, unrolled EDAG) — sharing no decode code
+        # with the engine.
     }

@@ -10,15 +10,19 @@ flattened to plain relational parquet tables that DuckDB can query:
                    order); arg NULL when the role is unfilled
   * gold_mentions  (doc_id, arg, field, sent_idx, char_s, char_e)
                    — one row per gold span drange
-  * triples_gold / triples_heuristic / triples_greedy / triples_dcfee
-                   (doc_id, event_type, recguid, subj, pred, obj)
-                   — the expected pipeline output per decode mode,
-                   computed by the pure-Python reference path (pyref):
-                   segment → tag → adjacency → decode → flatten, i.e. the
-                   same semantics the Spark stages implement, executed
-                   outside Spark. A hash match therefore verifies the
-                   whole distributed plumbing (JVM segmentation parity,
-                   Arrow round-trips, joins, catalog-order flattening).
+  * gold_sents     (doc_id, sent_idx, sentence) — the raw sentences the
+                   SQL-tagger oracles re-tag from scratch
+  * model_spans    (doc_id, span_idx, field, text, sent_idx) — the M1
+                   tagger's span predictions (single-process pyref twin);
+                   the model-mode oracles re-derive the ENTIRE decode in
+                   SQL from this table
+  * adj_*          (doc_id, i, j) — each trained scorer's thresholded
+                   adjacency; the scored-mode oracles enumerate maximal
+                   cliques over it in SQL
+
+Every docee_* oracle is an independent SQL derivation over these flat
+inputs — no golden decode OUTPUT is stored; only model/scorer inference
+itself remains on a shared code path (its spec IS the trained weights).
 
 Generation is idempotent: a manifest records (version, n_docs, seed) and
 matching tables are not rewritten. Files are also committed to git so the
@@ -50,9 +54,6 @@ GOLDEN_DIR = os.path.join(
 
 _EVENT_FIELDS = {et.name: list(et.fields) for et in CHFINANN_EVENT_TYPES}
 _MIN_FIELDS = {et.name: et.min_field_num for et in CHFINANN_EVENT_TYPES}
-_SUBJ_ORDER = {
-    et.name: list(et.key_fields) + list(et.fields) for et in CHFINANN_EVENT_TYPES
-}
 
 
 def _segment(text: str, lang: str = "zh") -> list[str]:
@@ -75,45 +76,6 @@ def _records_from_decoded(decoded, span_texts) -> list[dict]:
             recs.append({"recguid": recguid, "type": et, "args": args})
             recguid += 1
     return recs
-
-
-def _flatten_triples(doc_id: str, events: list[dict]) -> list[tuple]:
-    """pyref twin of stages.triples: subj = first non-null argument in
-    (key_fields + fields) order; one row per non-null arg in field order."""
-    rows = []
-    for ev in events:
-        et, args = ev["type"], ev["args"]
-        subj = next(
-            (args[f] for f in _SUBJ_ORDER[et] if args.get(f) is not None), None
-        )
-        for role in _EVENT_FIELDS[et]:
-            obj = args.get(role)
-            if obj is not None:
-                rows.append(
-                    (doc_id, et, ev["recguid"], subj, f"{et}#{role}", obj)
-                )
-    return rows
-
-
-def _decode_spans_records(
-    sents: list[str], spans: list[dict], mode: str, exact_fields: bool = False
-):
-    """Shared tail of the no-gold paths: spans → sentence adjacency →
-    decode → catalog-ordered records (the stages.decode construction)."""
-    from .pyref.edag import decode_doc
-    from .stages.decode import _sentence_adjacency
-
-    if not spans:
-        return []
-    span_texts = [s["text"] for s in spans]
-    span_fields = [s["field"] for s in spans]
-    span_sents = [sorted({d["sent_idx"] for d in s["dranges"]}) for s in spans]
-    adj = _sentence_adjacency(len(spans), span_sents)
-    decoded = decode_doc(
-        sents, span_fields, span_sents, adj, _EVENT_FIELDS, _MIN_FIELDS,
-        mode=mode, max_paths=1024, exact_fields=exact_fields,
-    )
-    return _records_from_decoded(decoded, span_texts)
 
 
 def _heuristic_spans(sents: list[str], entity_dict: dict[str, str]):
@@ -202,29 +164,6 @@ def _gold_mode_events(sents: list[str], gold_spans: list[dict], gold_events):
         mode="clique", max_paths=1024, exact_fields=True,
     )
     return _records_from_decoded(decoded, span_texts)
-
-
-_TRIPLES_SCHEMA = pa.schema(
-    [
-        ("doc_id", pa.string()),
-        ("event_type", pa.string()),
-        ("recguid", pa.int32()),
-        ("subj", pa.string()),
-        ("pred", pa.string()),
-        ("obj", pa.string()),
-    ]
-)
-
-
-def _write_triples(path: str, rows: list[tuple]) -> None:
-    cols = list(zip(*rows)) if rows else [[], [], [], [], [], []]
-    pq.write_table(
-        pa.table(
-            {n: list(c) for n, c in zip(_TRIPLES_SCHEMA.names, cols)},
-            schema=_TRIPLES_SCHEMA,
-        ),
-        path,
-    )
 
 
 #: the trained M1 tagger artifact (committed; retrained only if missing —
@@ -394,21 +333,6 @@ def ensure_golden(force: bool = False) -> str:
     ment_tbl = {k: [] for k in ("doc_id", "arg", "field", "sent_idx", "char_s", "char_e")}
     sent_tbl = {k: [] for k in ("doc_id", "sent_idx", "sentence")}
     eval_tbl = {k: [] for k in ("doc_id", "doc_type", "event_type", "role", "tp", "fp", "fn")}
-    heuristic_modes = {
-        "heuristic": "clique",
-        "greedy": "greedy",
-        "dcfee": "dcfee",
-        "trigger": "trigger",
-        "trigger_inc": "trigger_incremental",
-    }
-    triples = {
-        name: []
-        for name in (
-            "gold", "model", "model_edag", "scored", "biaffine", "doc_ctx",
-            "git_rgcn",
-            *heuristic_modes
-        )
-    }
     tagger = ensure_tagger()
     scorer = ensure_scorer()
     biaffine = ensure_biaffine()
@@ -453,7 +377,6 @@ def ensure_golden(force: bool = False) -> str:
 
         sents = _segment(web["text"], lang=web["lang"])
         gold_mode = _gold_mode_events(sents, g["spans"], events)
-        triples["gold"].extend(_flatten_triples(doc_id, gold_mode))
         # eval_stats: pyref twin of stages.evaluate.role_stats on the
         # gold-mode pipeline (pred = decoded events, [] for docs dropped
         # by the zero-span filter; gold = annotated events)
@@ -481,16 +404,10 @@ def ensure_golden(force: bool = False) -> str:
                 eval_tbl["tp"].append(tp)
                 eval_tbl["fp"].append(fp)
                 eval_tbl["fn"].append(fn)
-        for name, decode_mode in heuristic_modes.items():
-            triples[name].extend(
-                _flatten_triples(
-                    doc_id, _heuristic_events(sents, entity_dict, decode_mode)
-                )
-            )
-        # model spans: inferred ONCE, decoded for both model modes AND
-        # dumped flat — the model_spans table lets the docee_triples_model
-        # oracle re-derive the entire clique decode in pure SQL, leaving
-        # only the tagger inference itself on a shared code path
+        # model spans dumped flat — the model_spans table lets the
+        # docee_triples_model{,_edag} oracles re-derive the ENTIRE decode
+        # in pure SQL, leaving only the tagger inference itself on a
+        # shared code path
         model_spans = tagger.doc_spans(sents)
         for sp_idx, sp in enumerate(model_spans):
             for si in sorted({d["sent_idx"] for d in sp["dranges"]}):
@@ -499,20 +416,11 @@ def ensure_golden(force: bool = False) -> str:
                 mspan_tbl["field"].append(sp["field"])
                 mspan_tbl["text"].append(sp["text"])
                 mspan_tbl["sent_idx"].append(si)
-        triples["model"].extend(
-            _flatten_triples(
-                doc_id,
-                _decode_spans_records(
-                    sents, model_spans, "clique", exact_fields=True
-                ),
-            )
-        )
         # scored-matrix modes: heuristic spans tagged ONCE, each trained
         # scorer's thresholded adjacency dumped flat — the adj_* tables
-        # let the docee_triples_{scored,biaffine,doc_ctx} oracles
-        # re-derive the entire maximal-clique decode in pure SQL
-        # (recursive-CTE clique enumeration), leaving only the scorer
-        # inference itself on a shared code path
+        # let the scored-mode oracles re-derive the entire maximal-clique
+        # decode in pure SQL (recursive-CTE clique enumeration), leaving
+        # only the scorer inference itself on a shared code path
         h_spans = _heuristic_spans(sents, entity_dict)
         if h_spans:
             h_fields = [s["field"] for s in h_spans]
@@ -536,17 +444,6 @@ def ensure_golden(force: bool = False) -> str:
                         adj_tbl[mode_name]["doc_id"].append(doc_id)
                         adj_tbl[mode_name]["i"].append(i)
                         adj_tbl[mode_name]["j"].append(j)
-            triples[mode_name].extend(
-                _flatten_triples(doc_id, _matrix_events(sents, h_spans, adj))
-            )
-        triples["model_edag"].extend(
-            _flatten_triples(
-                doc_id,
-                _decode_spans_records(
-                    sents, model_spans, "edag", exact_fields=True
-                ),
-            )
-        )
 
     pq.write_table(
         pa.table(
@@ -654,11 +551,6 @@ def ensure_golden(force: bool = False) -> str:
         ),
         os.path.join(GOLDEN_DIR, "eval_stats.parquet"),
     )
-    for mode, rows in triples.items():
-        _write_triples(
-            os.path.join(GOLDEN_DIR, f"triples_{mode}.parquet"), rows
-        )
-
     _write_adj_metrics(gold_rows)
 
     tmp = manifest_path + ".tmp"

@@ -141,16 +141,8 @@ class GitRgcnScorer(BiaffineAdjScorer):
             norms.append(nrm)
         return es, (span_embs, sent_embs, Z, Zp, gcn_cache, norms)
 
-    def _pair_logits(self, sentences, spans):
-        fields = [s["field"] for s in spans]
-        sents = [sorted({d["sent_idx"] for d in s["dranges"]}) for s in spans]
-        X, pairs = pair_features(fields, sents)
-        es, _ = self._span_context_forward(sentences, spans)
-        e = np.stack(es) if es else np.zeros((0, self.tagger.n_labels))
-        logits = X.astype(np.float64) @ self.w_base
-        for r, (i, j) in enumerate(pairs):
-            logits[r] += 0.5 * (e[i] @ self.W @ e[j] + e[j] @ self.W @ e[i])
-        return logits, pairs
+    def _span_embeddings(self, sentences, spans) -> list[np.ndarray]:
+        return self._span_context_forward(sentences, spans)[0]
 
     def to_arrays(self) -> dict[str, np.ndarray]:
         out = super().to_arrays()

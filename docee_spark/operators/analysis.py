@@ -369,7 +369,7 @@ def git_hetero_edges(
         )
     )
 
-    def mm_pairs(same_key: str) -> Column:
+    def mm_pairs(cond) -> Column:
         return F.filter(
             F.flatten(
                 F.transform(
@@ -378,7 +378,7 @@ def git_hetero_edges(
                         F.transform(
                             mentions,
                             lambda b, j: F.when(
-                                (a[same_key] == b[same_key]) & (i != j),
+                                cond(a, b) & (i != j),
                                 edge("m-m", S + i, S + j),
                             ),
                         ),
@@ -389,7 +389,15 @@ def git_hetero_edges(
             lambda e: e.isNotNull(),
         )
 
-    edges = F.concat(ss, sm, mm_pairs("sent_idx"), mm_pairs("span_idx"))
+    # intra-sentence pairs (git.py:978-982) and same-entity INTER-sentence
+    # pairs (git.py:985-988) — the inter restriction keeps a span with two
+    # mentions in one sentence from emitting the same edge row twice
+    mm_intra = mm_pairs(lambda a, b: a["sent_idx"] == b["sent_idx"])
+    mm_ent = mm_pairs(
+        lambda a, b: (a["span_idx"] == b["span_idx"])
+        & (a["sent_idx"] != b["sent_idx"])
+    )
+    edges = F.concat(ss, sm, mm_intra, mm_ent)
     return docs.select(
         "doc_id", F.explode(edges).alias("e")
     ).select("doc_id", "e.edge_type", "e.src", "e.dst")

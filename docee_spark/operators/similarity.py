@@ -73,10 +73,16 @@ def probe_buckets(vec: Column, n_bits: int = 6, n_flips: int = 0) -> Column:
     base = sign_bucket(vec, n_bits)
     if n_flips <= 0:
         return F.array(base)
+    # dims past the vector length sort LAST (|value| = +inf), not first:
+    # with |0.0| they would win every flip slot and spend all probes on
+    # bits where no vector differs — silently disabling multi-probe
+    # whenever n_bits > dim
     dims = F.array(
         *[
             F.struct(
-                F.abs(F.coalesce(F.get(vec, j), F.lit(0.0))).alias("a"),
+                F.coalesce(
+                    F.abs(F.get(vec, j)), F.lit(float("inf"))
+                ).alias("a"),
                 F.lit(j).alias("j"),
                 F.lit(1 << j).alias("mask"),
             )

@@ -40,14 +40,21 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
 
 import re as _re
 
-# comments stripped FIRST: '<!-- a > b -->' would otherwise leak ' b -->'
-# past the tag regex (which stops at the first '>')
-_COMMENTS = _re.compile(r"(?s)<!--.*?(?:-->|$)")
-_CDATA = _re.compile(r"(?s)<!\[CDATA\[.*?(?:\]\]>|$)")
-# container blocks: unterminated (crawler-truncated) blocks drop to EOF
-# rather than leaking raw JS/CSS into the text
-_DROP_BLOCKS = _re.compile(
-    r"(?is)<(script|style|nav|header|footer|aside|noscript)\b[^>]*>"
+# ONE leftmost-wins alternation for comments / CDATA / container blocks:
+# whichever construct starts first owns the text up to ITS terminator,
+# matching real HTML tokenization. Separate sequential passes get this
+# wrong in both orders — comments-first lets a '<!--' INSIDE a script
+# (legal raw text, e.g. document.write('<!--')) eat the '</script>' and
+# destroy the rest of the document; blocks-first lets an unclosed
+# '<script>' inside a comment eat past the '-->'. Unterminated
+# constructs (crawler truncation) drop to EOF rather than leaking raw
+# JS/CSS; comments are still consumed before the tag regex runs, so
+# '<!-- a > b -->' cannot leak ' b -->' past the first '>'.
+_BOILER = _re.compile(
+    r"(?is)"
+    r"<!--.*?(?:-->|$)"
+    r"|<!\[CDATA\[.*?(?:\]\]>|$)"
+    r"|<(script|style|nav|header|footer|aside|noscript)\b[^>]*>"
     r".*?(?:</\1\s*>|$)"
 )
 # a tag left open at EOF is dropped, not emitted as text
@@ -98,9 +105,7 @@ def strip_boilerplate(html: bytes) -> str:
     stripping, so escaped markup (&lt;script&gt;) correctly survives as
     text content."""
     s = html.decode("utf-8", errors="replace")
-    s = _COMMENTS.sub(" ", s)
-    s = _CDATA.sub(" ", s)
-    s = _DROP_BLOCKS.sub(" ", s)
+    s = _BOILER.sub(" ", s)
     s = _TAGS.sub(" ", s)
     s = _ENTITY.sub(_decode_entity, s)
     s = _WS.sub(" ", s)

@@ -192,15 +192,11 @@ MODEL_LOADS = 0
 
 def _tagger_from_broadcast(bc):
     global MODEL_LOADS
-    # Broadcast identity: prefer the public-ish broadcast id when present
-    # (JVM-tracked, stable across Spark versions), fall back to the pickle
-    # file path (python-worker side broadcasts expose only _path)
-    bid = getattr(bc, "id", None)
-    key = (
-        f"bcid:{bid}"
-        if bid is not None
-        else getattr(bc, "_path", None) or str(id(bc))
-    )
+    # Broadcast identity: python-worker-side Broadcast objects expose no
+    # public id (pyspark 4.1 has neither an `id` attribute nor
+    # _jbroadcast on the worker path) — the pickle file path IS the
+    # per-broadcast identity there, unique per sc.broadcast() call
+    key = getattr(bc, "_path", None) or str(id(bc))
     tagger = _MODEL_CACHE.get(key)
     if tagger is None:
         from ..model.char_tagger import CharTagger

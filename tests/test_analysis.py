@@ -329,6 +329,37 @@ class TestGitHeteroEdges:
         }
         assert got == want
 
+    def test_same_sentence_repeat_mention_no_duplicate_edges(self, spark):
+        """A span with TWO mentions in ONE sentence: the pair qualifies
+        for the intra-sentence branch only — the same-entity branch is
+        inter-sentence (git.py:985-988), so the edge row must appear
+        exactly once per direction, not twice."""
+        from docee_spark.operators.analysis import git_hetero_edges
+        from docee_spark.schema import SPANS
+
+        spans = [
+            {
+                "text": "AA",
+                "field": "y",
+                "dranges": [
+                    {"sent_idx": 0, "char_s": 0, "char_e": 2},
+                    {"sent_idx": 0, "char_s": 4, "char_e": 6},
+                ],
+            },
+        ]
+        df = spark.createDataFrame(
+            [("d1", ["AA..AA."], spans)],
+            spark.createDataFrame([("", [""],)], "doc_id string, sentences array<string>")
+            .schema.add("spans", SPANS),
+        )
+        rows = [
+            (r.edge_type, r.src, r.dst)
+            for r in git_hetero_edges(df).collect()
+        ]
+        assert len(rows) == len(set(rows)), rows  # no duplicate edge rows
+        # mentions are nodes 1 and 2 (one sentence node): one intra pair
+        assert rows.count(("m-m", 1, 2)) == 1 and rows.count(("m-m", 2, 1)) == 1
+
     def test_row_counts_match_closed_form(self, spark, gold_df):
         """On the fixture corpus: |s-s| = S(S-1) per doc and every edge
         type present; spot-check totals via closed-form per-doc sums."""

@@ -141,6 +141,42 @@ class TestMultiProbe:
         assert expected <= got1     # one probe recovers them all
         assert got0 <= got1         # multi-probe is a strict superset
 
+    def test_probe_flips_target_real_dims_when_bits_exceed_vector(self, spark):
+        """n_bits > vector length: phantom dimensions (|value| treated as
+        0) used to win every flip slot, spending all probes on bits no
+        vector differs in. Flips must target the smallest-|value| REAL
+        dimension — here dim 0 of a 4-dim vector bucketed at 16 bits."""
+        from pyspark.sql import functions as F
+
+        from docee_spark.operators.similarity import probe_buckets, sign_bucket
+
+        df = spark.createDataFrame(
+            [(1, [0.001, 0.5, 0.4, 0.3])], "vec_id long, embedding array<double>"
+        )
+        row = df.select(
+            sign_bucket(F.col("embedding"), 16).alias("base"),
+            probe_buckets(F.col("embedding"), 16, 1).alias("probes"),
+        ).collect()[0]
+        assert row["probes"][0] == row["base"]
+        # the single flip targets dim 0 (the boundary dim), not dim 4+
+        assert row["probes"][1] == row["base"] ^ 1
+
+    def test_dedup_pairs_recall_wide_bits_narrow_vectors(self, spark):
+        """End-to-end regression: the boundary-pair recovery above must
+        also hold when n_sign_bits exceeds the embedding length (the
+        dedup default is 16 bits; these vectors are 5-dim)."""
+        from docee_spark.operators.dedup import embedding_cosine_pairs
+
+        df = self._boundary_corpus(spark)
+        expected = {(2 * i, 2 * i + 1) for i in range(6)}
+        got = {
+            (r.id_a, r.id_b)
+            for r in embedding_cosine_pairs(
+                df, threshold_e6=990_000, n_sign_bits=16, probe_flips=1
+            ).collect()
+        }
+        assert expected <= got
+
     def test_lsh_topk_recall_vs_brute_force(self, spark):
         from docee_spark.operators.similarity import brute_force_topk, lsh_topk
 

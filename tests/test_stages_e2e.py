@@ -201,6 +201,33 @@ class TestGenericExtractor:
 
         assert isinstance(strip_boilerplate(b"\xff\xfe<p>ok</p>"), str)
 
+    def test_comment_open_inside_raw_text_block(self):
+        """'<!--' INSIDE a script/style block is raw content, not a
+        comment — a separate comments-first pass used to let it eat the
+        block's terminator and destroy all following document text
+        (leftmost-wins alternation fixes both orders)."""
+        from docee_spark.stages.ingest import strip_boilerplate
+
+        assert (
+            strip_boilerplate(
+                b"<script>var x = '<!--';</script><p>Important text here.</p>"
+            )
+            == "Important text here."
+        )
+        assert (
+            strip_boilerplate(b"<p>a.</p><style>/* <!-- */ p{} </style><p>b.</p>")
+            == "a. b."
+        )
+        # the converse: markup inside a COMMENT is comment content
+        assert strip_boilerplate(b"<!-- <script> --> text") == "text"
+        # legacy comment-wrapped script body
+        assert (
+            strip_boilerplate(
+                b"<script><!-- document.write('hi') //--></script><p>body</p>"
+            )
+            == "body"
+        )
+
     def test_comment_with_gt_and_unterminated_blocks(self):
         from docee_spark.stages.ingest import strip_boilerplate
 
