@@ -150,26 +150,13 @@ def load_biaffine(path: str) -> BiaffineAdjScorer:
         return BiaffineAdjScorer.from_arrays(dict(z.items()))
 
 
-def train_biaffine_scorer(
-    train_docs: list[dict],
-    tagger: CharTagger,
-    epochs: int = 40,
-    lr: float = 0.5,
-    seed: int = 23,
-) -> BiaffineAdjScorer:
-    """Joint seeded full-batch GD on gold pair labels (gold adjacency
-    revealed from records, arg_rel.py:270-277 semantics): the attention
-    query q (M3), the biaffine W (M7) and the linear pair weights w_base
-    (M6) all receive exact hand-derived gradients. Deterministic."""
+def prep_pair_training_docs(train_docs: list[dict]):
+    """Shared per-doc static precomputation for every pair-objective
+    trainer (M7 biaffine / M4 doc-context / G10 RGCN): gold adjacency
+    revealed from records (arg_rel.py:270-277 semantics), pair features,
+    and 0/1 labels → [(sentences, spans, X, pairs, y)]."""
     from ..pyref.graph import adjacency_from_records
 
-    rng = np.random.default_rng(seed)
-    d = tagger.n_labels
-    q = rng.normal(0.0, 0.1, size=d)
-    W = rng.normal(0.0, 0.01, size=(d, d))
-    w_base = np.zeros(N_FEATURES, dtype=np.float64)
-
-    # precompute per-doc static parts (X, pairs, labels, sentences, spans)
     prep = []
     for g in train_docs:
         spans = g["spans"]
@@ -186,7 +173,27 @@ def train_biaffine_scorer(
         X, pairs = pair_features(fields, sent_idxs)
         y = np.array([gold[i][j] for i, j in pairs], dtype=np.float64)
         prep.append((g["sentences"], spans, X.astype(np.float64), pairs, y))
+    return prep
 
+
+def train_biaffine_scorer(
+    train_docs: list[dict],
+    tagger: CharTagger,
+    epochs: int = 40,
+    lr: float = 0.5,
+    seed: int = 23,
+) -> BiaffineAdjScorer:
+    """Joint seeded full-batch GD on gold pair labels (gold adjacency
+    revealed from records, arg_rel.py:270-277 semantics): the attention
+    query q (M3), the biaffine W (M7) and the linear pair weights w_base
+    (M6) all receive exact hand-derived gradients. Deterministic."""
+    rng = np.random.default_rng(seed)
+    d = tagger.n_labels
+    q = rng.normal(0.0, 0.1, size=d)
+    W = rng.normal(0.0, 0.01, size=(d, d))
+    w_base = np.zeros(N_FEATURES, dtype=np.float64)
+
+    prep = prep_pair_training_docs(train_docs)
     n_pairs_total = sum(len(y) for *_, y in prep)
     for _ in range(epochs):
         g_q = np.zeros_like(q)
@@ -306,7 +313,6 @@ def train_doc_context_scorer(
     the span attention query q and the sentence query q_s (via the AWA
     backward). Deterministic; every gradient hand-derived and numerically
     checked in tests."""
-    from ..pyref.graph import adjacency_from_records
     from .doc_context import DocContextAttention
 
     rng = np.random.default_rng(seed)
@@ -320,23 +326,7 @@ def train_doc_context_scorer(
         np.zeros(N_FEATURES, dtype=np.float64),
     )
 
-    prep = []
-    for g in train_docs:
-        spans = g["spans"]
-        if len(spans) < 2:
-            continue
-        fields = [s["field"] for s in spans]
-        sent_idxs = [sorted({dd["sent_idx"] for dd in s["dranges"]}) for s in spans]
-        t2i = {s["text"]: i for i, s in enumerate(spans)}
-        records = [
-            [t2i[v] for v in ev["args"].values() if v is not None and v in t2i]
-            for ev in g["events"]
-        ]
-        gold = adjacency_from_records(len(spans), records)
-        X, pairs = pair_features(fields, sent_idxs)
-        y = np.array([gold[i][j] for i, j in pairs], dtype=np.float64)
-        prep.append((g["sentences"], spans, X.astype(np.float64), pairs, y))
-
+    prep = prep_pair_training_docs(train_docs)
     n_pairs_total = sum(len(y) for *_, y in prep)
     for _ in range(epochs):
         g_q = np.zeros(d)

@@ -181,7 +181,7 @@ def train_git_rgcn_scorer(
     linear w, the four relation weights W_r (exact linear backward), the
     span attention query q and the sentence query q_s (AWA backward).
     Deterministic; gradients numerically checked in tests."""
-    from ..pyref.graph import adjacency_from_records
+    from .biaffine_scorer import prep_pair_training_docs
     from .pooling import awa_pool_backward
 
     rng = np.random.default_rng(seed)
@@ -195,23 +195,7 @@ def train_git_rgcn_scorer(
         np.zeros(N_FEATURES, dtype=np.float64),
     )
 
-    prep = []
-    for g in train_docs:
-        spans = g["spans"]
-        if len(spans) < 2:
-            continue
-        fields = [s["field"] for s in spans]
-        sent_idxs = [sorted({dd["sent_idx"] for dd in s["dranges"]}) for s in spans]
-        t2i = {s["text"]: i for i, s in enumerate(spans)}
-        records = [
-            [t2i[v] for v in ev["args"].values() if v is not None and v in t2i]
-            for ev in g["events"]
-        ]
-        gold = adjacency_from_records(len(spans), records)
-        X, pairs = pair_features(fields, sent_idxs)
-        y = np.array([gold[i][j] for i, j in pairs], dtype=np.float64)
-        prep.append((g["sentences"], spans, X.astype(np.float64), pairs, y))
-
+    prep = prep_pair_training_docs(train_docs)
     n_pairs_total = sum(len(y) for *_, y in prep)
     for _ in range(epochs):
         g_q = np.zeros(d)
