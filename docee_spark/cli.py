@@ -77,9 +77,13 @@ def main(argv: list[str] | None = None) -> int:
         model = load_tagger(args.tagger_model)
         entity_dict = None  # the trained tagger replaces the dictionary
     if args.adj_scorer:
-        from docee_spark.model.adj_scorer import load_scorer
+        # pass the raw arrays through: score_adjacency dispatches the
+        # scorer class on artifact keys (logistic / biaffine / doc-ctx /
+        # RGCN), so every variant loads with the same flag
+        import numpy as np
 
-        scorer = load_scorer(args.adj_scorer)
+        with np.load(args.adj_scorer, allow_pickle=False) as z:
+            scorer = dict(z.items())
 
     t0 = time.time()
     result = run_pipeline(

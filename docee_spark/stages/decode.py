@@ -60,23 +60,19 @@ def _gold_adjacency(n: int, span_texts: list[str], events) -> list[list[int]]:
     return adj
 
 
-def score_adjacency(tagged: DataFrame, scorer) -> DataFrame:
-    """M6/M7 — a trained adjacency scorer in front of the matrix slot
-    (reference trigger_aware.py:375-387 shape: scores → threshold → 0/1
-    matrix). ``scorer``: a model.adj_scorer.AdjScorer, a
-    model.biaffine_scorer.BiaffineAdjScorer (biaffine over AWA-pooled
-    span embeddings — needs the sentence text), or either one's arrays;
-    broadcast once, deserialized once per worker, batched per-doc pair
-    scoring inside one Arrow UDF. Output rows gain ``adj`` and feed
-    ``decode(adjacency="matrix")`` unchanged."""
-    spark = tagged.sparkSession
-    arrays = (
-        scorer.to_arrays() if hasattr(scorer, "to_arrays") else dict(scorer)
-    )
-    bc = spark.sparkContext.broadcast(arrays)
+#: worker-process scorer cache — mapInPandas calls the UDF once per TASK,
+#: and rebuilding a scorer (tagger vocab + array copies) per task would
+#: repeat hundreds of times per executor; key = the broadcast's pickle
+#: path, the per-broadcast identity on the python-worker side (same
+#: pattern as tag._MODEL_CACHE)
+_SCORER_CACHE: dict[str, object] = {}
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        arr = bc.value  # once per worker
+
+def _scorer_from_broadcast(bc):
+    key = getattr(bc, "_path", None) or str(id(bc))
+    sc = _SCORER_CACHE.get(key)
+    if sc is None:
+        arr = bc.value
         if "rgcn_Wss" in arr:  # GIT RGCN (G10) variant
             from ..model.rgcn import GitRgcnScorer
 
@@ -93,6 +89,27 @@ def score_adjacency(tagged: DataFrame, scorer) -> DataFrame:
             from ..model.adj_scorer import AdjScorer
 
             sc = AdjScorer.from_arrays(arr)
+        _SCORER_CACHE[key] = sc
+    return sc
+
+
+def score_adjacency(tagged: DataFrame, scorer) -> DataFrame:
+    """M6/M7 — a trained adjacency scorer in front of the matrix slot
+    (reference trigger_aware.py:375-387 shape: scores → threshold → 0/1
+    matrix). ``scorer``: a model.adj_scorer.AdjScorer, a
+    model.biaffine_scorer.BiaffineAdjScorer (biaffine over AWA-pooled
+    span embeddings — needs the sentence text), or either one's arrays;
+    broadcast once, deserialized once per worker, batched per-doc pair
+    scoring inside one Arrow UDF. Output rows gain ``adj`` and feed
+    ``decode(adjacency="matrix")`` unchanged."""
+    spark = tagged.sparkSession
+    arrays = (
+        scorer.to_arrays() if hasattr(scorer, "to_arrays") else dict(scorer)
+    )
+    bc = spark.sparkContext.broadcast(arrays)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sc = _scorer_from_broadcast(bc)  # cached once per worker PROCESS
         needs_sents = getattr(sc, "needs_sentences", False)
         for pdf in batches:
             adj_col = []

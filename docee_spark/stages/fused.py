@@ -42,6 +42,7 @@ def tag_decode_fused(
         surfaces = bc.value
         for pdf in batches:
             events_col = []
+            pruned_col = []
             for sentences in pdf["sentences"]:
                 sents = list(sentences)
                 spans, taken = _find_dict_spans(sents, surfaces)
@@ -53,13 +54,16 @@ def tag_decode_fused(
                 ]
                 if not spans:
                     events_col.append([])
+                    pruned_col.append(0)
                     continue
                 adj = _sentence_adjacency(len(spans), span_sents)
+                doc_stats: dict[str, int] = {}
                 decoded = decode_doc(
                     sents, span_fields, span_sents, adj, event_fields,
                     min_fields, mode=mode, max_paths=max_paths,
-                    exact_fields=False,
+                    exact_fields=False, stats=doc_stats,
                 )
+                pruned_col.append(int(doc_stats.get("n_paths_pruned", 0)))
                 recs, recguid = [], 0
                 for et in event_fields:
                     for rec in decoded.get(et, []):
@@ -70,12 +74,16 @@ def tag_decode_fused(
                         recs.append({"recguid": recguid, "type": et, "args": args})
                         recguid += 1
                 events_col.append(recs)
-            yield pdf.assign(events=events_col)
+            # same A9-style truncation counter as the staged decode —
+            # fused must never lose records silently either
+            yield pdf.assign(events=events_col, n_paths_pruned=pruned_col)
 
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in docs.schema.fields
     )
-    return docs.mapInPandas(run, schema=out_schema + ", " + _EVENTS_FIELD)
+    return docs.mapInPandas(
+        run, schema=out_schema + ", " + _EVENTS_FIELD + ", n_paths_pruned int"
+    )
 
 
 def segment_tag_decode_fused(
@@ -102,6 +110,7 @@ def segment_tag_decode_fused(
         surfaces = bc.value
         for pdf in batches:
             events_col = []
+            pruned_col = []
             for text, lang in zip(pdf["text"], pdf["lang"]):
                 # same truncate + per-sentence clip as the JVM segment
                 # stage — the deep-fused path must not diverge on docs
@@ -114,6 +123,7 @@ def segment_tag_decode_fused(
                 spans = _merge_regex_spans(sents, spans, taken)
                 if not spans:
                     events_col.append([])
+                    pruned_col.append(0)
                     continue
                 span_texts = [s["text"] for s in spans]
                 span_fields = [s["field"] for s in spans]
@@ -121,11 +131,13 @@ def segment_tag_decode_fused(
                     sorted({d["sent_idx"] for d in s["dranges"]}) for s in spans
                 ]
                 adj = _sentence_adjacency(len(spans), span_sents)
+                doc_stats: dict[str, int] = {}
                 decoded = decode_doc(
                     sents, span_fields, span_sents, adj, event_fields,
                     min_fields, mode=mode, max_paths=max_paths,
-                    exact_fields=False,
+                    exact_fields=False, stats=doc_stats,
                 )
+                pruned_col.append(int(doc_stats.get("n_paths_pruned", 0)))
                 recs, recguid = [], 0
                 for et in event_fields:
                     for rec in decoded.get(et, []):
@@ -137,7 +149,13 @@ def segment_tag_decode_fused(
                         recguid += 1
                 events_col.append(recs)
             yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "events": events_col}
+                {
+                    "doc_id": pdf["doc_id"],
+                    "events": events_col,
+                    "n_paths_pruned": pruned_col,
+                }
             )
 
-    return docs.mapInPandas(run, schema="doc_id string, " + _EVENTS_FIELD)
+    return docs.mapInPandas(
+        run, schema="doc_id string, " + _EVENTS_FIELD + ", n_paths_pruned int"
+    )

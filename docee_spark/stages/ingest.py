@@ -54,11 +54,21 @@ _BOILER = _re.compile(
     r"(?is)"
     r"<!--.*?(?:-->|$)"
     r"|<!\[CDATA\[.*?(?:\]\]>|$)"
-    r"|<(script|style|nav|header|footer|aside|noscript)\b[^>]*>"
-    r".*?(?:</\1\s*>|$)"
+    # raw-text elements: unterminated (crawler-truncated) blocks drop to
+    # EOF — leaking raw JS/CSS into text is worse than losing the tail
+    r"|<(script|style|noscript)\b[^>]*>.*?(?:</\1\s*>|$)"
+    # structural containers: NO EOF fallback — an author-unclosed <nav>
+    # (very common malformation) must not eat the document body; browsers
+    # auto-close at EOF and keep the content, and so do we (the open tag
+    # itself is stripped by _TAGS)
+    r"|<(nav|header|footer|aside)\b[^>]*>.*?</\2\s*>"
 )
 # a tag left open at EOF is dropped, not emitted as text
-_TAGS = _re.compile(r"(?s)<[^>]*(?:>|$)")
+# a tag starts only at '<' + letter / '/' / '!' / '?' (the HTML5
+# tokenizer rule): a bare '<' in prose ("3 < 5") is text and must not
+# swallow everything to the next '>' — or, with the EOF fallback for
+# crawl-truncated tags, the entire rest of the document
+_TAGS = _re.compile(r"(?s)<[/!?a-zA-Z][^>]*(?:>|$)")
 _WS = _re.compile(r"[ \t\r\f\v]+")
 
 # frozen entity table (most common named refs; NOT stdlib html.unescape,
@@ -124,19 +134,25 @@ def host_of(url: Column) -> Column:
     return F.regexp_extract(url, r"^[a-z]+://([^/]+)/", 1)
 
 
+def default_salt_buckets(n_partitions: int) -> int:
+    """Shared salting default: 8× the partition count. The (key, salt)
+    combos land in partitions by hash, so a hot key needs ≫ n_partitions
+    combos for the balls-into-bins variance to flatten out (with only
+    n_partitions combos, collisions leave 2-3× imbalance — measured).
+    ONE definition: length_bucketed and salted_repartition must agree or
+    the two exchanges silently diverge on the next retune."""
+    return 8 * n_partitions
+
+
 def salted_repartition(
     df: DataFrame, n_partitions: int, salt_buckets: int | None = None
 ) -> DataFrame:
     """Break host-level skew: repartition on (host, salt) so one hot host
     spreads over ``salt_buckets`` combos (SURVEY §7 risk 5). The salt is
-    deterministic (hash of url) — reruns place rows identically.
-
-    ``salt_buckets`` defaults to 8× the partition count: the (host, salt)
-    combos land in partitions by hash, so a hot host needs ≫ n_partitions
-    combos for the balls-into-bins variance to flatten out (with only
-    n_partitions combos, collisions leave 2-3× imbalance — measured)."""
+    deterministic (hash of url) — reruns place rows identically;
+    default = ``default_salt_buckets``."""
     if salt_buckets is None:
-        salt_buckets = 8 * n_partitions
+        salt_buckets = default_salt_buckets(n_partitions)
     return df.repartition(
         n_partitions,
         host_of(F.col("url")),

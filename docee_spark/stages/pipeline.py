@@ -99,7 +99,14 @@ class StageStore:
                     "committed_at": time.time(),
                     "counters": counters or {},
                     "partitions": partitions,
-                    "n_rows": sum(p["rows"] or 0 for p in partitions),
+                    # an unreadable footer (rows=None) makes the total
+                    # UNKNOWN, not smaller — a resume audit must be able
+                    # to tell corruption from an undercount
+                    "n_rows": (
+                        None
+                        if any(p["rows"] is None for p in partitions)
+                        else sum(p["rows"] for p in partitions)
+                    ),
                     "n_partitions": len(partitions),
                 },
                 f,
@@ -236,9 +243,11 @@ def run_pipeline(
             src = nonempty.join(
                 gold.select(F.col("guid").alias("doc_id"), "events"), "doc_id"
             )
-        # model-tagged spans carry exact role fields → the EDAG expansion
-        # can branch per role instead of the coarse-field clique fallback
-        exact = True if model is not None else None
+        # model- AND gold-tagged spans carry exact role fields → the EDAG
+        # expansion can branch per role instead of the coarse-field clique
+        # fallback (decode's own inference only covers adjacency="gold";
+        # gold spans with sentence/matrix adjacency are exact too)
+        exact = True if (model is not None or gold is not None) else None
         return decode(src, mode=mode, adjacency=adj_mode, exact_fields=exact)
 
     decoded = staged("decode", build_decoded)

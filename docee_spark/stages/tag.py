@@ -47,10 +47,13 @@ def length_bucketed(
     executors on the long tail of huge documents (analog of the
     reference's batch padding waste avoidance, SURVEY §4). The salt also
     spreads hot hosts, folding skew handling into this single exchange.
-    Salt space scales with the partition count (8×) so (bucket, salt)
-    combos out-number partitions — see salted_repartition."""
+    Salt space default is shared with salted_repartition
+    (ingest.default_salt_buckets) so (bucket, salt) combos out-number
+    partitions — see salted_repartition."""
     if salt_buckets is None:
-        salt_buckets = 8 * n_partitions
+        from .ingest import default_salt_buckets
+
+        salt_buckets = default_salt_buckets(n_partitions)
     bucket = F.floor(F.log2(F.size("sentences") + F.lit(1)))
     salt = F.pmod(F.xxhash64("doc_id"), F.lit(salt_buckets))
     return df.repartition(n_partitions, bucket, salt)

@@ -49,6 +49,53 @@ def test_deep_fusion_matches_staged(spark, web_df):
     assert flat(a) == flat(b)
 
 
+def test_fused_counts_path_pruning(spark, web_df):
+    """Both fused paths carry the same A9-style n_paths_pruned counter as
+    the staged decode: zero on the normal corpus, and a tiny max_paths in
+    product mode must engage with a COUNTED drop, never silently."""
+    from pyspark.sql import functions as F
+
+    from docee_spark.stages.fused import segment_tag_decode_fused, tag_decode_fused
+    from docee_spark.stages.ingest import ingest
+    from docee_spark.stages.segment import segment
+
+    docs = segment(ingest(web_df, use_html=False))
+    shallow = tag_decode_fused(docs, heuristic_entity_dict())
+    deep = segment_tag_decode_fused(
+        ingest(web_df, use_html=False), heuristic_entity_dict()
+    )
+    for df in (shallow, deep):
+        assert "n_paths_pruned" in df.columns
+        assert df.agg(F.sum("n_paths_pruned")).first()[0] == 0
+
+    capped = tag_decode_fused(
+        docs, heuristic_entity_dict(), mode="product", max_paths=1
+    )
+    assert capped.agg(F.sum("n_paths_pruned")).first()[0] > 0
+
+
+def test_cli_loads_every_scorer_variant(spark, tmp_path, capsys):
+    """--adj-scorer must accept EVERY scorer artifact (logistic /
+    biaffine / doc-context / RGCN): the CLI passes the raw arrays through
+    and score_adjacency dispatches the class on artifact keys — loading a
+    biaffine artifact through AdjScorer.from_arrays used to crash."""
+    from docee_spark.cli import main
+    from docee_spark.golden import BIAFFINE_PATH, ensure_biaffine
+
+    ensure_biaffine()
+    out = str(tmp_path / "kg")
+    rc = main(
+        ["--synth", "60", "--output", out, "--adj-scorer", BIAFFINE_PATH]
+    )
+    assert rc == 0
+    import json
+
+    line = [
+        ln for ln in capsys.readouterr().out.splitlines() if ln.startswith("{")
+    ][-1]
+    assert json.loads(line)["triples"] > 0
+
+
 def test_fused_rejects_gold_mode(spark, web_df, gold_df):
     import pytest
 

@@ -228,6 +228,37 @@ class TestGenericExtractor:
             == "body"
         )
 
+    def test_unclosed_structural_block_keeps_body(self):
+        """An author-unclosed <nav>/<header>/<footer>/<aside> (common
+        malformation, unlike crawl truncation) must NOT eat the document
+        body — browsers auto-close at EOF and keep the content. Raw-text
+        blocks (script/style) keep the EOF fallback: leaking JS beats
+        keeping it."""
+        from docee_spark.stages.ingest import strip_boilerplate
+
+        out = strip_boilerplate(
+            b"<html><body><nav><a href=x>menu</a>"
+            b"Intro. Real content about earnings.</body></html>"
+        )
+        assert "Real content about earnings." in out
+        # closed structural blocks still drop with their contents
+        assert strip_boilerplate(b"<nav><a>home</a></nav><p>body</p>") == "body"
+
+    def test_bare_lt_in_prose_is_text(self):
+        """'<' not followed by a letter / '/' / '!' / '?' is text per the
+        HTML5 tokenizer — it must not swallow prose to the next '>' (or,
+        via the truncated-tag EOF fallback, the rest of the document)."""
+        from docee_spark.stages.ingest import strip_boilerplate
+
+        assert (
+            strip_boilerplate(
+                b"<p>Profit was 5 &lt; 10</p> and 3 < 5 so the deal closed."
+            )
+            == "Profit was 5 < 10 and 3 < 5 so the deal closed."
+        )
+        # a genuinely truncated tag is still dropped, not leaked
+        assert strip_boilerplate(b"<p>keep</p><a href=trunc") == "keep"
+
     def test_comment_with_gt_and_unterminated_blocks(self):
         from docee_spark.stages.ingest import strip_boilerplate
 
