@@ -1678,9 +1678,9 @@ def _docee_triples_product_sql() -> str:
     """Fully independent oracle for the PRODUCT pipeline mode (M10
     ProductDec / DCFEE-M analog): per cue sentence, the cross-product of
     in-sentence role candidates — each level branches over unused
-    candidates; a level with no viable candidate for ANY path extends
-    every path with NULL (the Python comprehension's `or` fallback),
-    while individually exhausted paths die. Exact duplicates and
+    candidates, and every path with no unused candidate extends with
+    NULL (the reference's per-path always-extend guarantee,
+    append_all_spans in dee/modules/__init__.py:96-99). Exact duplicates and
     dominated records drop relationally; numbering follows the
     subset-dedup sort. The max_paths cap is validated inert on this
     corpus (1024 vs unbounded gives identical output — asserted in
@@ -1737,6 +1737,13 @@ in_sent_cand as materialized (
                 excl = " and ".join(
                     f"x is distinct from p{j}" for j in range(i)
                 )
+                # per-PATH NULL fallback (the reference's "ensure every
+                # last path will be extended"): a path none of whose
+                # candidates are unused extends with NULL, identified by
+                # its full prefix — not per (doc, sentence) group
+                path_eq = " and ".join(
+                    f"r.p{j} is not distinct from b.p{j}" for j in range(i)
+                )
                 type_ctes.append(
                     f"\n{name}_l{i}_raw as materialized (\n"
                     f"  select *, unnest(list_filter(cl_{c}, x -> {excl})) "
@@ -1747,7 +1754,7 @@ in_sent_cand as materialized (
                     f"  select *, cast(null as int) as p{i} from {prev} b\n"
                     f"  where not exists (select 1 from {name}_l{i}_raw r\n"
                     f"                    where r.doc_id = b.doc_id "
-                    f"and r.si = b.si)\n)"
+                    f"and r.si = b.si and {path_eq})\n)"
                 )
             prev = f"{name}_l{i}"
         k = len(et.fields)

@@ -351,7 +351,11 @@ def git_hetero_edges(
         a.cast("int").alias("src"),
         b.cast("int").alias("dst"),
     )
-    seq_s = F.sequence(F.lit(0), S - 1)
+    # guard S=0: sequence(0, -1) infers step -1 and yields [0, -1],
+    # which would fabricate s-s edges over nonexistent sentence nodes
+    seq_s = F.when(S > 0, F.sequence(F.lit(0), S - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
     ss = F.filter(
         F.flatten(
             F.transform(

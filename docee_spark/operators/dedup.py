@@ -352,23 +352,46 @@ def ngram_jaccard_pairs(
 def simhash16(col: Column, shingle_n: int = 1) -> Column:
     """16-bit SimHash over word (or word-shingle) hashes: bit j of the
     result = sign of Σ_words (bit_j(md5(word)) ? +1 : -1). Bits come from
-    the first 4 hex chars of the md5 digest — engine-portable."""
+    the first 4 hex chars of the md5 digest — engine-portable.
+
+    Same single-pass shape as _simhash64_sections: ONE md5 + ONE conv per
+    word and ONE ±1-array aggregate, every expensive subexpression bound
+    once through a 1-element-array lambda — 16 separate per-bit
+    aggregates would re-evaluate the whole tokenize+md5 chain 16× per
+    row under projection collapse (the module's round-1 landmine)."""
     words = word_shingles(col, shingle_n) if shingle_n > 1 else F.array_distinct(tokens(col))
-    # per word: int value of first 4 hex chars (16 bits)
-    hashes = F.transform(words, lambda w: F.conv(F.substring(F.md5(w), 1, 4), 16, 10).cast("long"))
-    def _bit_sum(j: int):
-        mask = 1 << j
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1),
+
+    def word_pm16(w: Column) -> Column:
+        def from_int(hs: Column) -> Column:
+            return F.array(
+                *[
+                    F.when(hs.bitwiseAND(F.lit(m)) != 0, 1).otherwise(-1)
+                    for m in _MASKS16
+                ]
+            )
+
+        return F.element_at(
+            F.transform(
+                F.array(F.conv(F.substring(F.md5(w), 1, 4), 16, 10).cast("long")),
+                from_int,
+            ),
+            1,
         )
 
-    bit_sums = [_bit_sum(j) for j in range(16)]
-    out = F.lit(0)
-    for j, s in enumerate(bit_sums):
-        out = out + F.when(s > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return out.cast("long")
+    sums = F.aggregate(
+        words,
+        F.array_repeat(F.lit(0), 16),
+        lambda acc, w: F.zip_with(acc, word_pm16(w), lambda a, b: a + b),
+    )
+    masks = F.array(*[F.lit(m) for m in _MASKS16])
+
+    def pack(arr: Column) -> Column:
+        signed = F.zip_with(
+            arr, masks, lambda x, m: F.when(x > 0, m).otherwise(F.lit(0))
+        )
+        return F.aggregate(signed, F.lit(0), lambda a, v: a + v).cast("long")
+
+    return F.element_at(F.transform(F.array(sums), pack), 1)
 
 
 def simhash_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -583,13 +606,16 @@ def embedding_cosine_pairs(
     if probe_flips > 0:
         # probe side: each vector appears under its base + flipped
         # buckets; base side keeps one bucket per vector, so a pair is
-        # found iff either endpoint probes the other's bucket. Probe rows
-        # are capped by the same keep-list (hot buckets stay dropped).
-        probes = df.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("vec"),
+        # found iff either endpoint probes the other's bucket. Probes are
+        # built from the keep-filtered base set (v, not df) AND capped by
+        # the same keep-list: a vector whose base bucket was dropped is
+        # fully excluded — otherwise its probe rows would sneak pairs into
+        # neighboring buckets while the drop metric claimed it was out.
+        probes = v.select(
+            "id",
+            "vec",
             F.explode(
-                probe_buckets(F.col(vec_col), n_sign_bits, probe_flips)
+                probe_buckets(F.col("vec"), n_sign_bits, probe_flips)
             ).alias("bucket"),
         ).join(F.broadcast(keep), "bucket")
         a, b = probes.alias("a"), v.alias("b")

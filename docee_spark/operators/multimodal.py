@@ -240,16 +240,23 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one output row per planned frame
     (media_id, frame_idx, ts_ms) from metadata only — the actual frame
     decode joins this plan against the binary in extract_features. Pure
-    JVM sequence/explode; demonstrates metadata-driven fan-out."""
-    return df.filter(F.col("kind") == "video").select(
-        "media_id",
-        F.posexplode(
-            F.sequence(
-                F.lit(0),
-                F.greatest(
-                    F.coalesce(F.col("duration_ms"), F.lit(0)) - 1, F.lit(0)
-                ),
-                F.lit(every_ms),
-            )
-        ).alias("frame_idx", "ts_ms"),
+    JVM sequence/explode; demonstrates metadata-driven fan-out. Videos
+    with NULL or zero duration plan NO frames (a ts-0 frame for a
+    duration-less video would send the decode join after content that
+    cannot exist)."""
+    return (
+        df.filter(
+            (F.col("kind") == "video")
+            & (F.coalesce(F.col("duration_ms"), F.lit(0)) > 0)
+        )
+        .select(
+            "media_id",
+            F.posexplode(
+                F.sequence(
+                    F.lit(0),
+                    F.col("duration_ms") - 1,
+                    F.lit(every_ms),
+                )
+            ).alias("frame_idx", "ts_ms"),
+        )
     )

@@ -266,6 +266,7 @@ def decode_doc(
     num_triggers: int = -1,
     min_conn: int = 1,
     stats: dict[str, int] | None = None,
+    directed_adjacency: bool = False,
 ) -> dict[str, list[tuple[int | None, ...]]]:
     """Full per-document decode: event-type detection → combination
     enumeration (cliques, trigger-graph combinations, or EDAG expansion)
@@ -320,12 +321,19 @@ def decode_doc(
                 partial: list[tuple[int | None, ...]] = [()]
                 for f in fields:
                     cands = [i for i in in_sent if field_matches(span_fields[i], f)]
-                    nxt = [
-                        p + (c,)
-                        for p in partial
-                        for c in (cands if cands else [None])
-                        if c is None or c not in p
-                    ] or [p + (None,) for p in partial]
+                    # EVERY path extends (the reference's "ensure every
+                    # last path will be extended", append_all_spans in
+                    # dee/modules/__init__.py:96-99): a path whose
+                    # candidates are all used falls back to None for this
+                    # role instead of being dropped while siblings extend.
+                    # Documented deviation: the reference reuses spans
+                    # across roles freely (its field classifier gates
+                    # candidates); this deterministic analog keeps the
+                    # no-reuse constraint per path.
+                    nxt = []
+                    for p in partial:
+                        ext = [p + (c,) for c in cands if c not in p]
+                        nxt.extend(ext or [p + (None,)])
                     partial = nxt[:max_paths]
                     if len(nxt) > max_paths and stats is not None:
                         stats["n_paths_pruned"] = (
@@ -382,10 +390,13 @@ def decode_doc(
             # the deterministic analog from the catalog's trigger roles:
             # a span filling a trigger role of a type cued in its
             # sentence points at every co-occurring span (incl. itself —
-            # the reference's trigger self-loop). An already-directed
-            # matrix (model-scored, adjacency="matrix") passes through.
+            # the reference's trigger self-loop). A matrix the CALLER
+            # declares directed (directed_adjacency=True — the
+            # adjacency="matrix" model slot) always passes through;
+            # symmetry sniffing alone would misfire on all-zero or 1×1
+            # model outputs and silently override the model's decision.
             d_adj = adj
-            if all(
+            if not directed_adjacency and all(
                 adj[i][j] == adj[j][i]
                 for i in range(len(adj))
                 for j in range(i + 1, len(adj))
@@ -412,7 +423,8 @@ def decode_doc(
             cand: set[str] = set()
             for i in clique:
                 for si in span_sent_idxs[i]:
-                    cand |= sent_types[si]
+                    if si < len(sent_types):  # clipped docs: idx may overflow
+                        cand |= sent_types[si]
             best_type, best_rec, best_n = None, None, 0
             for et in event_fields:  # catalog order = tie-break order
                 if et not in cand:
@@ -428,10 +440,20 @@ def decode_doc(
         for et in event_fields:
             if et not in doc_types:
                 continue
-            # restrict to spans mentioned in a sentence cueing this type,
-            # plus spans adjacency-linked to them (shared-argument case)
+            # restrict to spans mentioned in a sentence cueing this type.
+            # Deliberate gating semantics (differs from clique mode, which
+            # types combinations AFTER formation): a span never co-located
+            # with a cue sentence cannot enter this type's expansion, even
+            # when adjacency-linked to a cue span — the reference needs no
+            # gate because its learned field classifier does the typing
+            # (doc2edag.py:563-585); the deterministic analog trades that
+            # recall for cue precision, and the SQL oracle re-derives the
+            # same gate (span_cue)
             in_cue = [
-                any(et in sent_types[si] for si in span_sent_idxs[i])
+                any(
+                    si < len(sent_types) and et in sent_types[si]
+                    for si in span_sent_idxs[i]
+                )
                 for i in range(len(span_fields))
             ]
             gated = [

@@ -65,6 +65,11 @@ def tokenize(text: str, lang: str) -> list[str]:
 # (dee/utils.py:602-623). Each returns [(matched_text, (char_s, char_e)), ...]
 # with char_e exclusive, like re.Match.span().
 
+# verbatim from the reference (dee/utils.py:603) INCLUDING its quirks,
+# preserved deliberately for extraction parity: the consumed [^票]
+# character means a share amount at end-of-sentence never matches, and
+# finditer resumes after the consumed char (adjacent amounts can split);
+# a lookahead would fix both but diverge from the reference's output
 _SHARE_RE = re.compile(r"(\d+股)[^票]")
 _RATIO_RE = re.compile(r"\d+(\.\d+)?%")
 _DATE_RE = re.compile(r"\d{4}年\d{1,2}月\d{1,2}日")

@@ -194,6 +194,10 @@ def decode(
                     max_paths=max_paths,
                     exact_fields=exact_fields,
                     stats=doc_stats,
+                    # the model slot's matrix is directed by declaration —
+                    # never overridden by the trigger modes' symmetric-
+                    # adjacency fallback (all-zero/1×1 sniffs misfire)
+                    directed_adjacency=use_matrix_adj,
                 )
                 pruned_col.append(int(doc_stats.get("n_paths_pruned", 0)))
                 recs = []
