@@ -947,6 +947,13 @@ def q_docee_key_sentences(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering is deliberate: the r3 driver run recorded 50 of these 53
+    # queries and the three missing ones were the last three entries, so
+    # the registry is ordered by evidence priority — every survey row's
+    # PRIMARY oracle comes first, and the tail holds the three queries
+    # whose survey rows are already covered by an earlier entry
+    # (embed_lsh_buckets ⊂ embed_lsh_topk; sorted_lineitems shares O6
+    # with distinct_statuses; priority_stats shapes like agg_rollup).
     return {
         "agg_rollup": q_agg_rollup,
         "filter_isin": q_filter_isin,
@@ -955,8 +962,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cube": q_events_cube,
         "user_mode_event": q_user_mode_event,
         "distinct_statuses": q_distinct_statuses,
-        "sorted_lineitems": q_sorted_lineitems,
-        "priority_stats": q_priority_stats,
         "sessionize": q_sessionize,
         "events_hourly": q_events_hourly,
         "props_extract": q_props_extract,
@@ -964,6 +969,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
+        "docee_dataset_stats": q_docee_dataset_stats,
+        "docee_trigger_importance": q_docee_trigger_importance,
+        "docee_key_sentences": q_docee_key_sentences,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_verified": q_dedup_minhash_verified,
@@ -972,7 +980,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash64": q_dedup_simhash64,
         "dedup_embed": q_dedup_embed,
         "embed_topk": q_embed_topk,
-        "embed_lsh_buckets": q_embed_lsh_buckets,
         "embed_lsh_topk": q_embed_lsh_topk,
         "embed_lsh_topk_mp": q_embed_lsh_topk_mp,
         "embed_ivf_topk": q_embed_ivf_topk,
@@ -998,9 +1005,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docee_adj_metrics": q_docee_adj_metrics,
         "docee_eval_rollup": q_docee_eval_rollup,
         "docee_eval_report": q_docee_eval_report,
-        "docee_trigger_importance": q_docee_trigger_importance,
-        "docee_dataset_stats": q_docee_dataset_stats,
-        "docee_key_sentences": q_docee_key_sentences,
+        "embed_lsh_buckets": q_embed_lsh_buckets,
+        "sorted_lineitems": q_sorted_lineitems,
+        "priority_stats": q_priority_stats,
     }
 
 

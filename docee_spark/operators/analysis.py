@@ -395,7 +395,13 @@ def git_hetero_edges(
 
     # intra-sentence pairs (git.py:978-982) and same-entity INTER-sentence
     # pairs (git.py:985-988) — the inter restriction keeps a span with two
-    # mentions in one sentence from emitting the same edge row twice
+    # mentions in one sentence from emitting the same edge row twice.
+    # Deviation vs reference: git.py's 'inter' branch emits same-entity
+    # pairs regardless of sentence, so its dgl MULTIGRAPH carries a
+    # duplicate — i.e. double-weight — edge for same-sentence repeat
+    # mentions; this implementation (and its SQL oracle) deliberately
+    # drops that duplicate, so message passing would weight such pairs
+    # 1× instead of 2×.
     mm_intra = mm_pairs(lambda a, b: a["sent_idx"] == b["sent_idx"])
     mm_ent = mm_pairs(
         lambda a, b: (a["span_idx"] == b["span_idx"])

@@ -64,13 +64,17 @@ def _gold_adjacency(n: int, span_texts: list[str], events) -> list[list[int]]:
 #: and rebuilding a scorer (tagger vocab + array copies) per task would
 #: repeat hundreds of times per executor; key = the broadcast's pickle
 #: path, the per-broadcast identity on the python-worker side (same
-#: pattern as tag._MODEL_CACHE)
-_SCORER_CACHE: dict[str, object] = {}
+#: pattern as tag._MODEL_CACHE). Entries store (bc, scorer): the strong
+#: reference pins the Broadcast so the id()-fallback key (used when
+#: _path is absent, e.g. driver-local execution) can never be reused by
+#: a later, different broadcast after GC.
+_SCORER_CACHE: dict[str, tuple[object, object]] = {}
 
 
 def _scorer_from_broadcast(bc):
     key = getattr(bc, "_path", None) or str(id(bc))
-    sc = _SCORER_CACHE.get(key)
+    entry = _SCORER_CACHE.get(key)
+    sc = entry[1] if entry is not None else None
     if sc is None:
         arr = bc.value
         if "rgcn_Wss" in arr:  # GIT RGCN (G10) variant
@@ -89,7 +93,7 @@ def _scorer_from_broadcast(bc):
             from ..model.adj_scorer import AdjScorer
 
             sc = AdjScorer.from_arrays(arr)
-        _SCORER_CACHE[key] = sc
+        _SCORER_CACHE[key] = (bc, sc)
     return sc
 
 

@@ -153,6 +153,17 @@ def run_pipeline(
     ``model``: a trained CharTagger (or its arrays) → the tag stage runs
     the batched model tagger (M1) instead of dictionary/gold modes.
     """
+    if adj_scorer is not None and mode in ("trigger", "trigger_incremental"):
+        # scorers emit SYMMETRIC 0/1 matrices; decode(adjacency="matrix")
+        # treats the matrix as a directed-by-declaration digraph, while
+        # the trigger modes' semantics are defined over the trigger-role-
+        # derived DIRECTED adjacency. Combining them would silently run
+        # trigger decode over a symmetric digraph — forbid instead.
+        raise ValueError(
+            "adj_scorer is incompatible with trigger modes: scorer matrices "
+            "are symmetric, trigger decode expects trigger-role-directed "
+            "adjacency (use mode='clique'/'edag' with adj_scorer)"
+        )
     spark = webtext.sparkSession
     nparts = n_partitions or spark.sparkContext.defaultParallelism
 
@@ -246,8 +257,16 @@ def run_pipeline(
         # model- AND gold-tagged spans carry exact role fields → the EDAG
         # expansion can branch per role instead of the coarse-field clique
         # fallback (decode's own inference only covers adjacency="gold";
-        # gold spans with sentence/matrix adjacency are exact too)
-        exact = True if (model is not None or gold is not None) else None
+        # gold spans with sentence/matrix adjacency are exact too).
+        # Mirrors build_tagged: with gold AND entity_dict both passed the
+        # tagging path is the heuristic dictionary tagger (coarse fields),
+        # so exact must stay None there or EDAG would branch-none over
+        # coarse fields (frontier flood).
+        exact = (
+            True
+            if (model is not None or (gold is not None and entity_dict is None))
+            else None
+        )
         return decode(src, mode=mode, adjacency=adj_mode, exact_fields=exact)
 
     decoded = staged("decode", build_decoded)

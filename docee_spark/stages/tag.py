@@ -188,8 +188,11 @@ def tag_heuristic(
 # broadcast), exactly like the reference's once-per-worker model init
 # (dee/tasks/dee_task.py model resume) — asserted in tests. Keyed by the
 # broadcast's backing file path: stable across task closures in the same
-# worker process, unique per broadcast.
-_MODEL_CACHE: dict[str, object] = {}
+# worker process, unique per broadcast. Entries store (bc, tagger): the
+# strong reference pins the Broadcast so the id()-fallback key (used when
+# _path is absent, e.g. driver-local execution) can never be reused by a
+# later, different broadcast after GC.
+_MODEL_CACHE: dict[str, tuple[object, object]] = {}
 MODEL_LOADS = 0
 
 
@@ -200,13 +203,14 @@ def _tagger_from_broadcast(bc):
     # _jbroadcast on the worker path) — the pickle file path IS the
     # per-broadcast identity there, unique per sc.broadcast() call
     key = getattr(bc, "_path", None) or str(id(bc))
-    tagger = _MODEL_CACHE.get(key)
-    if tagger is None:
-        from ..model.char_tagger import CharTagger
+    entry = _MODEL_CACHE.get(key)
+    if entry is not None:
+        return entry[1]
+    from ..model.char_tagger import CharTagger
 
-        tagger = CharTagger.from_arrays(bc.value)
-        _MODEL_CACHE[key] = tagger
-        MODEL_LOADS += 1
+    tagger = CharTagger.from_arrays(bc.value)
+    _MODEL_CACHE[key] = (bc, tagger)
+    MODEL_LOADS += 1
     return tagger
 
 

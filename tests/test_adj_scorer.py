@@ -12,6 +12,18 @@ def scorer():
     return ensure_scorer()
 
 
+class TestTriggerModeGuard:
+    def test_adj_scorer_with_trigger_mode_raises(self, spark, web_df, scorer):
+        """Scorer matrices are symmetric; trigger decode is defined over
+        the trigger-role-derived DIRECTED adjacency. run_pipeline must
+        refuse the combination instead of silently changing semantics."""
+        from docee_spark.stages.pipeline import run_pipeline
+
+        for mode in ("trigger", "trigger_incremental"):
+            with pytest.raises(ValueError, match="trigger"):
+                run_pipeline(web_df, entity_dict={}, mode=mode, adj_scorer=scorer)
+
+
 class TestScorerQuality:
     def test_pair_auc_beats_chance(self, corpus, scorer):
         """Scored adjacency must reconstruct the gold pair labels well on

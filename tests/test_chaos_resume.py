@@ -18,6 +18,9 @@ import sys
 import time
 
 import duckdb
+import pytest
+
+pytestmark = pytest.mark.slow
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 N_DOCS = "6000"

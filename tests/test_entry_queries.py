@@ -9,6 +9,8 @@ import pytest
 
 import __spark_entry__ as entry_mod
 
+pytestmark = pytest.mark.slow
+
 SF_DIR = "/root/testdata/sf0.001"
 TABLES = (
     "region nation customer supplier part orders lineitem events "
