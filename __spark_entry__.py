@@ -1972,16 +1972,18 @@ def _docee_triples_trigger_sql(incremental: bool) -> str:
     """Fully independent oracles for the TRIGGER decode modes (G6/G7,
     guessing-mode |R|). The directed trigger graph (span i → co-occurring
     span j wherever i fills a tier-1 trigger role of a type cued in the
-    shared sentence) is built relationally. G6: combinations = mutual
-    trigger pairs ∪ the intersection of their successors, plus unused
-    triggers' own successor sets — valid because the folded trigger
-    graph has no triangle on this corpus (max maximal-clique size 2,
-    pinned by pytest), so BK maximal cliques are exactly the mutual
-    pairs; single-trigger docs reduce to the left-trigger fallback,
-    which is the |R|=1 branch verbatim. G7: each trigger absorbs its
-    non-trigger successors plus trigger successors sharing ≥ min_conn
-    (=1) of them. Typing/filling/dedup tail shared with the clique
-    oracle."""
+    shared sentence) is built relationally. G6: maximal cliques of the
+    FOLDED (mutual-edge) trigger graph are enumerated by a recursive CTE
+    (canonical ascending-vertex growth, maximality anti-join — the same
+    fully general construction as the matrix-mode oracles, no
+    corpus-pinned size bound: the reference tier table makes share-typed
+    pseudo-triggers common, so folded cliques of size ≥3 occur on the
+    fixture corpus); each clique emits clique ∪ ⋂ successors(members),
+    and triggers unused by any clique fall back to their own successor
+    set (left-trigger option; single-trigger docs reduce to the |R|=1
+    branch verbatim). G7: each trigger absorbs its non-trigger
+    successors plus trigger successors sharing ≥ min_conn (=1) of them.
+    Typing/filling/dedup tail shared with the clique oracle."""
     from docee_spark.config import CHFINANN_EVENT_TYPES, ROLE_COARSE_TYPE
     from docee_spark.pyref.edag import DEFAULT_TYPE_KEYWORDS
 
@@ -2028,18 +2030,57 @@ mutual as materialized (
     on e2.doc_id = e1.doc_id and e2.i = e1.j and e2.j = e1.i
   where e1.i < e1.j
 ),
-pair_combs as materialized (
-  select m.doc_id,
-         list_sort(list_distinct([m.i, m.j] ||
-           list_filter(si.ns, x -> list_contains(sj.ns, x)))) as members
-  from mutual m
-  join succs si on si.doc_id = m.doc_id and si.v = m.i
-  join succs sj on sj.doc_id = m.doc_id and sj.v = m.j
+mnb as materialized (
+  -- folded-graph neighbour lists (mutual edges, both directions)
+  select doc_id, v, list_sort(list(distinct u)) as nbl
+  from (
+    select doc_id, i as v, j as u from mutual
+    union all
+    select doc_id, j, i from mutual
+  ) group by doc_id, v
+),
+tgrow as materialized (
+  with recursive grow as (
+    select doc_id, [v] as members, v as last from mnb
+    union all
+    select g.doc_id, list_append(g.members, m.v), m.v
+    from grow g
+    join mnb m on m.doc_id = g.doc_id and m.v > g.last
+     and len(list_filter(g.members,
+                         x -> not list_contains(m.nbl, x))) = 0
+  )
+  select doc_id, members from grow where len(members) >= 2
+),
+tcliques as materialized (
+  -- maximal: no outside folded vertex is adjacent to every member
+  select doc_id, members from tgrow c
+  where not exists (
+    select 1 from mnb m
+    where m.doc_id = c.doc_id
+      and not list_contains(c.members, m.v)
+      and len(list_filter(c.members,
+                          x -> not list_contains(m.nbl, x))) = 0
+  )
+),
+comb_succ as materialized (
+  -- ⋂ successors(clique members): a successor shared by every member
+  select c.doc_id, c.members, u.x
+  from tcliques c
+  join succs s on s.doc_id = c.doc_id and list_contains(c.members, s.v),
+       unnest(s.ns) as u(x)
+  group by c.doc_id, c.members, u.x
+  having count(*) = len(c.members)
+),
+clique_combs as materialized (
+  select c.doc_id,
+         list_sort(list_distinct(c.members || coalesce(cs.xs, []))) as members
+  from tcliques c
+  left join (select doc_id, members, list(x) as xs
+             from comb_succ group by doc_id, members) cs
+    on cs.doc_id = c.doc_id and cs.members = c.members
 ),
 used as materialized (
-  select doc_id, i as v from mutual
-  union
-  select doc_id, j from mutual
+  select distinct doc_id, unnest(members) as v from tcliques
 ),
 left_combs as materialized (
   select t.doc_id, list_sort(list_distinct([t.v] || s.ns)) as members
@@ -2049,7 +2090,7 @@ left_combs as materialized (
                     where u.doc_id = t.doc_id and u.v = t.v)
 ),
 combs as materialized (
-  select distinct doc_id, members from pair_combs
+  select distinct doc_id, members from clique_combs
   union
   select distinct doc_id, members from left_combs
 )"""

@@ -74,6 +74,41 @@ def host_health_probe() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _saturating_worker(iters: int) -> float:
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(512, 512))
+    b = rng.normal(size=(512, 512))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        a = np.tanh(a @ b * 1e-3)
+    return time.perf_counter() - t0
+
+
+def host_health_probe_saturating(n_procs: int | None = None) -> float:
+    """All-cores CPU probe (wall seconds; lower = healthier).
+
+    The single-thread probe has a documented blind spot: hypervisor
+    steal that only bites when all 32 cores are busy (BENCH.md records
+    a run with healthy single-thread probes while 32-thread UDF stages
+    sat 40% off the floor). This probe runs the same tanh-matmul on
+    EVERY core simultaneously via multiprocessing; on an unthrottled
+    host wall time ≈ the single-process time (embarrassingly parallel),
+    and core-saturating steal inflates it proportionally — so the pair
+    (single, saturating) separates "host slow" from "host slow only
+    under full load", which is exactly the regime Spark local[32]
+    benches run in."""
+    import multiprocessing as mp
+
+    n = n_procs or os.cpu_count() or 1
+    t0 = time.perf_counter()
+    ctx = mp.get_context("fork")
+    with ctx.Pool(n) as pool:
+        pool.map(_saturating_worker, [10] * n)
+    return round(time.perf_counter() - t0, 3)
+
+
 def run_bench(cpus: int = CPUS, sf_dir: str = SF_DIR) -> dict:
     os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
     import __spark_entry__ as em
@@ -94,6 +129,7 @@ def run_bench(cpus: int = CPUS, sf_dir: str = SF_DIR) -> dict:
     )
 
     health_start = host_health_probe()
+    health_sat_start = host_health_probe_saturating()
     qtimes: dict[str, float] = {}
     qs = em.queries()
 
@@ -199,6 +235,14 @@ def run_bench(cpus: int = CPUS, sf_dir: str = SF_DIR) -> dict:
         # healthy-idle; inflated proportionally in a hypervisor-throttle
         # window — use to normalize this record for host health)
         "host_health_sec": [health_start, host_health_probe()],
+        # all-cores probe at start/end: catches core-saturating steal
+        # the single-thread probe is blind to (healthy ≈ the single-
+        # probe's per-process time; throttled inflates 2-5×) — compare
+        # records ONLY after normalizing by this pair
+        "host_health_saturating_sec": [
+            health_sat_start,
+            host_health_probe_saturating(),
+        ],
     }
 
 

@@ -48,7 +48,16 @@ CHFINANN_EVENT_TYPES: tuple[EventType, ...] = (
             "EndDate",
             "UnfrozeDate",
         ),
-        triggers={1: ("LegalInstitution",), 2: ("FrozeShares", "LegalInstitution")},
+        triggers={
+            1: ('LegalInstitution',),
+            2: ('FrozeShares', 'LegalInstitution'),
+            3: ('FrozeShares', 'LegalInstitution', 'StartDate'),
+            4: ('EquityHolder', 'FrozeShares', 'LegalInstitution', 'StartDate'),
+            5: ('EquityHolder', 'FrozeShares', 'LegalInstitution', 'StartDate', 'TotalHoldingRatio'),
+            6: ('EquityHolder', 'FrozeShares', 'LegalInstitution', 'StartDate', 'TotalHoldingRatio', 'UnfrozeDate'),
+            7: ('EquityHolder', 'FrozeShares', 'LegalInstitution', 'StartDate', 'TotalHoldingRatio', 'TotalHoldingShares', 'UnfrozeDate'),
+            8: ('EndDate', 'EquityHolder', 'FrozeShares', 'LegalInstitution', 'StartDate', 'TotalHoldingRatio', 'TotalHoldingShares', 'UnfrozeDate'),
+        },
         min_field_num=5,
         key_fields=("EquityHolder",),
     ),
@@ -62,7 +71,14 @@ CHFINANN_EVENT_TYPES: tuple[EventType, ...] = (
             "ClosingDate",
             "RepurchaseAmount",
         ),
-        triggers={1: ("RepurchasedShares",), 2: ("RepurchasedShares", "ClosingDate")},
+        triggers={
+            1: ('RepurchasedShares',),
+            2: ('RepurchaseAmount', 'RepurchasedShares'),
+            3: ('ClosingDate', 'RepurchaseAmount', 'RepurchasedShares'),
+            4: ('ClosingDate', 'CompanyName', 'RepurchaseAmount', 'RepurchasedShares'),
+            5: ('ClosingDate', 'CompanyName', 'HighestTradingPrice', 'RepurchaseAmount', 'RepurchasedShares'),
+            6: ('ClosingDate', 'CompanyName', 'HighestTradingPrice', 'LowestTradingPrice', 'RepurchaseAmount', 'RepurchasedShares'),
+        },
         min_field_num=4,
         key_fields=("CompanyName",),
     ),
@@ -76,7 +92,14 @@ CHFINANN_EVENT_TYPES: tuple[EventType, ...] = (
             "LaterHoldingShares",
             "AveragePrice",
         ),
-        triggers={1: ("TradedShares",), 2: ("EquityHolder", "TradedShares")},
+        triggers={
+            1: ('TradedShares',),
+            2: ('EndDate', 'EquityHolder'),
+            3: ('EquityHolder', 'StartDate', 'TradedShares'),
+            4: ('EndDate', 'EquityHolder', 'StartDate', 'TradedShares'),
+            5: ('EndDate', 'EquityHolder', 'LaterHoldingShares', 'StartDate', 'TradedShares'),
+            6: ('AveragePrice', 'EndDate', 'EquityHolder', 'LaterHoldingShares', 'StartDate', 'TradedShares'),
+        },
         min_field_num=4,
         key_fields=("EquityHolder",),
     ),
@@ -90,7 +113,14 @@ CHFINANN_EVENT_TYPES: tuple[EventType, ...] = (
             "LaterHoldingShares",
             "AveragePrice",
         ),
-        triggers={1: ("TradedShares",), 2: ("EquityHolder", "TradedShares")},
+        triggers={
+            1: ('TradedShares',),
+            2: ('EquityHolder', 'StartDate'),
+            3: ('EquityHolder', 'StartDate', 'TradedShares'),
+            4: ('EquityHolder', 'LaterHoldingShares', 'StartDate', 'TradedShares'),
+            5: ('EndDate', 'EquityHolder', 'LaterHoldingShares', 'StartDate', 'TradedShares'),
+            6: ('AveragePrice', 'EndDate', 'EquityHolder', 'LaterHoldingShares', 'StartDate', 'TradedShares'),
+        },
         min_field_num=4,
         key_fields=("EquityHolder",),
     ),
@@ -107,7 +137,17 @@ CHFINANN_EVENT_TYPES: tuple[EventType, ...] = (
             "EndDate",
             "ReleasedDate",
         ),
-        triggers={1: ("Pledgee",), 2: ("PledgedShares", "Pledgee")},
+        triggers={
+            1: ('PledgedShares',),
+            2: ('PledgedShares', 'StartDate'),
+            3: ('EndDate', 'PledgedShares', 'StartDate'),
+            4: ('EndDate', 'PledgedShares', 'ReleasedDate', 'StartDate'),
+            5: ('EndDate', 'PledgedShares', 'Pledgee', 'ReleasedDate', 'StartDate'),
+            6: ('EndDate', 'PledgedShares', 'Pledgee', 'Pledger', 'ReleasedDate', 'StartDate'),
+            7: ('EndDate', 'PledgedShares', 'Pledgee', 'Pledger', 'ReleasedDate', 'StartDate', 'TotalPledgedShares'),
+            8: ('EndDate', 'PledgedShares', 'Pledgee', 'Pledger', 'ReleasedDate', 'StartDate', 'TotalHoldingShares', 'TotalPledgedShares'),
+            9: ('EndDate', 'PledgedShares', 'Pledgee', 'Pledger', 'ReleasedDate', 'StartDate', 'TotalHoldingRatio', 'TotalHoldingShares', 'TotalPledgedShares'),
+        },
         min_field_num=7,
         key_fields=("Pledger",),
     ),

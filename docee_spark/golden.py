@@ -44,7 +44,7 @@ import pyarrow.parquet as pq
 
 from .config import CHFINANN_EVENT_TYPES, MAX_SENT_LEN, MAX_SENT_NUM, label_index
 
-VERSION = "v12"  # v11: +adj_* scorer adjacencies; v12: +git_rgcn (G10 scorer mode)
+VERSION = "v13"  # v12: +git_rgcn; v13: +tagger weight dump + spot docs (model_spans_spot oracle)
 N_DOCS = 120
 SEED = 7
 
@@ -552,12 +552,141 @@ def ensure_golden(force: bool = False) -> str:
         os.path.join(GOLDEN_DIR, "eval_stats.parquet"),
     )
     _write_adj_metrics(gold_rows)
+    _write_tagger_tables(tagger, web_rows)
 
     tmp = manifest_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(want, f)
     os.replace(tmp, manifest_path)
     return GOLDEN_DIR
+
+
+def _write_tagger_tables(tagger, web_rows: list[dict]) -> None:
+    """Dump the trained char tagger as flat relations + pick SPOT docs —
+    the `model_spans_spot` oracle re-derives the tagger's ENTIRE
+    inference (char ids → windowed emission sums → constrained Viterbi →
+    BIO→span assembly) in DuckDB SQL from these tables, shrinking the
+    model-oracle residue to the training step alone.
+
+    Spot docs: the 4 shortest span-bearing fixture docs whose float64
+    re-inference (what SQL computes — float32 weights widened exactly,
+    summed in double) chooses the same Viterbi paths as the engine's
+    float32 inference.  Rounding can only diverge when an argmax margin
+    is ~1e-6; such docs are excluded by construction here (none on the
+    current corpus), so the SQL derivation is exact on the spot set."""
+    import numpy as np
+
+    O, V, L = tagger.W.shape
+
+    def f64_paths(sents: list[str]) -> list[list[int]]:
+        W64 = tagger.W.astype(np.float64)
+        out = []
+        neg = -1e30
+        for s in sents:
+            ids = np.array([tagger.vocab.get(c, 1) for c in s], dtype=np.int64)
+            T = len(ids)
+            if T == 0:
+                out.append([])
+                continue
+            em = np.zeros((T, L), dtype=np.float64)
+            for oi, off in enumerate(tagger.offsets):
+                idx = np.arange(T) + off
+                src = np.where((idx >= 0) & (idx < T), ids[np.clip(idx, 0, T - 1)], 0)
+                em += W64[oi][src]
+            dp = np.where(tagger.start_ok, em[0], neg)
+            back = np.zeros((T, L), dtype=np.int64)
+            mask = np.where(tagger.trans_ok, 0.0, neg)
+            for t in range(1, T):
+                sc = dp[:, None] + mask
+                back[t] = sc.argmax(axis=0)
+                dp = sc.max(axis=0) + em[t]
+            path = np.zeros(T, dtype=np.int64)
+            path[-1] = int(dp.argmax())
+            for t in range(T - 1, 0, -1):
+                path[t - 1] = back[t, path[t]]
+            out.append([int(x) for x in path])
+        return out
+
+    cands = []
+    for web in web_rows:
+        sents = _segment(web["text"], lang=web["lang"])
+        if not tagger.doc_spans(sents):
+            continue
+        cands.append((max(len(s) for s in sents), web["url"], sents))
+    cands.sort(key=lambda x: (x[0], x[1]))
+    spots = []
+    for max_len, doc_id, sents in cands:
+        if tagger.predict_sent_labels(sents) == f64_paths(sents):
+            spots.append((doc_id, max_len))
+        if len(spots) >= 4:
+            break
+
+    oi = np.repeat(np.arange(O, dtype=np.int32), V * L)
+    cid = np.tile(np.repeat(np.arange(V, dtype=np.int32), L), O)
+    lid = np.tile(np.arange(L, dtype=np.int32), O * V)
+    pq.write_table(
+        pa.table(
+            {
+                "oi": oi,
+                "char_id": cid,
+                "label_id": lid,
+                "w": tagger.W.astype(np.float64).ravel(),
+            }
+        ),
+        os.path.join(GOLDEN_DIR, "tagger_weights.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "oi": np.arange(O, dtype=np.int32),
+                "off": np.array(tagger.offsets, dtype=np.int32),
+            }
+        ),
+        os.path.join(GOLDEN_DIR, "tagger_offsets.parquet"),
+    )
+    chars = sorted(tagger.vocab, key=tagger.vocab.get)
+    pq.write_table(
+        pa.table(
+            {
+                "ch": pa.array(chars, pa.string()),
+                "char_id": pa.array(
+                    [tagger.vocab[c] for c in chars], pa.int32()
+                ),
+            }
+        ),
+        os.path.join(GOLDEN_DIR, "tagger_vocab.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "label_id": np.arange(L, dtype=np.int32),
+                "label": pa.array(tagger.labels, pa.string()),
+                "start_ok": pa.array(
+                    [bool(x) for x in tagger.start_ok], pa.bool_()
+                ),
+            }
+        ),
+        os.path.join(GOLDEN_DIR, "tagger_labels.parquet"),
+    )
+    frm, to = np.nonzero(tagger.trans_ok)
+    pq.write_table(
+        pa.table(
+            {
+                "from_id": frm.astype(np.int32),
+                "to_id": to.astype(np.int32),
+            }
+        ),
+        os.path.join(GOLDEN_DIR, "tagger_trans.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in spots], pa.string()),
+                "max_len": pa.array([m for _, m in spots], pa.int32()),
+            }
+        ),
+        os.path.join(GOLDEN_DIR, "spot_docs.parquet"),
+    )
 
 
 def _write_adj_metrics(gold_rows: list[dict]) -> None:

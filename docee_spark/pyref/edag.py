@@ -206,22 +206,31 @@ def detect_types_per_sentence(
     ]
 
 
-def _trigger_roles_for(num_triggers: int) -> dict[str, set[str]]:
+def _trigger_roles_for(
+    num_triggers: int,
+    trigger_tiers: dict[str, dict[int, tuple[str, ...]]] | None = None,
+) -> dict[str, set[str]]:
     """Per event type, the trigger-role set for |R| = num_triggers
     (EventType.triggers, config.py): pick the largest configured tier
     ≤ |R| (reference clamps num_triggers to the available tiers,
-    arg_rel.py:283-289); tier 1 when guessing (< 1)."""
-    from ..config import CHFINANN_EVENT_TYPES
+    arg_rel.py:283-289); tier 1 when guessing (< 1).  ``trigger_tiers``
+    overrides the catalog (default ChFinAnn) — {type: {|R|: roles}}."""
+    if trigger_tiers is None:
+        from ..config import CHFINANN_EVENT_TYPES
 
+        trigger_tiers = {
+            et.name: et.triggers
+            for et in CHFINANN_EVENT_TYPES
+            if getattr(et, "triggers", None)
+        }
     n = num_triggers if num_triggers >= 1 else 1
     out: dict[str, set[str]] = {}
-    for et in CHFINANN_EVENT_TYPES:
-        tiers = getattr(et, "triggers", None) or {}
+    for name, tiers in trigger_tiers.items():
         if not tiers:
             continue
         usable = [k for k in tiers if k <= n]
         k = max(usable) if usable else min(tiers)
-        out[et.name] = set(tiers[k])
+        out[name] = set(tiers[k])
     return out
 
 
@@ -230,6 +239,7 @@ def _directed_trigger_adjacency(
     span_sent_idxs: list[list[int]],
     sent_types: list[set[str]],
     num_triggers: int,
+    trigger_tiers: dict[str, dict[int, tuple[str, ...]]] | None = None,
 ) -> AdjMat:
     """Deterministic directed trigger graph (build_directed_graph analog,
     arg_rel.py:281-323): span i → span j iff i fills a trigger role of a
@@ -237,7 +247,7 @@ def _directed_trigger_adjacency(
     for triggers, like the reference's self[trigger, trigger] = 1)."""
     n = len(span_fields)
     adj = [[0] * n for _ in range(n)]
-    roles_of = _trigger_roles_for(num_triggers)
+    roles_of = _trigger_roles_for(num_triggers, trigger_tiers)
     by_sent: dict[int, list[int]] = {}
     for i, sents in enumerate(span_sent_idxs):
         for si in sents:
@@ -267,6 +277,7 @@ def decode_doc(
     min_conn: int = 1,
     stats: dict[str, int] | None = None,
     directed_adjacency: bool = False,
+    trigger_tiers: dict[str, dict[int, tuple[str, ...]]] | None = None,
 ) -> dict[str, list[tuple[int | None, ...]]]:
     """Full per-document decode: event-type detection → combination
     enumeration (cliques, trigger-graph combinations, or EDAG expansion)
@@ -402,7 +413,11 @@ def decode_doc(
                 for j in range(i + 1, len(adj))
             ):
                 d_adj = _directed_trigger_adjacency(
-                    span_fields, span_sent_idxs, sent_types, num_triggers
+                    span_fields,
+                    span_sent_idxs,
+                    sent_types,
+                    num_triggers,
+                    trigger_tiers,
                 )
             if mode == "trigger":
                 from .graph import directed_trigger_decode

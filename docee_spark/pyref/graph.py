@@ -253,3 +253,44 @@ def adjacency_from_records(n: int, records: list[list[int]]) -> AdjMat:
         for i in set(rec):
             adj[i][i] = 1
     return adj
+
+
+def trigger_aware_adjacency(
+    n: int,
+    typed_records: list[tuple[str, tuple[int | None, ...]]],
+    event_fields: dict[str, list[str]],
+    num_triggers: int,
+    directed: bool = False,
+    trigger_tiers: dict[str, dict[int, tuple[str, ...]]] | None = None,
+) -> AdjMat:
+    """Gold-revealed trigger-aware adjacency (the reference's
+    ``AdjMat(..., trigger_aware_graph=True[, directed_graph=True])``,
+    dee/helper/arg_rel.py:281-323): per event record, spans filling a
+    trigger role of the |R|=num_triggers tier point at every other
+    member (plus the trigger self-loop); non-trigger members get no
+    out-edges.  ``directed=False`` symmetrizes, reproducing the
+    reference's undirected trigger-aware reveal.  ``typed_records``:
+    (event_type, record-tuple of span idx|None aligned with
+    event_fields[type])."""
+    from .edag import _trigger_roles_for
+
+    roles_of = _trigger_roles_for(num_triggers, trigger_tiers)
+    adj = [[0] * n for _ in range(n)]
+    for et, rec in typed_records:
+        fields = event_fields[et]
+        members = [i for i in rec if i is not None]
+        trig_roles = roles_of.get(et, set())
+        trigs = [
+            i
+            for f, i in zip(fields, rec)
+            if i is not None and f in trig_roles
+        ]
+        for t in trigs:
+            for m in members:
+                adj[t][m] = 1  # includes the reference's self-loop
+    if not directed:
+        for i in range(n):
+            for j in range(n):
+                if adj[i][j]:
+                    adj[j][i] = 1
+    return adj

@@ -140,6 +140,9 @@ def decode(
     adjacency: str = "sentence",
     max_paths: int = MAX_EDAG_PATHS,
     exact_fields: bool | None = None,
+    event_types=None,
+    type_keywords: dict[str, tuple[str, ...]] | None = None,
+    num_triggers: int = -1,
 ) -> DataFrame:
     """→ doc rows + ``events`` column (schema.EVENTS).
 
@@ -147,9 +150,21 @@ def decode(
     trained-model tagger) rather than coarse types (dictionary+regex).
     Default None = infer from adjacency ("gold" ⇒ exact) — pass True
     explicitly for model-tagged spans so the EDAG expansion runs its real
-    per-role branching instead of the coarse-field clique fallback."""
-    event_fields = {et.name: list(et.fields) for et in CHFINANN_EVENT_TYPES}
-    min_fields = {et.name: et.min_field_num for et in CHFINANN_EVENT_TYPES}
+    per-role branching instead of the coarse-field clique fallback.
+
+    ``event_types``/``type_keywords``: the event-schema catalog and the
+    per-type sentence cue table — default ChFinAnn, exactly like the
+    reference's template selection by name (dee/event_types/__init__.py
+    get_event_template); pass catalogs.WIKIEVENTS_EVENT_TYPES (+ a
+    corpus cue table, refdata.trigger_type_keywords) for KAIROS data."""
+    cat = tuple(event_types) if event_types is not None else CHFINANN_EVENT_TYPES
+    event_fields = {et.name: list(et.fields) for et in cat}
+    min_fields = {et.name: et.min_field_num for et in cat}
+    trigger_tiers = {
+        et.name: {k: tuple(v) for k, v in et.triggers.items()}
+        for et in cat
+        if getattr(et, "triggers", None)
+    }
     use_gold_adj = adjacency == "gold"
     use_matrix_adj = adjacency == "matrix"
     if exact_fields is None:
@@ -195,8 +210,11 @@ def decode(
                     event_fields,
                     min_fields,
                     mode=mode,
+                    type_keywords=type_keywords,
                     max_paths=max_paths,
                     exact_fields=exact_fields,
+                    trigger_tiers=trigger_tiers,
+                    num_triggers=num_triggers,
                     stats=doc_stats,
                     # the model slot's matrix is directed by declaration —
                     # never overridden by the trigger modes' symmetric-

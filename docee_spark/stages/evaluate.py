@@ -36,14 +36,19 @@ def _records_by_type(events, fields_of) -> dict[str, list[tuple]]:
     return out
 
 
-def role_stats(pred: DataFrame, gold: DataFrame) -> DataFrame:
+def role_stats(
+    pred: DataFrame, gold: DataFrame, event_types=None
+) -> DataFrame:
     """→ one row per (doc, event_type, role) with tp/fp/fn counts.
 
     ``pred``: (doc_id, events); ``gold``: (doc_id, doc_type, events).
     Cogrouped on doc_id so a document's pred and gold meet row-locally —
     a co-partitioned shuffle each side, nothing collected to the driver.
+    ``event_types``: the schema catalog (default ChFinAnn), mirroring the
+    reference harness' template selection.
     """
-    fields_of = {et.name: list(et.fields) for et in CHFINANN_EVENT_TYPES}
+    cat = tuple(event_types) if event_types is not None else CHFINANN_EVENT_TYPES
+    fields_of = {et.name: list(et.fields) for et in cat}
 
     def match(key, pred_pdf: pd.DataFrame, gold_pdf: pd.DataFrame) -> pd.DataFrame:
         doc_id = key[0]

@@ -144,6 +144,11 @@ def run_pipeline(
     rearrange_max_len: int | None = None,
     adj_scorer=None,
     ent_fix_mode: str = "n",
+    presegmented: bool = False,
+    event_types=None,
+    type_keywords: dict[str, tuple[str, ...]] | None = None,
+    label2id: dict[str, int] | None = None,
+    num_triggers: int = -1,
 ) -> dict[str, DataFrame]:
     """webtext (+optional gold) → {docs, tagged, decoded, triples,
     vertices, edges[, stats]}.
@@ -152,6 +157,15 @@ def run_pipeline(
     resume from the last committed stage for the same input fingerprint.
     ``model``: a trained CharTagger (or its arrays) → the tag stage runs
     the batched model tagger (M1) instead of dictionary/gold modes.
+
+    ``presegmented=True``: ``webtext`` is a (doc_id, lang, sentences)
+    docs frame — skip ingest+segment and consume the sentence windows
+    as-is, exactly like the reference consumes its post-processed dumps
+    (refdata.load_reference_docs produces this shape).
+    ``event_types``/``type_keywords``/``label2id``: non-default event
+    catalog (e.g. catalogs.WIKIEVENTS_EVENT_TYPES), per-type sentence
+    cues, and BIO label space — the reference's template selection by
+    name (dee/event_types/__init__.py get_event_template).
     """
     if adj_scorer is not None and mode in ("trigger", "trigger_incremental"):
         # scorers emit SYMMETRIC 0/1 matrices; decode(adjacency="matrix")
@@ -179,10 +193,23 @@ def run_pipeline(
     # of the staged path sits right before the Arrow UDF work (inside
     # build_tagged: length-bucket + salt), and the fused path avoids even
     # that when the scan is already well-split.
-    docs = staged(
-        "segment",
-        lambda: segment(ingest(webtext, langs=langs, use_html=use_html)),
-    )
+    if presegmented:
+        if fused:
+            raise ValueError("fused requires the webtext (S1) input shape")
+        # sentence windows consumed as-is; counters zeroed (nothing was
+        # dropped/clipped by THIS engine — the dump's own truncation
+        # history is the reference data-prep's, not ours)
+        docs = staged(
+            "segment",
+            lambda: webtext.withColumn("n_sents_dropped", F.lit(0))
+            .withColumn("n_sents_clipped", F.lit(0))
+            .withColumn("n_sents", F.size("sentences")),
+        )
+    else:
+        docs = staged(
+            "segment",
+            lambda: segment(ingest(webtext, langs=langs, use_html=use_html)),
+        )
 
     if fused:
         # one Arrow UDF for (segment+)tag+decode (heuristic path, no stage
@@ -212,7 +239,7 @@ def run_pipeline(
             decoded = tag_decode_fused(
                 ensure_parallelism(docs, nparts), entity_dict or {}, mode=mode
             )
-        trip = triples(decoded)
+        trip = triples(decoded, event_types=event_types)
         dict_df = None
         if entity_dict:
             dict_df = spark.createDataFrame(
@@ -232,7 +259,12 @@ def run_pipeline(
         if model is not None:
             return tag_model(bucketed, model, ent_fix_mode=ent_fix_mode)
         if gold is not None and entity_dict is None:
-            return tag_gold(bucketed, gold, rearrange_max_len=rearrange_max_len)
+            return tag_gold(
+                bucketed,
+                gold,
+                rearrange_max_len=rearrange_max_len,
+                label2id=label2id,
+            )
         return tag_heuristic(
             bucketed, entity_dict or {}, rearrange_max_len=rearrange_max_len
         )
@@ -267,10 +299,18 @@ def run_pipeline(
             if (model is not None or (gold is not None and entity_dict is None))
             else None
         )
-        return decode(src, mode=mode, adjacency=adj_mode, exact_fields=exact)
+        return decode(
+            src,
+            mode=mode,
+            adjacency=adj_mode,
+            exact_fields=exact,
+            event_types=event_types,
+            type_keywords=type_keywords,
+            num_triggers=num_triggers,
+        )
 
     decoded = staged("decode", build_decoded)
-    trip = staged("triples", lambda: triples(decoded))
+    trip = staged("triples", lambda: triples(decoded, event_types=event_types))
 
     dict_df = None
     if entity_dict:
@@ -293,6 +333,7 @@ def run_pipeline(
             gold.select(
                 F.col("guid").alias("doc_id"), "doc_type", "events"
             ),
+            event_types=event_types,
         )
     return out
 

@@ -260,7 +260,10 @@ def tag_model(docs: DataFrame, model, ent_fix_mode: str = "n") -> DataFrame:
 
 
 def tag_gold(
-    docs: DataFrame, gold: DataFrame, rearrange_max_len: int | None = None
+    docs: DataFrame,
+    gold: DataFrame,
+    rearrange_max_len: int | None = None,
+    label2id: dict[str, int] | None = None,
 ) -> DataFrame:
     """Gold-span mode: equi-join annotations on doc_id, then round-trip
     gold spans through BIO synthesis + runtime BIO→span decoding so the
@@ -269,7 +272,12 @@ def tag_gold(
     ``rearrange_max_len`` enables T2 re-arrangement before the BIO
     round-trip — exactly where the reference applies it during data prep
     (dee/helper/dee.py:242-347): annotated dranges are protected from
-    cuts and remapped to the new coordinates."""
+    cuts and remapped to the new coordinates.
+
+    ``label2id``: the BIO label space — default ChFinAnn; a span whose
+    field has no B-/I- entry is silently dropped by the synthesis
+    (labels_from_spans conflict rule), so non-ChFinAnn corpora must pass
+    their own space (refdata.corpus_label_index)."""
     annotated = docs.join(
         gold.select(
             F.col("guid").alias("doc_id"),
@@ -277,7 +285,7 @@ def tag_gold(
         ),
         "doc_id",
     )
-    l2i = label_index()
+    l2i = label2id if label2id is not None else label_index()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..pyref.rearrange import rearrange_sentences

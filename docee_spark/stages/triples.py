@@ -17,20 +17,25 @@ from pyspark.sql import functions as F
 from ..config import CHFINANN_EVENT_TYPES
 
 
-def _catalog_df(spark):
+def _catalog_df(spark, event_types=None):
+    cat = tuple(event_types) if event_types is not None else CHFINANN_EVENT_TYPES
     rows = [
         (et.name, list(et.fields), list(et.key_fields) + list(et.fields))
-        for et in CHFINANN_EVENT_TYPES
+        for et in cat
     ]
     return spark.createDataFrame(
         rows, "event_type string, fields array<string>, subj_order array<string>"
     )
 
 
-def triples(decoded: DataFrame) -> DataFrame:
-    """→ (doc_id, event_type, recguid, subj, pred, obj)."""
+def triples(decoded: DataFrame, event_types=None) -> DataFrame:
+    """→ (doc_id, event_type, recguid, subj, pred, obj).
+
+    ``event_types``: the schema catalog (default ChFinAnn) — the inner
+    equi-join on event_type means records of types missing from the
+    catalog dimension emit no triples."""
     spark = decoded.sparkSession
-    cat = _catalog_df(spark)
+    cat = _catalog_df(spark, event_types)
 
     ev = decoded.select("doc_id", F.explode("events").alias("ev")).select(
         "doc_id",

