@@ -724,6 +724,50 @@ def q_docee_triples_model(spark, sf):
                         adjacency="sentence")["triples"]
 
 
+def q_model_spans_spot(spark, sf):
+    """M1 inference spot-witness: the engine's trained-tagger TAG stage
+    (broadcast weights, Arrow-batched inference) over the 4 golden spot
+    docs, exploded to one row per span mention.  The oracle re-derives
+    the SAME rows from the dumped weight tables alone — emissions,
+    Viterbi, and BIO→span assembly all in SQL (_model_spans_spot_sql),
+    sharing no inference code with the engine."""
+    import os
+
+    from docee_spark.golden import ensure_golden, ensure_tagger
+    from docee_spark.stages.pipeline import run_pipeline
+
+    g = ensure_golden()
+    spot_ids = [
+        r.doc_id
+        for r in spark.read.parquet(os.path.join(g, "spot_docs.parquet"))
+        .select("doc_id")
+        .collect()
+    ]
+    web, _ = _fixture_webtext_and_gold(spark)
+    tagged = run_pipeline(
+        web.filter(F.col("url").isin(spot_ids)), model=ensure_tagger()
+    )["tagged"]
+    return (
+        tagged.select("doc_id", F.posexplode("spans").alias("span_idx", "sp"))
+        .select(
+            "doc_id",
+            F.col("span_idx").cast("int").alias("span_idx"),
+            F.col("sp.text").alias("text"),
+            F.col("sp.field").alias("field"),
+            F.explode("sp.dranges").alias("d"),
+        )
+        .select(
+            "doc_id",
+            "span_idx",
+            "text",
+            "field",
+            F.col("d.sent_idx").alias("sent_idx"),
+            F.col("d.char_s").alias("char_s"),
+            F.col("d.char_e").alias("char_e"),
+        )
+    )
+
+
 def q_docee_triples_model_edag(spark, sf):
     """Doc2EDAG shape end-to-end: trained tagger (exact role fields) →
     true EDAG path expansion (G8, per-role branching with null branches)
@@ -947,12 +991,12 @@ def q_docee_key_sentences(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering is deliberate: the r3 driver run recorded 50 of these 53
-    # queries and the three missing ones were the last three entries, so
-    # the registry is ordered by evidence priority — every survey row's
-    # PRIMARY oracle comes first, and the tail holds the three queries
-    # whose survey rows are already covered by an earlier entry
-    # (embed_lsh_buckets ⊂ embed_lsh_topk; sorted_lineitems shares O6
+    # Ordering is deliberate: the r3 driver run recorded only the first
+    # 50 entries, so the registry is ordered by evidence priority —
+    # every survey row's PRIMARY oracle comes first, and the tail holds
+    # the four queries whose survey rows are already covered by an
+    # earlier entry (dedup_simhash is the 16-bit demo of dedup_simhash64;
+    # embed_lsh_buckets ⊂ embed_lsh_topk; sorted_lineitems shares O6
     # with distinct_statuses; priority_stats shapes like agg_rollup).
     return {
         "agg_rollup": q_agg_rollup,
@@ -976,7 +1020,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_verified": q_dedup_minhash_verified,
         "dedup_ngram": q_dedup_ngram,
-        "dedup_simhash": q_dedup_simhash,
         "dedup_simhash64": q_dedup_simhash64,
         "dedup_embed": q_dedup_embed,
         "embed_topk": q_embed_topk,
@@ -995,6 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docee_triples_trigger_inc": q_docee_triples_trigger_inc,
         "docee_triples_model": q_docee_triples_model,
         "docee_triples_model_edag": q_docee_triples_model_edag,
+        "model_spans_spot": q_model_spans_spot,
         "docee_triples_scored": q_docee_triples_scored,
         "docee_triples_biaffine": q_docee_triples_biaffine,
         "docee_triples_doc_ctx": q_docee_triples_doc_ctx,
@@ -1005,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docee_adj_metrics": q_docee_adj_metrics,
         "docee_eval_rollup": q_docee_eval_rollup,
         "docee_eval_report": q_docee_eval_report,
+        "dedup_simhash": q_dedup_simhash,
         "embed_lsh_buckets": q_embed_lsh_buckets,
         "sorted_lineitems": q_sorted_lineitems,
         "priority_stats": q_priority_stats,
@@ -2198,6 +2243,142 @@ cliques as materialized (
     return body + _combination_decode_tail_sql(exact_fields=True)
 
 
+def _model_spans_spot_sql() -> str:
+    """The model-oracle residue shrinker: re-derive the trained char
+    tagger's ENTIRE inference in DuckDB SQL — char ids (vocab join with
+    UNK=1, PAD=0 outside the sentence), windowed emission sums over the
+    dumped per-(offset, char, label) weight table, the transition-
+    constrained Viterbi as an UNROLLED max-sum DP (one CTE per position;
+    argmax ties broken smallest-previous-label, matching np.argmax),
+    and the BIO→span assembly (B-runs → mentions → surface-grouped
+    spans in first-mention order) — for the 4 spot docs selected at
+    golden-build time.  Exactness: weights are dumped as exact float64
+    widenings of the float32 weights; spot docs are only admitted when
+    float64 re-inference picks the same Viterbi paths as the engine's
+    float32 inference (golden._write_tagger_tables), so double-vs-float
+    rounding cannot flip an argmax on this set.  Nothing here shares
+    code with model/char_tagger.py — even the inference step now has an
+    independent SQL witness on sampled documents."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    g = _golden_dir()
+    t_max = max(
+        _pq.read_table(os.path.join(g, "spot_docs.parquet"))
+        .to_pydict()["max_len"]
+    )
+    prologue = """with spot as (select doc_id from read_parquet('{g}/spot_docs.parquet')),
+sents as materialized (
+  select s.doc_id, s.sent_idx, s.sentence, len(s.sentence) as slen
+  from read_parquet('{g}/gold_sents.parquet') s join spot using (doc_id)
+),
+vocab as (select * from read_parquet('{g}/tagger_vocab.parquet')),
+labels as (select * from read_parquet('{g}/tagger_labels.parquet')),
+trans as (select * from read_parquet('{g}/tagger_trans.parquet')),
+offs as (select * from read_parquet('{g}/tagger_offsets.parquet')),
+wts as (select * from read_parquet('{g}/tagger_weights.parquet')),
+pos as materialized (
+  select doc_id, sent_idx, slen,
+         cast(unnest(range(slen)) as int) as t,
+         unnest(list_transform(range(slen),
+                i -> substring(sentence, cast(i as int) + 1, 1))) as ch
+  from sents
+),
+chars as materialized (
+  select p.doc_id, p.sent_idx, p.slen, p.t, coalesce(v.char_id, 1) as cid
+  from pos p left join vocab v on v.ch = p.ch
+),
+shifted as materialized (
+  select c.doc_id, c.sent_idx, c.t, o.oi, coalesce(c2.cid, 0) as cid
+  from chars c cross join offs o
+  left join chars c2 on c2.doc_id = c.doc_id and c2.sent_idx = c.sent_idx
+                    and c2.t = c.t + o.off
+),
+em as materialized (
+  select s.doc_id, s.sent_idx, s.t, w.label_id, sum(w.w) as w
+  from shifted s join wts w on w.oi = s.oi and w.char_id = s.cid
+  group by 1, 2, 3, 4
+),
+dp0 as materialized (
+  select e.doc_id, e.sent_idx, e.label_id, e.w as score, [e.label_id] as path
+  from em e join labels l using (label_id)
+  where e.t = 0 and l.start_ok
+)"""
+    dps = []
+    for t in range(1, t_max):
+        dps.append(f""",
+dp{t} as materialized (
+  select doc_id, sent_idx, label_id, score, path from (
+    select e.doc_id, e.sent_idx, e.label_id,
+           d.score + e.w as score,
+           list_append(d.path, e.label_id) as path,
+           row_number() over (partition by e.doc_id, e.sent_idx, e.label_id
+                              order by d.score desc, d.label_id asc) as rn
+    from dp{t - 1} d
+    join trans tr on tr.from_id = d.label_id
+    join em e on e.doc_id = d.doc_id and e.sent_idx = d.sent_idx
+             and e.t = {t} and e.label_id = tr.to_id
+  ) where rn = 1
+)""")
+    finals_union = "\n  union all ".join(
+        f"select d.*, {t + 1} as sl from dp{t} d" for t in range(t_max)
+    )
+    tail = f""",
+finals as materialized (
+  select doc_id, sent_idx, path from (
+    select u.doc_id, u.sent_idx, u.path,
+           row_number() over (partition by u.doc_id, u.sent_idx
+                              order by u.score desc, u.label_id asc) as rn
+    from ({finals_union}) u
+    join sents s on s.doc_id = u.doc_id and s.sent_idx = u.sent_idx
+               and s.slen = u.sl
+  ) where rn = 1
+),
+labs as materialized (
+  select doc_id, sent_idx,
+         cast(unnest(range(len(path))) as int) as t,
+         unnest(path) as lid
+  from finals
+),
+ments as materialized (
+  select b.doc_id, b.sent_idx, b.t as char_s,
+         cast(coalesce((select min(l2.t) from labs l2
+                        where l2.doc_id = b.doc_id
+                          and l2.sent_idx = b.sent_idx
+                          and l2.t > b.t and l2.lid != b.lid + 1),
+                       s.slen) as int) as char_e,
+         b.lid,
+         substring(s.sentence, b.t + 1,
+                   cast(coalesce((select min(l2.t) from labs l2
+                                  where l2.doc_id = b.doc_id
+                                    and l2.sent_idx = b.sent_idx
+                                    and l2.t > b.t and l2.lid != b.lid + 1),
+                                 s.slen) as int) - b.t) as text
+  from (select * from labs where lid % 2 = 1) b
+  join sents s on s.doc_id = b.doc_id and s.sent_idx = b.sent_idx
+),
+ordered as materialized (
+  select *, row_number() over (partition by doc_id
+             order by sent_idx, char_s, char_e) as mrank
+  from ments
+),
+spansx as materialized (
+  select doc_id, text, arg_min(lid, mrank) as blid,
+         cast(row_number() over (partition by doc_id
+              order by min(mrank)) - 1 as int) as span_idx
+  from ordered group by doc_id, text
+)
+select o.doc_id, x.span_idx, o.text, substring(l.label, 3) as field,
+       o.sent_idx, o.char_s, o.char_e
+from ordered o
+join spansx x on x.doc_id = o.doc_id and x.text = o.text
+join labels l on l.label_id = x.blid
+order by o.doc_id, x.span_idx, o.sent_idx, o.char_s
+"""
+    return (prologue + "".join(dps) + tail).replace("{g}", g)
+
+
 _MODEL_SPAN_PROLOGUE = """with sents as materialized (
   select * from read_parquet('{g}/gold_sents.parquet')),
 mspans as materialized (
@@ -2806,6 +2987,7 @@ def oracle_sql() -> dict[str, str]:
         "docee_triples_trigger_inc": _docee_triples_trigger_sql(incremental=True),
         "docee_triples_model": _docee_triples_model_sql(),
         "docee_triples_model_edag": _docee_triples_model_edag_sql(),
+        "model_spans_spot": _model_spans_spot_sql(),
         "docee_triples_scored": _docee_triples_matrix_sql("adj_scored.parquet"),
         "docee_triples_biaffine": _docee_triples_matrix_sql("adj_biaffine.parquet"),
         "docee_triples_doc_ctx": _docee_triples_matrix_sql("adj_doc_ctx.parquet"),

@@ -22,7 +22,15 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
 
 
 @pytest.mark.parametrize(
-    "name", ["docee_triples_heuristic", "docee_vertices", "docee_key_sentences"]
+    "name",
+    [
+        "docee_triples_heuristic",
+        "docee_vertices",
+        "docee_key_sentences",
+        # M1 inference spot-witness: Spark tag stage vs the from-first-
+        # principles SQL re-derivation (emissions + Viterbi + BIO spans)
+        "model_spans_spot",
+    ],
 )
 def test_docee_oracle_parity(spark, name):
     import __spark_entry__ as entry
