@@ -101,7 +101,15 @@ def host_health_probe_saturating(n_procs: int | None = None) -> float:
     benches run in."""
     import multiprocessing as mp
 
-    n = n_procs or os.cpu_count() or 1
+    # affinity-aware: under taskset (scaling legs) a pool sized to the
+    # MACHINE would time-slice (32 procs on 4 cores reads ~8× inflated
+    # on a healthy host); sized to the mask, healthy ≈ one process's
+    # time + pool setup at every leg width
+    try:
+        avail = len(os.sched_getaffinity(0))
+    except AttributeError:  # non-Linux
+        avail = os.cpu_count() or 1
+    n = n_procs or avail
     t0 = time.perf_counter()
     ctx = mp.get_context("fork")
     with ctx.Pool(n) as pool:

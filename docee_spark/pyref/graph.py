@@ -104,6 +104,21 @@ def connected_components(adj: AdjMat) -> list[tuple[int, ...]]:
     return comps
 
 
+def tril_fold_or(adj: AdjMat) -> AdjMat:
+    """Symmetrize from the LOWER triangle only, diagonal zeroed:
+    ``out[i][j] = 1 iff adj[max(i,j)][min(i,j)] == 1`` (reference
+    ``tril_fold_or``, dee/utils.py — the upper triangle is discarded,
+    not OR-ed; golden pinned in tests/test_pyref_graph.py from
+    tests/test_utils.py:344-364)."""
+    n = len(adj)
+    out = [[0] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(n):
+            if i != j and adj[max(i, j)][min(i, j)] == 1:
+                out[i][j] = 1
+    return out
+
+
 def fold_and(adj: AdjMat) -> AdjMat:
     """Directed → undirected by mutual agreement: out[i][j] = 1 iff
     adj[i][j] == adj[j][i] == 1 (reference dee/utils.py:361-370). The

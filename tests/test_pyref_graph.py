@@ -235,3 +235,55 @@ class TestFoldAnd:
 
         adj = [[0, 1, 1], [1, 0, 0], [0, 0, 0]]
         assert fold_and(adj) == [[0, 1, 0], [1, 0, 0], [0, 0, 0]]
+
+
+def test_tril_fold_or_reference_golden():
+    """Ported VERBATIM from reference tests/test_utils.py:344-364:
+    tril_fold_or symmetrizes from the lower triangle only (the upper
+    triangle is discarded — e.g. adj[0][2]=1 yields NO 0-2 edge because
+    adj[2][0]=0), diagonal zeroed."""
+    from docee_spark.pyref.graph import tril_fold_or
+
+    mat = [
+        [-1, 1, 1, 1, 0, 0, 0],
+        [1, -1, 1, 1, 0, 0, 0],
+        [0, 0, -1, 0, 0, 0, 0],
+        [0, 0, 0, -1, 0, 0, 0],
+        [0, 0, 0, 0, -1, 0, 0],
+        [0, 0, 1, 1, 1, -1, 1],
+        [0, 0, 1, 1, 1, 1, -1],
+    ]
+    assert tril_fold_or(mat) == [
+        [0, 1, 0, 0, 0, 0, 0],
+        [1, 0, 0, 0, 0, 0, 0],
+        [0, 0, 0, 0, 0, 1, 1],
+        [0, 0, 0, 0, 0, 1, 1],
+        [0, 0, 0, 0, 0, 1, 1],
+        [0, 0, 1, 1, 1, 0, 1],
+        [0, 0, 1, 1, 1, 1, 0],
+    ]
+
+
+def test_whole_graph_adjacency_reference_golden():
+    """Ported from reference tests/helper/test_arg_rel.py:72-98
+    (SpanRelAdjMat whole-graph reveal of three overlapping records):
+    adjacency_from_records must reproduce the published matrix
+    off-diagonal (the reference marks self as -1; G1 keeps diag 1 for
+    touched spans)."""
+    from docee_spark.pyref.graph import adjacency_from_records
+
+    got = adjacency_from_records(8, [[0, 1, 2, 3], [0, 4, 5, 6], [2, 5, 6, 7]])
+    ref = [
+        [-1, 1, 1, 1, 1, 1, 1, 0],
+        [1, -1, 1, 1, 0, 0, 0, 0],
+        [1, 1, -1, 1, 0, 1, 1, 1],
+        [1, 1, 1, -1, 0, 0, 0, 0],
+        [1, 0, 0, 0, -1, 1, 1, 0],
+        [1, 0, 1, 0, 1, -1, 1, 1],
+        [1, 0, 1, 0, 1, 1, -1, 1],
+        [0, 0, 1, 0, 0, 1, 1, -1],
+    ]
+    for i in range(8):
+        for j in range(8):
+            if i != j:
+                assert got[i][j] == ref[i][j], (i, j)
