@@ -48,6 +48,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="J4 span snapping for the model tagger")
     p.add_argument("--rearrange-max-len", type=int, default=None,
                    help="T2 sentence re-arrangement cap (chars)")
+    p.add_argument("--template", default="zheng2019_trigger_graph",
+                   help="event-schema template by name (the reference's "
+                        "get_event_template): zheng2019_trigger_graph/"
+                        "chfinann or wikievents_w_tgg/wikievents")
+    p.add_argument("--num-triggers", type=int, default=-1,
+                   help="|R| pseudo-trigger tier for trigger modes "
+                        "(-1 = guessing mode, reference default)")
     args = p.parse_args(argv)
 
     # absolute imports: spark-submit runs this file as a plain __main__
@@ -85,6 +92,12 @@ def main(argv: list[str] | None = None) -> int:
         with np.load(args.adj_scorer, allow_pickle=False) as z:
             scorer = dict(z.items())
 
+    event_types = None
+    if args.template not in ("zheng2019_trigger_graph", "chfinann"):
+        from docee_spark.config import get_event_template
+
+        event_types = get_event_template(args.template)
+
     t0 = time.time()
     result = run_pipeline(
         web,
@@ -99,6 +112,8 @@ def main(argv: list[str] | None = None) -> int:
         adj_scorer=scorer,
         ent_fix_mode=args.ent_fix_mode,
         rearrange_max_len=args.rearrange_max_len,
+        event_types=event_types,
+        num_triggers=args.num_triggers,
     )
     write_kg(result, args.output)
     n = spark.read.parquet(f"{args.output}/triples").count()

@@ -193,6 +193,24 @@ ROLE_COARSE_TYPE: dict[str, str] = {
 }
 
 
+def get_event_template(name: str) -> tuple[EventType, ...]:
+    """Catalog selection by name — the analog of the reference's
+    ``get_event_template`` (dee/event_types/__init__.py): templates are
+    data, selected per run.  Accepts the reference template module names
+    and short aliases."""
+    key = name.lower()
+    if key in ("zheng2019_trigger_graph", "chfinann", "zheng2019"):
+        return CHFINANN_EVENT_TYPES
+    if key in ("wikievents_w_tgg", "wikievents"):
+        from .catalogs import WIKIEVENTS_EVENT_TYPES
+
+        return WIKIEVENTS_EVENT_TYPES
+    raise ValueError(
+        f"unknown event template {name!r} "
+        "(known: zheng2019_trigger_graph/chfinann, wikievents_w_tgg/wikievents)"
+    )
+
+
 def all_entity_fields(event_types: tuple[EventType, ...] = CHFINANN_EVENT_TYPES) -> list[str]:
     """Union of common fields and event roles, insertion-ordered &
     deduplicated — the entity-label universe (dee/helper/dee.py:204-214)."""

@@ -31,12 +31,25 @@ def tag_decode_fused(
     entity_dict: dict[str, str],
     mode: str = "clique",
     max_paths: int = MAX_EDAG_PATHS,
+    event_types=None,
+    type_keywords: dict[str, tuple[str, ...]] | None = None,
+    num_triggers: int = -1,
 ) -> DataFrame:
-    """docs (with sentences) → + events, skipping the spans round-trip."""
+    """docs (with sentences) → + events, skipping the spans round-trip.
+
+    ``event_types``/``type_keywords``/``num_triggers``: non-default
+    catalog, per-type sentence cues, and |R| — same semantics as the
+    staged decode stage (stages/decode.py)."""
     spark = docs.sparkSession
     bc = spark.sparkContext.broadcast(entity_dict)
-    event_fields = {et.name: list(et.fields) for et in CHFINANN_EVENT_TYPES}
-    min_fields = {et.name: et.min_field_num for et in CHFINANN_EVENT_TYPES}
+    cat = tuple(event_types) if event_types is not None else CHFINANN_EVENT_TYPES
+    event_fields = {et.name: list(et.fields) for et in cat}
+    min_fields = {et.name: et.min_field_num for et in cat}
+    trigger_tiers = {
+        et.name: {k: tuple(v) for k, v in et.triggers.items()}
+        for et in cat
+        if getattr(et, "triggers", None)
+    }
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         surfaces = bc.value
@@ -62,6 +75,9 @@ def tag_decode_fused(
                     sents, span_fields, span_sents, adj, event_fields,
                     min_fields, mode=mode, max_paths=max_paths,
                     exact_fields=False, stats=doc_stats,
+                    type_keywords=type_keywords,
+                    trigger_tiers=trigger_tiers,
+                    num_triggers=num_triggers,
                 )
                 pruned_col.append(int(doc_stats.get("n_paths_pruned", 0)))
                 recs, recguid = [], 0
@@ -91,6 +107,9 @@ def segment_tag_decode_fused(
     entity_dict: dict[str, str],
     mode: str = "clique",
     max_paths: int = MAX_EDAG_PATHS,
+    event_types=None,
+    type_keywords: dict[str, tuple[str, ...]] | None = None,
+    num_triggers: int = -1,
 ) -> DataFrame:
     """Deepest fusion: raw ``text`` in → ``events`` out, one Arrow UDF.
 
@@ -103,8 +122,14 @@ def segment_tag_decode_fused(
     """
     spark = docs.sparkSession
     bc = spark.sparkContext.broadcast(entity_dict)
-    event_fields = {et.name: list(et.fields) for et in CHFINANN_EVENT_TYPES}
-    min_fields = {et.name: et.min_field_num for et in CHFINANN_EVENT_TYPES}
+    cat = tuple(event_types) if event_types is not None else CHFINANN_EVENT_TYPES
+    event_fields = {et.name: list(et.fields) for et in cat}
+    min_fields = {et.name: et.min_field_num for et in cat}
+    trigger_tiers = {
+        et.name: {k: tuple(v) for k, v in et.triggers.items()}
+        for et in cat
+        if getattr(et, "triggers", None)
+    }
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         surfaces = bc.value
@@ -136,6 +161,9 @@ def segment_tag_decode_fused(
                     sents, span_fields, span_sents, adj, event_fields,
                     min_fields, mode=mode, max_paths=max_paths,
                     exact_fields=False, stats=doc_stats,
+                    type_keywords=type_keywords,
+                    trigger_tiers=trigger_tiers,
+                    num_triggers=num_triggers,
                 )
                 pruned_col.append(int(doc_stats.get("n_paths_pruned", 0)))
                 recs, recguid = [], 0

@@ -234,10 +234,18 @@ def run_pipeline(
                 ),
                 entity_dict or {},
                 mode=mode,
+                event_types=event_types,
+                type_keywords=type_keywords,
+                num_triggers=num_triggers,
             )
         else:
             decoded = tag_decode_fused(
-                ensure_parallelism(docs, nparts), entity_dict or {}, mode=mode
+                ensure_parallelism(docs, nparts),
+                entity_dict or {},
+                mode=mode,
+                event_types=event_types,
+                type_keywords=type_keywords,
+                num_triggers=num_triggers,
             )
         trip = triples(decoded, event_types=event_types)
         dict_df = None

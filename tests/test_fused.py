@@ -154,3 +154,60 @@ def test_deep_fusion_clips_like_segment(spark):
     assert a == b
     args = {v for _, _, kv in a for _, v in kv}
     assert visible in args and hidden not in args
+
+
+def test_fused_threads_catalog_and_tiers(spark):
+    """The fused (100 TB) path must honor a non-default catalog and
+    num_triggers exactly like the staged decode: run both paths on the
+    same docs with the WikiEvents catalog + corpus-derived trigger cues
+    and compare events doc-for-doc."""
+    from docee_spark.catalogs import WIKIEVENTS_EVENT_TYPES
+    from docee_spark.refdata import (
+        load_reference_docs,
+        parse_post_json,
+        trigger_type_keywords,
+    )
+    from docee_spark.stages.decode import decode
+    from docee_spark.stages.fused import tag_decode_fused
+    from docee_spark.stages.tag import tag_heuristic
+
+    sample = "/root/reference/Data/WikiEvents/sample.train.post.wTgg.json"
+    rows = parse_post_json(sample)
+    docs, _ = load_reference_docs(spark, sample)
+    entity_dict = {s["text"]: s["field"] for r in rows for s in r["spans"]}
+    kw = trigger_type_keywords(rows)
+
+    fused = tag_decode_fused(
+        docs, entity_dict, mode="clique",
+        event_types=WIKIEVENTS_EVENT_TYPES, type_keywords=kw,
+    ).select("doc_id", "events").collect()
+    staged = decode(
+        tag_heuristic(docs, entity_dict), mode="clique",
+        event_types=WIKIEVENTS_EVENT_TYPES, type_keywords=kw,
+    ).select("doc_id", "events").collect()
+
+    def norm(rows_):
+        return {
+            r["doc_id"]: sorted(
+                (e["type"], tuple(sorted((k, v or "") for k, v in e["args"].items())))
+                for e in r["events"]
+            )
+            for r in rows_
+        }
+
+    got, want = norm(fused), norm(staged)
+    assert got == want and any(v for v in got.values())
+
+
+def test_get_event_template_registry():
+    from docee_spark.catalogs import WIKIEVENTS_EVENT_TYPES
+    from docee_spark.config import CHFINANN_EVENT_TYPES, get_event_template
+
+    assert get_event_template("chfinann") is CHFINANN_EVENT_TYPES
+    assert get_event_template("zheng2019_trigger_graph") is CHFINANN_EVENT_TYPES
+    assert get_event_template("wikievents") is WIKIEVENTS_EVENT_TYPES
+    assert get_event_template("WikiEvents_w_tgg") is WIKIEVENTS_EVENT_TYPES
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown event template"):
+        get_event_template("nope")
