@@ -51,6 +51,7 @@ class TestScorerQuality:
                     correct += int(got[i][j] == want[i][j])
         assert total > 0 and correct / total >= 0.9, correct / total
 
+    @pytest.mark.slow  # e2e sweep; full suite covers it
     def test_pipeline_f1_close_to_sentence_adjacency(self, spark, web_df, gold_df, scorer):
         """decode over the scored matrix must be competitive with the
         deterministic sentence adjacency through the full pipeline."""

@@ -1,5 +1,7 @@
 """Fused tag+decode must be semantically identical to the staged path."""
 
+import pytest
+
 from docee_spark.fixtures import heuristic_entity_dict
 from docee_spark.stages.pipeline import run_pipeline
 
@@ -74,6 +76,7 @@ def test_fused_counts_path_pruning(spark, web_df):
     assert capped.agg(F.sum("n_paths_pruned")).first()[0] > 0
 
 
+@pytest.mark.slow  # e2e sweep; full suite covers it
 def test_cli_loads_every_scorer_variant(spark, tmp_path, capsys):
     """--adj-scorer must accept EVERY scorer artifact (logistic /
     biaffine / doc-context / RGCN): the CLI passes the raw arrays through

@@ -200,6 +200,7 @@ class TestMultiProbe:
         assert r1 == 1.0       # probing the nearest hyperplane finds true NN
         assert r0 < r1         # and strictly improves on single-probe
 
+    @pytest.mark.slow  # e2e sweep; full suite covers it
     def test_recall_curves_monotone_sf0001(self, spark):
         """Regression floor for the BENCH.md recall curves: more probes →
         candidate superset → recall never decreases, and IVF at

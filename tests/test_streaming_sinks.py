@@ -4,6 +4,14 @@ Structured-Streaming front-end)."""
 import json
 import os
 
+import pytest
+
+# Structured Streaming tests are wait-bound (awaitTermination /
+# microbatch polling) — the module sits outside the fast inner loop;
+# when touching streaming/, run it directly:
+#   python -m pytest tests/test_streaming_sinks.py -q
+pytestmark = pytest.mark.slow
+
 from pyspark.sql import functions as F
 
 

@@ -29,9 +29,12 @@ from docee_spark.stages.pipeline import run_pipeline
 
 SAMPLE = "/root/reference/Data/WikiEvents/sample.train.post.wTgg.json"
 
-pytestmark = pytest.mark.skipif(
-    not os.path.exists(SAMPLE), reason="reference sample data not present"
-)
+pytestmark = [
+    pytest.mark.slow,  # full-pipeline oracle evidence; driver gate + full suite cover it
+    pytest.mark.skipif(
+        not os.path.exists(SAMPLE), reason="reference sample data not present"
+    ),
+]
 
 
 @pytest.fixture(scope="module")
