@@ -2013,7 +2013,7 @@ recs as materialized (
     )
 
 
-def _docee_triples_trigger_sql(incremental: bool) -> str:
+def _docee_triples_trigger_sql(incremental: bool, num_triggers: int = -1) -> str:
     """Fully independent oracles for the TRIGGER decode modes (G6/G7,
     guessing-mode |R|). The directed trigger graph (span i → co-occurring
     span j wherever i fills a tier-1 trigger role of a type cued in the
@@ -2029,13 +2029,15 @@ def _docee_triples_trigger_sql(incremental: bool) -> str:
     branch verbatim). G7: each trigger absorbs its non-trigger
     successors plus trigger successors sharing ≥ min_conn (=1) of them.
     Typing/filling/dedup tail shared with the clique oracle."""
-    from docee_spark.config import CHFINANN_EVENT_TYPES, ROLE_COARSE_TYPE
-    from docee_spark.pyref.edag import DEFAULT_TYPE_KEYWORDS
+    from docee_spark.config import ROLE_COARSE_TYPE
+    from docee_spark.pyref.edag import DEFAULT_TYPE_KEYWORDS, _trigger_roles_for
 
+    # tier-|R| trigger roles (guessing mode < 1 clamps to tier 1),
+    # mapped to the coarse types the dictionary tagger emits
     trig_values = ", ".join(
-        f"('{et.name}', '{ROLE_COARSE_TYPE.get(role, role)}')"
-        for et in CHFINANN_EVENT_TYPES
-        for role in et.triggers[1]
+        f"('{name}', '{ROLE_COARSE_TYPE.get(role, role)}')"
+        for name, roles in sorted(_trigger_roles_for(num_triggers).items())
+        for role in sorted(roles)
     )
     kw_rows = ", ".join(
         f"('{et}', '{cue}')"
@@ -2098,6 +2100,7 @@ tgrow as materialized (
 ),
 tcliques as materialized (
   -- maximal: no outside folded vertex is adjacent to every member
+  -- {r_clamp}
   select doc_id, members from tgrow c
   where not exists (
     select 1 from mnb m
@@ -2105,7 +2108,7 @@ tcliques as materialized (
       and not list_contains(c.members, m.v)
       and len(list_filter(c.members,
                           x -> not list_contains(m.nbl, x))) = 0
-  )
+  ){r_filter}
 ),
 comb_succ as materialized (
   -- ⋂ successors(clique members): a successor shared by every member
@@ -2176,6 +2179,34 @@ cliques as materialized (
            as clique_id
   from combs
 )"""
+    if num_triggers >= 1 and incremental:
+        raise ValueError(
+            "explicit num_triggers is only modelled for the non-"
+            "incremental trigger oracle"
+        )
+    if num_triggers == 1:
+        # |R|=1 has NO clique path at all (pyref directed_trigger_decode
+        # branches to trigger+successors per trigger): suppress every
+        # clique so combs reduce to the left-trigger branch for ALL
+        # triggers — which is exactly the |R|=1 combination set
+        body = body.replace(
+            "{r_clamp}", "|R|=1: clique path suppressed entirely"
+        ).replace("{r_filter}", "\n    and false")
+    elif num_triggers >= 2:
+        # explicit |R|: maximal folded cliques LARGER than |R| are
+        # dropped, not shrunk (pyref directed_trigger_decode filters
+        # finder output by len <= num_triggers); their members fall to
+        # the left-trigger branch iff in no surviving clique
+        body = body.replace(
+            "{r_clamp}",
+            f"explicit |R|={num_triggers}: cliques larger than |R| dropped",
+        ).replace(
+            "{r_filter}", f"\n    and len(c.members) <= {num_triggers}"
+        )
+    else:
+        body = body.replace(
+            "{r_clamp}", "guessing-mode |R|: no clique-size clamp"
+        ).replace("{r_filter}", "")
     return body + _combination_decode_tail_sql()
 
 

@@ -210,3 +210,57 @@ class TestSparkTriggerTierParity:
             return all_out
 
         assert run(1) != run(99)
+
+
+class TestTriggerTierSqlOracle:
+    """Independent DuckDB oracle for EXPLICIT |R| trigger decode: the
+    generated trigger SQL parameterized by num_triggers (tier-|R| roles
+    in the edge derivation; clique-size clamp for |R|≥2; clique path
+    suppressed entirely for |R|=1) must hash-match the engine's fused
+    trigger pipeline doc-for-doc.  This extends the driver-gate
+    guessing-mode oracle (`docee_triples_trigger`) to the non-default
+    configurations the reference publishes speed/quality deltas for."""
+
+    @pytest.mark.slow  # full-corpus pipeline + oracle; full suite covers it
+    @pytest.mark.parametrize("r", [1, 2])
+    def test_spark_matches_sql_at_explicit_r(self, spark, r):
+        import duckdb
+        import pandas as pd
+
+        from __spark_entry__ import (
+            _docee_triples_trigger_sql,
+            _fixture_webtext_and_gold,
+            _golden_dir,
+        )
+        from docee_spark.fixtures import heuristic_entity_dict
+        from docee_spark.stages.pipeline import run_pipeline
+
+        web, _ = _fixture_webtext_and_gold(spark)
+        sdf = run_pipeline(
+            web,
+            entity_dict=heuristic_entity_dict(),
+            mode="trigger",
+            fused=True,
+            num_triggers=r,
+        )["triples"].toPandas()
+        sql = _docee_triples_trigger_sql(
+            incremental=False, num_triggers=r
+        ).replace("{g}", _golden_dir())
+        ddf = duckdb.connect().execute(sql).df()
+
+        def norm(df):
+            df = df[sorted(df.columns)].copy()
+            for c in df.columns:
+                df[c] = df[c].astype(str)
+            return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+        assert len(sdf) == len(ddf) and len(sdf) > 0
+        pd.testing.assert_frame_equal(norm(sdf), norm(ddf))
+
+    def test_incremental_with_explicit_r_unsupported(self):
+        import pytest as _pytest
+
+        from __spark_entry__ import _docee_triples_trigger_sql
+
+        with _pytest.raises(ValueError, match="non-.?incremental"):
+            _docee_triples_trigger_sql(incremental=True, num_triggers=2)
