@@ -648,3 +648,146 @@ def embedding_cosine_pairs(
         cosine_e6(F.col("a.vec"), F.col("b.vec")).alias("cosine_e6"),
     )
     return pairs.filter(F.col("cosine_e6") >= threshold_e6)
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Duplicate-pair CLUSTERING: → ``(doc_id, cluster_id)`` — connected
+    components over the pair graph, cluster_id = the component's minimum
+    doc_id.  This is the production OUTPUT of a dedup pipeline: every
+    pair operator above emits edges; this turns them into keep/drop
+    decisions (see ``cluster_representatives`` / ``dedup_keep``).
+
+    Algorithm: min-label propagation with per-pass label flattening
+    (label ← label-of-label, the pointer-jumping half of the classic
+    large-star/small-star CC — Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14): each pass is two hash-partitioned
+    joins on doc_id/label, and flattening makes convergence
+    O(log diameter) passes rather than O(diameter) — a 1000-long crawl
+    chain converges in ~10 passes.  Each pass localCheckpoints (lineage
+    would otherwise grow by two joins per pass), and convergence is
+    checked with a single count() action per pass.  At 100 TB the label
+    frame holds only docs that appear in SOME pair — near-dup graphs are
+    sparse, so this is orders of magnitude smaller than the corpus.
+    Raises after ``max_iters`` unconverged passes rather than returning
+    partial components silently."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    edges = edges.localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("src"), F.col("label").alias("src_label")
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("src_label").alias("nbr_label"))
+        )
+        stepped = labels.join(nbr_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                "label", F.coalesce("nbr_label", F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jumping: label ← label's own current label
+        flat = stepped.join(
+            stepped.select(
+                F.col("doc_id").alias("label"),
+                F.col("label").alias("label_label"),
+            ),
+            "label",
+            "left",
+        ).select(
+            "doc_id",
+            F.least(
+                "label", F.coalesce("label_label", F.col("label"))
+            ).alias("label"),
+        )
+        new_labels = flat.localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select("doc_id", F.col("label").alias("cluster_id"))
+    raise RuntimeError(
+        f"duplicate_clusters did not converge in {max_iters} passes "
+        "(component diameter > ~2^iters — inspect the pair graph)"
+    )
+
+
+def cluster_representatives(
+    clusters: DataFrame,
+    docs: DataFrame | None = None,
+    policy: str = "min_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """→ ``(cluster_id, doc_id)``: ONE representative per duplicate
+    cluster.  ``min_id`` keeps the smallest doc_id (deterministic, needs
+    no doc payload); ``longest_text`` keeps the longest document
+    (ties → smallest doc_id), the usual crawl-dedup keep policy — one
+    broadcast-free join against the docs frame, then a struct-max
+    aggregation (no window, single shuffle on cluster_id)."""
+    if policy == "min_id":
+        return clusters.groupBy("cluster_id").agg(
+            F.min("doc_id").alias("doc_id")
+        )
+    if policy != "longest_text":
+        raise ValueError(f"unknown keep policy {policy!r}")
+    if docs is None:
+        raise ValueError("policy='longest_text' requires the docs frame")
+    scored = clusters.join(docs.select("doc_id", text_col), "doc_id")
+    # min_by over (-length, doc_id): longest text wins, length ties
+    # break to the SMALLEST doc_id — one aggregation, no window
+    return scored.groupBy("cluster_id").agg(
+        F.min_by(
+            "doc_id",
+            F.struct(
+                (-F.length(text_col)).alias("neg_len"),
+                F.col("doc_id").alias("doc_id"),
+            ),
+        ).alias("doc_id")
+    )
+
+
+def dedup_keep(
+    df: DataFrame,
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    policy: str = "min_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """→ the deduplicated corpus: drop every clustered document except
+    its representative; documents in no pair pass through untouched.
+    The anti-join's strategy is left to AQE: a small drop-list
+    broadcasts (corpus never shuffles); a huge one (heavy-dup crawls)
+    falls back to a shuffle anti-join rather than OOMing the driver."""
+    clusters = duplicate_clusters(pairs, a_col=a_col, b_col=b_col)
+    reps = cluster_representatives(
+        clusters, docs=df if policy == "longest_text" else None,
+        policy=policy, text_col=text_col,
+    )
+    drops = clusters.join(
+        reps.select("cluster_id", F.col("doc_id").alias("keep_id")),
+        "cluster_id",
+    ).filter(F.col("doc_id") != F.col("keep_id")).select("doc_id")
+    return df.join(drops, "doc_id", "left_anti")
