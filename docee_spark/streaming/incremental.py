@@ -152,3 +152,34 @@ def host_throughput_monitor(stream: DataFrame) -> DataFrame:
             F.sum(F.length("text")).alias("n_chars"),
         )
     )
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "warc_ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """First-seen exact dedup ON the stream: fingerprint the content and
+    drop later arrivals of the same fingerprint within the watermark
+    horizon.
+
+    Scale-correct by construction: ``dropDuplicatesWithinWatermark``
+    EXPIRES its state once the watermark passes a fingerprint's event
+    time — plain ``dropDuplicates`` on a stream accretes state forever
+    and OOMs a 10^12-doc crawl.  The horizon is the dedup guarantee: two
+    identical documents farther apart than the watermark both survive
+    here and are caught by the batch ``dedup_keep`` compaction pass —
+    the standard streaming-ingest + batch-compaction split."""
+    from ..operators.textstats import fingerprint_md5
+
+    # the SAME normalized fingerprint as the batch exact dedup, so
+    # stream-time and compaction-time agree on content identity
+    return (
+        stream.withColumn(
+            "fingerprint",
+            fingerprint_md5(F.coalesce(F.col(text_col), F.lit(""))),
+        )
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )

@@ -337,3 +337,49 @@ class TestStatefulHostCrawl:
                 finals = [r for r in rows if r["host"] == host
                           and r["docs_total"] == n]
                 assert finals and all(r["over_budget"] for r in finals)
+
+
+class TestStreamingExactDedup:
+    def test_first_seen_wins_and_state_expires(self, spark, tmp_path):
+        """Stream-time exact dedup: duplicates within the watermark
+        horizon collapse to the first-seen row; the operator must be the
+        STATE-EXPIRING variant (DeduplicateWithinWatermark in the plan)
+        — plain streaming dropDuplicates accretes state forever."""
+        from datetime import datetime, timedelta
+
+        from docee_spark.schema import WEBTEXT
+        from docee_spark.streaming.incremental import (
+            stream_webtext,
+            streaming_exact_dedup,
+        )
+
+        t0 = datetime(2024, 1, 1, 12, 0, 0)
+        rows = [
+            # three arrivals of the same body within minutes → keep first
+            ("u1", t0, None, "same body of text", "en"),
+            ("u2", t0 + timedelta(minutes=1), None, "same body of text", "en"),
+            ("u3", t0 + timedelta(minutes=2), None, "same  body   of text", "en"),
+            # whitespace-normalized fingerprint → u3 is a dup of u1 too
+            ("u4", t0 + timedelta(minutes=3), None, "a different body", "en"),
+        ]
+        src = str(tmp_path / "dedup_src")
+        spark.createDataFrame(rows, WEBTEXT).coalesce(1).write.parquet(src)
+
+        deduped = streaming_exact_dedup(stream_webtext(spark, src))
+        plan = deduped._jdf.queryExecution().analyzed().toString()
+        assert "DeduplicateWithinWatermark" in plan
+
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("stream_dedup")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql(
+            "select url, fingerprint from stream_dedup order by url"
+        ).collect()
+        # one row per distinct normalized content, first-seen url kept
+        assert [r["url"] for r in got] == ["u1", "u4"]
+        assert len({r["fingerprint"] for r in got}) == 2
