@@ -280,6 +280,49 @@ def q_fingerprint(spark, sf):
     )
 
 
+def q_repetition(spark, sf):
+    """Gopher-style within-doc n-gram repetition signals (top/dup n-gram
+    shares) — shuffle-free sort+run-length expression pass."""
+    from docee_spark.operators.textstats import repetition_scores
+
+    return repetition_scores(_read(spark, sf, "documents"))
+
+
+def q_c4_filters(spark, sf):
+    """C4-style keep rules as observable per-doc flags."""
+    from docee_spark.operators.textstats import c4_filters
+
+    return c4_filters(_read(spark, sf, "documents"))
+
+
+def q_vocab_topk(spark, sf):
+    """Corpus token-frequency top-k (vocabulary building)."""
+    from docee_spark.operators.textstats import vocab_topk
+
+    return vocab_topk(_read(spark, sf, "documents"), k=100)
+
+
+def q_dedup_clusters(spark, sf):
+    """Duplicate CLUSTERING end-to-end: minhash-verified pairs →
+    connected components (min-label propagation + pointer jumping) →
+    keep flag under the min_id representative policy. The oracle
+    re-derives the components with a recursive transitive-closure CTE
+    over independently re-derived pairs."""
+    from docee_spark.operators.dedup import (
+        duplicate_clusters,
+        minhash_verified_pairs,
+    )
+
+    d = _read(spark, sf, "documents")
+    pairs = minhash_verified_pairs(d, threshold_e4=5000)
+    cl = duplicate_clusters(pairs)
+    return cl.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("keep"),
+    )
+
+
 def q_dedup_exact(spark, sf):
     from docee_spark.operators.dedup import exact_duplicates
 
@@ -994,31 +1037,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the r3 driver run recorded only the first
     # 50 entries, so the registry is ordered by evidence priority —
     # every survey row's PRIMARY oracle comes first, and the tail holds
-    # the four queries whose survey rows are already covered by an
-    # earlier entry (dedup_simhash is the 16-bit demo of dedup_simhash64;
+    # the queries whose survey rows are already covered by an earlier
+    # entry (dedup_simhash is the 16-bit demo of dedup_simhash64;
     # embed_lsh_buckets ⊂ embed_lsh_topk; sorted_lineitems shares O6
-    # with distinct_statuses; priority_stats shapes like agg_rollup).
+    # with distinct_statuses; agg_rollup/priority_stats shape like the
+    # stronger docee_eval_rollup; join_region_revenue / events_hourly /
+    # props_extract are generic relational demos cited by no survey row).
     return {
-        "agg_rollup": q_agg_rollup,
         "filter_isin": q_filter_isin,
         "window_topk": q_window_topk,
-        "join_region_revenue": q_join_region_revenue,
         "events_cube": q_events_cube,
         "user_mode_event": q_user_mode_event,
         "distinct_statuses": q_distinct_statuses,
         "sessionize": q_sessionize,
-        "events_hourly": q_events_hourly,
-        "props_extract": q_props_extract,
         "token_stats": q_token_stats,
         "quality": q_quality,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
+        "repetition": q_repetition,
+        "c4_filters": q_c4_filters,
+        "vocab_topk": q_vocab_topk,
         "docee_dataset_stats": q_docee_dataset_stats,
         "docee_trigger_importance": q_docee_trigger_importance,
         "docee_key_sentences": q_docee_key_sentences,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_verified": q_dedup_minhash_verified,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_ngram": q_dedup_ngram,
         "dedup_simhash64": q_dedup_simhash64,
         "dedup_embed": q_dedup_embed,
@@ -1053,6 +1098,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_lsh_buckets": q_embed_lsh_buckets,
         "sorted_lineitems": q_sorted_lineitems,
         "priority_stats": q_priority_stats,
+        "agg_rollup": q_agg_rollup,
+        "join_region_revenue": q_join_region_revenue,
+        "events_hourly": q_events_hourly,
+        "props_extract": q_props_extract,
     }
 
 
@@ -1123,6 +1172,108 @@ select doc_a, doc_b,
   cast(floor(n_common * 10000 / (na + nb - n_common)) as bigint) as jaccard_e4
 from jac
 where floor(n_common * 10000 / (na + nb - n_common)) >= {threshold_e4}
+"""
+
+
+def _ngram_list_sql(toks: str, n: int) -> str:
+    """NON-distinct word n-grams in document order (DuckDB)."""
+    joined = " || ' ' || ".join(f"{toks}[i+{j}]" if j else f"{toks}[i]" for j in range(n))
+    return (
+        f"(case when len({toks}) >= {n} then "
+        f"list_transform(range(1, len({toks}) - {n} + 2), i -> {joined}) "
+        f"else cast([] as varchar[]) end)"
+    )
+
+
+def _repetition_sql(ns: tuple = (2, 3)) -> str:
+    toks = _TOKENS.format(c="text")
+    ctes, outs = [], []
+    for n in ns:
+        grams = _ngram_list_sql("toks", n)
+        ctes.append(
+            f"""g{n} as (select doc_id, unnest({grams}) as g from t),
+c{n} as (select doc_id, g, count(*) as c from g{n} group by 1, 2),
+a{n} as (select doc_id, sum(c) as total, max(c) as best,
+                sum(case when c > 1 then c else 0 end) as dup
+         from c{n} group by doc_id)"""
+        )
+        outs.append(
+            f"""cast(coalesce(a{n}.total, 0) as bigint) as n_{n}grams,
+cast(case when coalesce(a{n}.total, 0) > 0
+     then floor(a{n}.best * 10000 / a{n}.total) else 0 end as bigint) as top_{n}gram_frac_e4,
+cast(case when coalesce(a{n}.total, 0) > 0
+     then floor(a{n}.dup * 10000 / a{n}.total) else 0 end as bigint) as dup_{n}gram_frac_e4"""
+        )
+    joins = "\n".join(f"left join a{n} on a{n}.doc_id = t.doc_id" for n in ns)
+    return f"""
+with t as (select doc_id, {toks} as toks from documents),
+{",".join(ctes)}
+select t.doc_id, {", ".join(outs)}
+from t
+{joins}
+"""
+
+
+def _c4_sql(
+    min_tokens: int = 30,
+    min_avg_e2: int = 200,
+    max_avg_e2: int = 1000,
+    blocklist: tuple = ("lorem", "ipsum"),
+) -> str:
+    toks = _TOKENS.format(c="text")
+    ltoks = _TOKENS.format(c="lower(text)")
+    bl = ", ".join(f"'{w}'" for w in blocklist)
+    return f"""
+with t as (select doc_id, text, {toks} as toks, {ltoks} as ltoks from documents),
+f as (select doc_id,
+  cast(len(ltoks) as bigint) as n_tokens,
+  cast(case when len(toks) > 0
+       then floor(list_sum(list_transform(toks, x -> len(x))) * 100 / len(toks))
+       else 0 end as bigint) as avg_token_len_e2,
+  cast(len(list_filter(ltoks, x -> x in ({bl}))) as bigint) as blocklist_hits,
+  cast(case when regexp_matches(trim(text), '[.!?。！？]$') then 1 else 0 end as int) as ends_with_punct
+ from t)
+select doc_id, n_tokens, avg_token_len_e2, blocklist_hits, ends_with_punct,
+  cast(case when n_tokens >= {min_tokens}
+            and avg_token_len_e2 between {min_avg_e2} and {max_avg_e2}
+            and blocklist_hits = 0 then 1 else 0 end as int) as keep
+from f
+"""
+
+
+def _vocab_topk_sql(k: int = 100) -> str:
+    toks = _TOKENS.format(c="text")
+    return f"""
+select token, cast(count(*) as bigint) as n
+from (select unnest({toks}) as token from documents)
+group by token
+order by n desc, token asc
+limit {k}
+"""
+
+
+def _dedup_clusters_sql() -> str:
+    """Connected components over the minhash-verified pair graph via a
+    recursive reachability CTE (cluster_id = min reachable doc_id) —
+    entirely independent of the engine's label-propagation code."""
+    return f"""
+with recursive pairs as (
+  select doc_a, doc_b from ({_minhash_verified_sql()})
+),
+edges as (
+  select doc_a as src, doc_b as dst from pairs
+  union
+  select doc_b as src, doc_a as dst from pairs
+),
+walk(doc_id, reach) as (
+  select src as doc_id, src as reach from edges
+  union
+  select w.doc_id, e.dst as reach
+  from walk w join edges e on e.src = w.reach
+)
+select doc_id, min(reach) as cluster_id,
+  cast(case when doc_id = min(reach) then 1 else 0 end as int) as keep
+from walk group by doc_id
 """
 
 
@@ -3123,6 +3274,9 @@ select doc_id, len({toks}) as n_tokens,
 from documents
 """,
         "quality": _quality_sql(),
+        "repetition": _repetition_sql(),
+        "c4_filters": _c4_sql(),
+        "vocab_topk": _vocab_topk_sql(),
         "langid": f"""
 with t as (select doc_id, text,
                   {_TOKENS.format(c="lower(text)")} as ltoks from documents),
@@ -3149,6 +3303,7 @@ from documents group by 1
 """,
         "dedup_minhash": _minhash_sql(),
         "dedup_minhash_verified": _minhash_verified_sql(),
+        "dedup_clusters": _dedup_clusters_sql(),
         "dedup_ngram": _ngram_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash64": _simhash64_sql(),

@@ -36,7 +36,10 @@ HEADLINE = [
     "sessionize",
     "events_hourly",
     "quality",
+    "repetition",
+    "vocab_topk",
     "dedup_exact",
+    "dedup_clusters",
     "dedup_minhash",
     "dedup_minhash_verified",
     "dedup_ngram",

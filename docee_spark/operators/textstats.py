@@ -104,3 +104,166 @@ def rolling_hash(col: Column, mod: int = 1_000_000_007, base: int = 31) -> Colum
         F.lit(0).cast("long"),
         lambda acc, ch: (acc * base + F.ascii(ch)) % mod,
     )
+
+
+# --------------------------------------------------------------------------
+# Repetition / filtering / vocabulary — the standard pre-training corpus
+# gates beyond the basic ratio features above (Gopher-style repetition
+# signals, C4-style keep rules, vocabulary building).
+# --------------------------------------------------------------------------
+
+
+def token_ngrams(toks: Column, n: int) -> Column:
+    """All word n-grams in document order (NON-distinct — counts matter
+    for repetition); ``[]`` for docs with fewer than n tokens."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _gram_stats(grams: Column) -> Column:
+    """``struct(total, best, dup)`` over a gram array: ``total`` = its
+    size, ``best`` = the count of the most frequent gram, ``dup`` = Σ of
+    counts > 1 (grams occurring more than once, with multiplicity).
+    Implemented as sort_array + ONE ``aggregate`` run-length pass whose
+    accumulator also counts elements, so the entire expensive work is a
+    single expression — evaluated once however many ratios are derived
+    from the result struct. Pure expression work: no shuffle, no Python.
+    """
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+        F.lit(0).cast("long").alias("dup"),
+        F.lit(0).cast("long").alias("total"),
+    )
+
+    def step(acc, x):
+        same = x.eqNullSafe(acc["prev"])
+        closed_best = F.greatest(acc["best"], acc["run"])
+        closed_dup = acc["dup"] + F.when(
+            acc["run"] > 1, acc["run"]
+        ).otherwise(F.lit(0).cast("long"))
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.when(same, acc["best"]).otherwise(closed_best).alias("best"),
+            F.when(same, acc["dup"]).otherwise(closed_dup).alias("dup"),
+            (acc["total"] + 1).alias("total"),
+        )
+
+    def finish(acc):
+        return F.struct(
+            acc["total"].alias("total"),
+            F.greatest(acc["best"], acc["run"]).alias("best"),
+            (
+                acc["dup"]
+                + F.when(acc["run"] > 1, acc["run"]).otherwise(F.lit(0).cast("long"))
+            ).alias("dup"),
+        )
+
+    return F.aggregate(F.sort_array(grams), acc0, step, finish)
+
+
+def repetition_scores(
+    df: DataFrame, text_col: str = "text", ns: tuple[int, ...] = (2, 3)
+) -> DataFrame:
+    """Within-document n-gram repetition signals (the Gopher repetition
+    rules' token-count variant): for each n, the total n-gram count, the
+    share taken by the single most frequent n-gram (``top``), and the
+    share of n-grams occurring more than once (``dup``), both ×10⁴.
+
+    Scale shape: per-row sort_array + one aggregate pass per n — NO
+    shuffle, no explode of the corpus; cost is O(tokens · log tokens)
+    per document and the stage pipelines with the scan. Evaluation-count
+    discipline (the simhash64 lesson): tokenization is bound ONCE via a
+    1-element-array lambda, each n's stats are ONE aggregate expression,
+    and the packed struct reaches the final projection through a
+    Generate (explode of a 1-element array) so deriving six output
+    columns cannot re-run any of it."""
+    from .dedup import ensure_parallelism  # local: dedup imports us
+
+    toks = tokens(F.col(text_col))
+    packed = F.explode(
+        F.transform(
+            F.array(toks),
+            lambda tk: F.struct(
+                *[_gram_stats(token_ngrams(tk, n)).alias(f"s{n}") for n in ns]
+            ),
+        )
+    )
+    rep = ensure_parallelism(df).select("doc_id", packed.alias("rep"))
+    cols = [F.col("doc_id")]
+    for n in ns:
+        s = F.col("rep").getField(f"s{n}")
+        total, best, dup = s["total"], s["best"], s["dup"]
+        cols += [
+            total.alias(f"n_{n}grams"),
+            F.when(total > 0, F.floor(best * 10000 / total))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias(f"top_{n}gram_frac_e4"),
+            F.when(total > 0, F.floor(dup * 10000 / total))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias(f"dup_{n}gram_frac_e4"),
+        ]
+    return rep.select(*cols)
+
+
+def c4_filters(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 30,
+    min_avg_token_len_e2: int = 200,
+    max_avg_token_len_e2: int = 1000,
+    blocklist: tuple[str, ...] = ("lorem", "ipsum"),
+) -> DataFrame:
+    """C4-style document keep rules as observable per-doc flags: token
+    floor, mean-token-length band, blocklist hits, terminal punctuation.
+    ``keep`` = floor ∧ band ∧ no blocklist hit (terminal punctuation is
+    reported but not gating — it is a line-level rule in C4). All flags
+    are ints so results hash identically across engines."""
+    c = F.col(text_col)
+    ltoks = tokens(F.lower(c))
+    n = F.size(ltoks).cast("long")
+    avg = avg_token_len_e2(c)
+    hits = F.size(F.filter(ltoks, lambda t: t.isin(*blocklist))).cast("long")
+    ends = F.trim(c).rlike("[.!?。！？]$")
+    keep = (
+        (n >= min_tokens)
+        & (avg >= min_avg_token_len_e2)
+        & (avg <= max_avg_token_len_e2)
+        & (hits == 0)
+    )
+    return df.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        avg.alias("avg_token_len_e2"),
+        hits.alias("blocklist_hits"),
+        ends.cast("int").alias("ends_with_punct"),
+        keep.cast("int").alias("keep"),
+    )
+
+
+def vocab_topk(df: DataFrame, text_col: str = "text", k: int = 100) -> DataFrame:
+    """Corpus-level token frequency top-k (vocabulary building — the
+    offline aggregation behind the reference's fixed token vocab,
+    dee/utils.py:107-145 loads one). explode → two-stage count (map-side
+    partial agg collapses each partition to its distinct tokens) →
+    TakeOrderedAndProject top-k; total order (n desc, token asc) makes
+    the k-boundary deterministic."""
+    from .dedup import ensure_parallelism  # local: dedup imports us
+
+    return (
+        ensure_parallelism(df)
+        .select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(k)
+    )

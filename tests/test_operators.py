@@ -398,6 +398,70 @@ class TestTextstatsEdge:
         assert got == h
 
 
+class TestRepetitionFilters:
+    """Gopher-style repetition, C4-style keep rules, vocab top-k —
+    hand-computed goldens + edge cases."""
+
+    def test_repetition_hand_computed(self, spark):
+        from docee_spark.operators.textstats import repetition_scores
+
+        # tokens: a b a b a  → 2-grams: [a b, b a, a b, b a] (4 total;
+        # 'a b'×2, 'b a'×2 → top=2/4=0.5, dup=4/4=1.0)
+        #           3-grams: [a b a, b a b, a b a] (3; top 2/3, dup 2/3)
+        df = spark.createDataFrame([(1, "a b a b a")], "doc_id long, text string")
+        r = repetition_scores(df).collect()[0]
+        assert r["n_2grams"] == 4
+        assert r["top_2gram_frac_e4"] == 5000
+        assert r["dup_2gram_frac_e4"] == 10000
+        assert r["n_3grams"] == 3
+        assert r["top_3gram_frac_e4"] == 6666
+        assert r["dup_3gram_frac_e4"] == 6666
+
+    def test_repetition_all_unique_and_short(self, spark):
+        from docee_spark.operators.textstats import repetition_scores
+
+        df = spark.createDataFrame(
+            [(1, "w x y z"), (2, "solo"), (3, "")],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in repetition_scores(df).collect()}
+        # all-unique 2-grams: top = 1/3 ≈ 3333, dup = 0
+        assert rows[1]["n_2grams"] == 3
+        assert rows[1]["top_2gram_frac_e4"] == 3333
+        assert rows[1]["dup_2gram_frac_e4"] == 0
+        # fewer tokens than n → zero n-grams, zero ratios (not NaN/null)
+        for d in (2, 3):
+            assert rows[d]["n_2grams"] == 0
+            assert rows[d]["top_2gram_frac_e4"] == 0
+            assert rows[d]["dup_3gram_frac_e4"] == 0
+
+    def test_c4_flags(self, spark):
+        from docee_spark.operators.textstats import c4_filters
+
+        long_ok = " ".join(["token"] * 40) + "."
+        short = "too short doc"
+        blocked = " ".join(["word"] * 40) + " lorem extra"
+        df = spark.createDataFrame(
+            [(1, long_ok), (2, short), (3, blocked)],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in c4_filters(df).collect()}
+        assert rows[1]["keep"] == 1 and rows[1]["ends_with_punct"] == 1
+        assert rows[2]["keep"] == 0  # under the token floor
+        assert rows[3]["keep"] == 0 and rows[3]["blocklist_hits"] == 1
+
+    def test_vocab_topk_deterministic_ties(self, spark):
+        from docee_spark.operators.textstats import vocab_topk
+
+        df = spark.createDataFrame(
+            [(1, "b a b a c"), (2, "c d")], "doc_id long, text string"
+        )
+        rows = vocab_topk(df, k=3).collect()
+        # counts: a=2 b=2 c=2 d=1 → top-3 is the a/b/c tie broken
+        # alphabetically, in (n desc, token asc) order
+        assert [(r["token"], r["n"]) for r in rows] == [("a", 2), ("b", 2), ("c", 2)]
+
+
 class TestDropExactDuplicates:
     def test_keeps_min_id_per_content(self, spark):
         from docee_spark.operators.dedup import drop_exact_duplicates
