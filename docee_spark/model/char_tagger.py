@@ -262,16 +262,27 @@ def train_char_tagger(
     seed: int = 13,
     offsets: tuple[int, ...] = DEFAULT_OFFSETS,
     batch_sents: int = 256,
+    label2id: dict[str, int] | None = None,
 ) -> CharTagger:
     """Train on gold-annotated docs (fixtures shape: sentences + spans).
 
     Per-char softmax cross-entropy over the BIO label set; SGD over
     shuffled sentence minibatches. All updates are np.add.at scatters —
-    single-threaded, order-fixed, bit-reproducible for a given seed."""
+    single-threaded, order-fixed, bit-reproducible for a given seed.
+    ``label2id``: non-default BIO label space (e.g. a WikiEvents corpus
+    index) — must follow the O/B-x/I-x interleaving the Viterbi
+    transition mask assumes (B at odd ids, I at even, dee.py:215-220)."""
     from ..config import label_index
 
-    l2i = label_index()
-    labels = bio_labels()
+    if label2id is None:
+        l2i = label_index()
+        labels = bio_labels()
+    else:
+        l2i = label2id
+        labels = [lab for lab, _ in sorted(l2i.items(), key=lambda kv: kv[1])]
+        assert labels[0] == "O" and all(
+            labels[i].startswith("B-") == (i % 2 == 1) for i in range(1, len(labels))
+        ), "label2id must interleave O/B-x/I-x"
     sents_all: list[str] = []
     labs_all: list[list[int]] = []
     for g in train_docs:
