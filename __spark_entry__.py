@@ -323,6 +323,25 @@ def q_dedup_clusters(spark, sf):
     )
 
 
+def q_dedup_chunks(spark, sf):
+    """C4-style cross-corpus span dedup at 16-token windows: first
+    occurrence of each distinct chunk wins, documents reassembled from
+    surviving chunks. Oracle formulates keep differently (window
+    row_number over raw chunks vs the engine's hash-keyed min-struct
+    aggregate + join)."""
+    from docee_spark.operators.dedup import chunk_dedup
+
+    return chunk_dedup(_read(spark, sf, "documents"), window=16)
+
+
+def q_source_stats(spark, sf):
+    """Per-source crawl-QA rollup (doc counts, token volume, within-
+    source exact dups)."""
+    from docee_spark.operators.textstats import source_stats
+
+    return source_stats(_read(spark, sf, "documents"))
+
+
 def q_dedup_exact(spark, sf):
     from docee_spark.operators.dedup import exact_duplicates
 
@@ -1048,7 +1067,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topk": q_window_topk,
         "events_cube": q_events_cube,
         "user_mode_event": q_user_mode_event,
-        "distinct_statuses": q_distinct_statuses,
         "sessionize": q_sessionize,
         "token_stats": q_token_stats,
         "quality": q_quality,
@@ -1064,6 +1082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_verified": q_dedup_minhash_verified,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_chunks": q_dedup_chunks,
         "dedup_ngram": q_dedup_ngram,
         "dedup_simhash64": q_dedup_simhash64,
         "dedup_embed": q_dedup_embed,
@@ -1094,6 +1113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docee_adj_metrics": q_docee_adj_metrics,
         "docee_eval_rollup": q_docee_eval_rollup,
         "docee_eval_report": q_docee_eval_report,
+        "source_stats": q_source_stats,
+        "distinct_statuses": q_distinct_statuses,
         "dedup_simhash": q_dedup_simhash,
         "embed_lsh_buckets": q_embed_lsh_buckets,
         "sorted_lineitems": q_sorted_lineitems,
@@ -1172,6 +1193,40 @@ select doc_a, doc_b,
   cast(floor(n_common * 10000 / (na + nb - n_common)) as bigint) as jaccard_e4
 from jac
 where floor(n_common * 10000 / (na + nb - n_common)) >= {threshold_e4}
+"""
+
+
+def _chunk_dedup_sql(window: int = 16) -> str:
+    toks = _TOKENS.format(c="text")
+    w = window
+    return f"""
+with t as (select doc_id, {toks} as toks from documents),
+c as (select doc_id, i as pos,
+             array_to_string(toks[(i*{w})+1:(i+1)*{w}], ' ') as chunk
+      from t, unnest(range(0, greatest(cast(ceil(len(toks)/{w}.0) as bigint), 1))) as u(i)),
+cc as (select * from c where len(chunk) > 0),
+m as (select doc_id, pos, chunk,
+             row_number() over (partition by chunk order by doc_id, pos) = 1 as kept
+      from cc)
+select doc_id,
+  coalesce(string_agg(chunk, ' ' order by pos) filter (where kept), '') as clean_text,
+  cast(count(*) as bigint) as n_chunks,
+  cast(sum(case when not kept then 1 else 0 end) as bigint) as n_dropped
+from m group by doc_id
+"""
+
+
+def _source_stats_sql() -> str:
+    toks = _TOKENS.format(c="text")
+    return f"""
+with p as (select source, len({toks}) as n_toks,
+                  md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) as fp
+           from documents)
+select source,
+  cast(count(*) as bigint) as n_docs,
+  cast(sum(n_toks) as bigint) as n_tokens,
+  cast(count(*) - count(distinct fp) as bigint) as n_exact_dups
+from p group by source
 """
 
 
@@ -3304,6 +3359,8 @@ from documents group by 1
         "dedup_minhash": _minhash_sql(),
         "dedup_minhash_verified": _minhash_verified_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
+        "dedup_chunks": _chunk_dedup_sql(),
+        "source_stats": _source_stats_sql(),
         "dedup_ngram": _ngram_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash64": _simhash64_sql(),

@@ -791,3 +791,69 @@ def dedup_keep(
         "cluster_id",
     ).filter(F.col("doc_id") != F.col("keep_id")).select("doc_id")
     return df.join(drops, "doc_id", "left_anti")
+
+
+def chunk_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 16,
+) -> DataFrame:
+    """Cross-corpus SPAN-level dedup (the C4 "three-sentence span" rule
+    at fixed token windows): chunk every document into non-overlapping
+    ``window``-token spans, keep only the globally FIRST occurrence of
+    each distinct span (first = smallest ``(doc_id, pos)``), and
+    reassemble each document from its surviving chunks.
+
+    → ``(doc_id, clean_text, n_chunks, n_dropped)``.
+
+    Scale shape: explode to one row per chunk (map-side), ONE
+    ``groupBy(chunk_hash)`` whose **map-side partial aggregation
+    collapses hot boilerplate chunks per partition before the shuffle**
+    (the skew case — a chunk shared by millions of docs arrives at the
+    reducer once per partition, not once per occurrence; a window/rank
+    formulation would ship every occurrence to one reducer), one join of
+    chunks against the first-occurrence frame on the 128-bit hash (bytes
+    kept small — the chunk text itself never shuffles twice), and one
+    ``groupBy(doc_id)`` reassembly. Everything is keyed and linear."""
+    toks = tokens(F.col(text_col))
+    n_chunks = F.ceil(F.size(toks) / F.lit(window)).cast("int")
+    chunked = df.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(1)) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(toks, i * window + 1, window)
+                ),
+            )
+        ).alias("pos", "chunk"),
+    ).filter(F.length("chunk") > 0)
+    chunked = chunked.withColumn("h", F.md5("chunk"))
+    firsts = chunked.groupBy("h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first_at")
+    )
+    marked = chunked.join(firsts, "h").withColumn(
+        "kept",
+        (F.col("doc_id") == F.col("first_at.doc_id"))
+        & (F.col("pos") == F.col("first_at.pos")),
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("kept"), F.struct("pos", "chunk"))
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+            ).alias("clean_text"),
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum(F.when(~F.col("kept"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )

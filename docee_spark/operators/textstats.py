@@ -267,3 +267,22 @@ def vocab_topk(df: DataFrame, text_col: str = "text", k: int = 100) -> DataFrame
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(k)
     )
+
+
+def source_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source (host/domain analog) crawl-QA rollup: document count,
+    token volume, and exact-duplicate count within the source — the
+    aggregation a crawl operator reads to find boilerplate-heavy or
+    misbehaving hosts. One groupBy(source) with map-side partial agg;
+    the within-group distinct is Spark's two-phase distinct-agg."""
+    c = F.col(text_col)
+    per = df.select(
+        "source",
+        token_count(c).alias("n_toks"),
+        fingerprint_md5(c).alias("fp"),
+    )
+    return per.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        (F.count("*") - F.countDistinct("fp")).cast("long").alias("n_exact_dups"),
+    )

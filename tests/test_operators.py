@@ -462,6 +462,75 @@ class TestRepetitionFilters:
         assert [(r["token"], r["n"]) for r in rows] == [("a", 2), ("b", 2), ("c", 2)]
 
 
+class TestChunkDedup:
+    """C4-style cross-corpus span dedup: first occurrence wins, docs
+    reassembled from surviving chunks."""
+
+    def test_first_occurrence_wins_and_reassembly(self, spark):
+        from docee_spark.operators.dedup import chunk_dedup
+
+        shared = "a b c d"  # one full window at window=4
+        df = spark.createDataFrame(
+            [
+                (1, shared + " e f g h"),     # chunks: [a b c d][e f g h]
+                (2, shared + " x y z w"),     # [a b c d] dup → dropped
+                (3, "p q r s " + shared),     # [p q r s][a b c d] dropped
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in chunk_dedup(df, window=4).collect()}
+        assert rows[1]["clean_text"] == "a b c d e f g h"
+        assert rows[1]["n_dropped"] == 0
+        assert rows[2]["clean_text"] == "x y z w"
+        assert rows[2]["n_dropped"] == 1
+        assert rows[3]["clean_text"] == "p q r s"
+        assert (rows[3]["n_chunks"], rows[3]["n_dropped"]) == (2, 1)
+
+    def test_partial_tail_window_and_within_doc_dup(self, spark):
+        from docee_spark.operators.dedup import chunk_dedup
+
+        # 6 tokens at window=4 → one full + one 2-token tail chunk;
+        # doc 2 repeats its own window → within-doc dedup also applies
+        df = spark.createDataFrame(
+            [(1, "a b c d e f"), (2, "k l m n k l m n")],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in chunk_dedup(df, window=4).collect()}
+        assert rows[1]["clean_text"] == "a b c d e f"
+        assert rows[1]["n_chunks"] == 2
+        assert rows[2]["clean_text"] == "k l m n"
+        assert rows[2]["n_dropped"] == 1
+
+    def test_all_dropped_doc_keeps_row_empty_text(self, spark):
+        from docee_spark.operators.dedup import chunk_dedup
+
+        df = spark.createDataFrame(
+            [(1, "a b c d"), (2, "a b c d")], "doc_id long, text string"
+        )
+        rows = {r["doc_id"]: r for r in chunk_dedup(df, window=4).collect()}
+        assert rows[2]["clean_text"] == "" and rows[2]["n_dropped"] == 1
+
+
+class TestSourceStats:
+    def test_rollup_with_exact_dups(self, spark):
+        from docee_spark.operators.textstats import source_stats
+
+        df = spark.createDataFrame(
+            [
+                (1, "x y z", "host-a"),
+                (2, "x  y z ", "host-a"),  # whitespace-normalized dup
+                (3, "u v", "host-a"),
+                (4, "only one", "host-b"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        rows = {r["source"]: r for r in source_stats(df).collect()}
+        assert rows["host-a"]["n_docs"] == 3
+        assert rows["host-a"]["n_exact_dups"] == 1
+        assert rows["host-a"]["n_tokens"] == 8
+        assert rows["host-b"]["n_exact_dups"] == 0
+
+
 class TestDropExactDuplicates:
     def test_keeps_min_id_per_content(self, spark):
         from docee_spark.operators.dedup import drop_exact_duplicates
