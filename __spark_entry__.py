@@ -334,6 +334,58 @@ def q_dedup_chunks(spark, sf):
     return chunk_dedup(_read(spark, sf, "documents"), window=16)
 
 
+def q_pii_scrub(spark, sf):
+    """PII redaction (emails/IPv4/phones counted then masked, sequential
+    rules, codegen-only). The synthetic corpus carries no PII, so the
+    query PLANTS a deterministic instance per doc-id residue class
+    (email when doc_id%2=0, IP when %3=0, phone when %5=0) — both
+    engines build the same planted text, then scrub independently."""
+    from pyspark.sql import functions as F
+
+    from docee_spark.operators.textstats import pii_scrub
+
+    d = F.col("doc_id")
+
+    def s(col):
+        return col.cast("string")
+
+    planted = _read(spark, sf, "documents").withColumn(
+        "text",
+        F.concat_ws(
+            " ",
+            F.col("text"),
+            F.when(d % 2 == 0, F.concat(F.lit("user"), s(d), F.lit("@example.com"))),
+            F.when(
+                d % 3 == 0,
+                F.concat(F.lit("10.0."), s(d % 256), F.lit("."), s(d % 100)),
+            ),
+            F.when(
+                d % 5 == 0,
+                F.concat(F.lit("+1-555-"), F.lpad(s(d % 10000), 4, "0")),
+            ),
+        ),
+    )
+    return pii_scrub(planted)
+
+
+def q_decontaminate(spark, sf):
+    """GPT-3/Pile-style benchmark decontamination: docs with doc_id%50=0
+    act as the eval suite; every other doc is flagged by distinct
+    3-gram overlap (3 instead of 13 so the small-vocab synthetic corpus
+    actually produces collisions). Eval grams broadcast; corpus never
+    shuffles."""
+    from pyspark.sql import functions as F
+
+    from docee_spark.operators.dedup import decontaminate
+
+    docs = _read(spark, sf, "documents")
+    return decontaminate(
+        docs.where(F.col("doc_id") % 50 != 0),
+        docs.where(F.col("doc_id") % 50 == 0),
+        n=3,
+    )
+
+
 def q_source_stats(spark, sf):
     """Per-source crawl-QA rollup (doc counts, token volume, within-
     source exact dups)."""
@@ -1058,10 +1110,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every survey row's PRIMARY oracle comes first, and the tail holds
     # the queries whose survey rows are already covered by an earlier
     # entry (dedup_simhash is the 16-bit demo of dedup_simhash64;
-    # embed_lsh_buckets ⊂ embed_lsh_topk; sorted_lineitems shares O6
-    # with distinct_statuses; agg_rollup/priority_stats shape like the
-    # stronger docee_eval_rollup; join_region_revenue / events_hourly /
-    # props_extract are generic relational demos cited by no survey row).
+    # dedup_minhash's candidate generator runs verbatim inside
+    # dedup_minhash_verified; embed_lsh_topk is embed_lsh_topk_mp at
+    # probe_flips=0; embed_lsh_buckets ⊂ embed_lsh_topk; sorted_lineitems
+    # shares O6 with distinct_statuses; agg_rollup/priority_stats shape
+    # like the stronger docee_eval_rollup; join_region_revenue /
+    # events_hourly / props_extract are generic relational demos cited by
+    # no survey row).
     return {
         "filter_isin": q_filter_isin,
         "window_topk": q_window_topk,
@@ -1079,15 +1134,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docee_trigger_importance": q_docee_trigger_importance,
         "docee_key_sentences": q_docee_key_sentences,
         "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_verified": q_dedup_minhash_verified,
         "dedup_clusters": q_dedup_clusters,
         "dedup_chunks": q_dedup_chunks,
         "dedup_ngram": q_dedup_ngram,
+        "decontaminate": q_decontaminate,
+        "pii_scrub": q_pii_scrub,
         "dedup_simhash64": q_dedup_simhash64,
         "dedup_embed": q_dedup_embed,
         "embed_topk": q_embed_topk,
-        "embed_lsh_topk": q_embed_lsh_topk,
         "embed_lsh_topk_mp": q_embed_lsh_topk_mp,
         "embed_ivf_topk": q_embed_ivf_topk,
         "doc_mentions": q_doc_mentions,
@@ -1114,6 +1169,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docee_eval_rollup": q_docee_eval_rollup,
         "docee_eval_report": q_docee_eval_report,
         "source_stats": q_source_stats,
+        "dedup_minhash": q_dedup_minhash,
+        "embed_lsh_topk": q_embed_lsh_topk,
         "distinct_statuses": q_distinct_statuses,
         "dedup_simhash": q_dedup_simhash,
         "embed_lsh_buckets": q_embed_lsh_buckets,
@@ -1228,6 +1285,63 @@ select source,
   cast(count(*) - count(distinct fp) as bigint) as n_exact_dups
 from p group by source
 """
+
+
+def _pii_sql() -> str:
+    """Sequential scrub re-derived in DuckDB: the same Java∩RE2 regexes
+    applied in the same order (operators/textstats.py::PII_RULES), over
+    the same per-residue-class planted instances."""
+    email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    phone = "\\+\\d[\\d-]{7,}\\d"
+    return f"""
+with planted as (
+  select doc_id, concat_ws(' ', text,
+    case when doc_id % 2 = 0
+         then 'user' || cast(doc_id as varchar) || '@example.com' end,
+    case when doc_id % 3 = 0
+         then '10.0.' || cast(doc_id % 256 as varchar) || '.'
+              || cast(doc_id % 100 as varchar) end,
+    case when doc_id % 5 = 0
+         then '+1-555-' || lpad(cast(doc_id % 10000 as varchar), 4, '0') end
+  ) as t from documents),
+s1 as (select doc_id,
+  len(regexp_extract_all(coalesce(t, ''), '{email}')) as n_emails,
+  regexp_replace(coalesce(t, ''), '{email}', '<EMAIL>', 'g') as t
+  from planted),
+s2 as (select doc_id, n_emails,
+  len(regexp_extract_all(t, '{ip}')) as n_ips,
+  regexp_replace(t, '{ip}', '<IP>', 'g') as t from s1),
+s3 as (select doc_id, n_emails, n_ips,
+  len(regexp_extract_all(t, '{phone}')) as n_phones,
+  regexp_replace(t, '{phone}', '<PHONE>', 'g') as t from s2)
+select doc_id, cast(n_emails as bigint) as n_emails,
+       cast(n_ips as bigint) as n_ips,
+       cast(n_phones as bigint) as n_phones,
+       md5(t) as redacted_fp
+from s3
+"""
+
+
+def _decontaminate_sql(n: int = 3, mod: int = 50) -> str:
+    """Eval-overlap re-derived relationally: distinct grams per doc,
+    eval-gram set from the %{mod}=0 slice, inner join + count vs the
+    engine's broadcast-join formulation."""
+    toks = _TOKENS.format(c="text")
+    return f"""
+with t as (select doc_id, {toks} as toks from documents),
+dg as (select doc_id, list_distinct({{g}}) as grams from t),
+ev as (select distinct unnest(grams) as g from dg where doc_id % {mod} = 0),
+corp as (select doc_id, len(grams) as n_grams from dg where doc_id % {mod} != 0),
+cg as (select doc_id, unnest(grams) as g from dg where doc_id % {mod} != 0),
+hits as (select cg.doc_id, count(*) as n from cg join ev using (g) group by 1)
+select corp.doc_id,
+       cast(corp.n_grams as bigint) as n_grams,
+       cast(coalesce(hits.n, 0) as bigint) as n_contaminated,
+       cast(case when coalesce(hits.n, 0) > 0 then 1 else 0 end as int)
+         as contaminated
+from corp left join hits on hits.doc_id = corp.doc_id
+""".format(g=_ngram_list_sql("toks", n))
 
 
 def _ngram_list_sql(toks: str, n: int) -> str:
@@ -3361,6 +3475,8 @@ from documents group by 1
         "dedup_clusters": _dedup_clusters_sql(),
         "dedup_chunks": _chunk_dedup_sql(),
         "source_stats": _source_stats_sql(),
+        "pii_scrub": _pii_sql(),
+        "decontaminate": _decontaminate_sql(),
         "dedup_ngram": _ngram_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash64": _simhash64_sql(),

@@ -46,6 +46,8 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_simhash64",
     "dedup_embed",
+    "decontaminate",
+    "pii_scrub",
     "embed_topk",
     "embed_lsh_topk",
     "doc_mentions",

@@ -793,6 +793,56 @@ def dedup_keep(
     return df.join(drops, "doc_id", "left_anti")
 
 
+def decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/Pile rule): flag corpus
+    documents that share any word ``n``-gram with an evaluation set
+    (13-grams in the GPT-3 appendix; callers pick ``n``).
+
+    → ``(doc_id, n_grams, n_contaminated, contaminated)`` — one row per
+    corpus document; ``n_grams`` counts the document's DISTINCT n-grams,
+    ``n_contaminated`` how many of those appear anywhere in ``eval_df``.
+
+    Scale shape: benchmark suites are tiny next to a 100 TB corpus, so
+    the distinct eval-gram set is **broadcast** (~10⁶ grams); corpus
+    grams explode map-side into a broadcast-hash inner join that emits
+    ONLY matches, the per-doc match count groups a near-empty stream,
+    and the counts join back to the corpus spine as a second broadcast
+    (contaminated docs are rare by construction). The corpus itself
+    never shuffles — both joins are map-side."""
+    from .textstats import token_ngrams, tokens
+
+    def grams(col):
+        return F.array_distinct(token_ngrams(tokens(F.col(col)), n))
+
+    eval_grams = (
+        ensure_parallelism(eval_df)
+        .select(F.explode(grams(text_col)).alias("g"))
+        .distinct()
+    )
+    base = ensure_parallelism(df).select(
+        "doc_id", grams(text_col).alias("grams")
+    )
+    hits = (
+        base.select("doc_id", F.explode("grams").alias("g"))
+        .join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_contaminated"))
+    )
+    return base.select(
+        "doc_id", F.size("grams").cast("long").alias("n_grams")
+    ).join(F.broadcast(hits), "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_contaminated", F.lit(0)).cast("long").alias("n_contaminated"),
+        (F.coalesce("n_contaminated", F.lit(0)) > 0).cast("int").alias("contaminated"),
+    )
+
+
 def chunk_dedup(
     df: DataFrame,
     text_col: str = "text",

@@ -250,6 +250,43 @@ def c4_filters(
     )
 
 
+#: sequential scrub rules: (kind, pattern, replacement). Patterns are
+#: restricted to the Java-regex ∩ RE2 common subset so the DuckDB oracle
+#: runs the very same expressions. Order matters and is part of the
+#: semantics: emails are scrubbed before IPs/phones so the digits inside
+#: an address are never double-counted as a phone.
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d[\d-]{7,}\d", "<PHONE>"),
+)
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction (CCNet/C4-style pre-training hygiene): count and
+    mask emails, IPv4 addresses and international phone numbers.
+
+    Rules apply sequentially (each counts on the text as redacted by the
+    previous rules), so overlapping matches resolve deterministically.
+    Pure ``regexp_extract_all``/``regexp_replace`` Column expressions —
+    whole-stage codegen, no Python, no shuffle; at 100 TB this is a
+    map-only pass fused into the scan. Returns
+    ``(doc_id, n_emails, n_ips, n_phones, redacted_fp)`` where
+    ``redacted_fp`` = md5 of the fully-scrubbed text (the scrubbed text
+    itself stays in the plan for sinks; the fingerprint keeps oracle
+    rows narrow)."""
+    red = F.coalesce(F.col(text_col), F.lit(""))  # size(null) is -1
+    counts = []
+    for kind, pat, repl in PII_RULES:
+        counts.append(
+            F.size(F.regexp_extract_all(red, F.lit(pat), 0))
+            .cast("long")
+            .alias(f"n_{kind}s")
+        )
+        red = F.regexp_replace(red, pat, repl)
+    return df.select("doc_id", *counts, F.md5(red).alias("redacted_fp"))
+
+
 def vocab_topk(df: DataFrame, text_col: str = "text", k: int = 100) -> DataFrame:
     """Corpus-level token frequency top-k (vocabulary building — the
     offline aggregation behind the reference's fixed token vocab,

@@ -531,6 +531,102 @@ class TestSourceStats:
         assert rows["host-b"]["n_exact_dups"] == 0
 
 
+class TestPiiScrub:
+    def test_counts_and_sequential_masking(self, spark):
+        from docee_spark.operators.textstats import pii_scrub
+
+        df = spark.createDataFrame(
+            [
+                (1, "mail bob.smith+x@sub.example.org now"),
+                (2, "server at 192.168.0.1 and 10.0.0.255 up"),
+                (3, "call +1-555-0100 or +44-20-7946-0958"),
+                (4, "clean document no pii here"),
+                # the digits/dots inside an email must not re-count as
+                # IP/phone once the email is masked (sequential rules)
+                (5, "a1.2.3.4@h5.example.com"),
+                (6, None),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+        assert (rows[1]["n_emails"], rows[1]["n_ips"], rows[1]["n_phones"]) == (1, 0, 0)
+        assert (rows[2]["n_emails"], rows[2]["n_ips"]) == (0, 2)
+        assert rows[3]["n_phones"] == 2
+        assert (rows[4]["n_emails"], rows[4]["n_ips"], rows[4]["n_phones"]) == (0, 0, 0)
+        assert (rows[5]["n_emails"], rows[5]["n_ips"], rows[5]["n_phones"]) == (1, 0, 0)
+        assert rows[6]["n_emails"] == 0  # null text → zero counts, not -1
+
+    def test_redacted_fingerprint_masks_match(self, spark):
+        import hashlib
+
+        from docee_spark.operators.textstats import pii_scrub
+
+        df = spark.createDataFrame(
+            [(1, "write a@b.co or ping 1.2.3.4 or +1-555-0100 end")],
+            "doc_id long, text string",
+        )
+        expect = "write <EMAIL> or ping <IP> or <PHONE> end"
+        row = pii_scrub(df).collect()[0]
+        assert row["redacted_fp"] == hashlib.md5(expect.encode()).hexdigest()
+
+
+class TestDecontaminate:
+    def test_planted_overlap_flags_only_contaminated(self, spark):
+        from docee_spark.operators.dedup import decontaminate
+
+        evald = spark.createDataFrame(
+            [(100, "the quick brown fox jumps")], "doc_id long, text string"
+        )
+        corpus = spark.createDataFrame(
+            [
+                (1, "copy of the quick brown fox here"),  # shares 3-grams
+                (2, "completely unrelated text tokens"),
+                (3, "quick brown fox appears again"),      # one shared gram
+                (4, "fox the brown quick"),                # right words, wrong order
+            ],
+            "doc_id long, text string",
+        )
+        rows = {
+            r["doc_id"]: r for r in decontaminate(corpus, evald, n=3).collect()
+        }
+        # doc 1: "the quick brown","quick brown fox" overlap (not "brown fox here")
+        assert rows[1]["n_contaminated"] == 2 and rows[1]["contaminated"] == 1
+        assert rows[2]["n_contaminated"] == 0 and rows[2]["contaminated"] == 0
+        assert rows[3]["n_contaminated"] == 1
+        assert rows[4]["contaminated"] == 0  # n-grams are order-sensitive
+        assert rows[2]["n_grams"] == 2  # 4 tokens → 2 distinct 3-grams
+
+    def test_distinct_grams_counted_once_and_short_docs(self, spark):
+        from docee_spark.operators.dedup import decontaminate
+
+        evald = spark.createDataFrame([(9, "a b c")], "doc_id long, text string")
+        corpus = spark.createDataFrame(
+            [(1, "a b c a b c a b c"), (2, "a b")],  # repeat + sub-n doc
+            "doc_id long, text string",
+        )
+        rows = {
+            r["doc_id"]: r for r in decontaminate(corpus, evald, n=3).collect()
+        }
+        # repeated "a b c" collapses to distinct grams; only distinct overlap counts
+        assert rows[1]["n_contaminated"] == 1
+        assert rows[2]["n_grams"] == 0 and rows[2]["contaminated"] == 0
+
+    def test_plan_broadcasts_eval_grams(self, spark):
+        from docee_spark.operators.dedup import decontaminate
+
+        evald = spark.createDataFrame([(9, "a b c d")], "doc_id long, text string")
+        corpus = spark.createDataFrame(
+            [(1, "a b c d e")], "doc_id long, text string"
+        )
+        df = decontaminate(corpus, evald, n=3)
+        explained = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        # both the gram join and the count join-back must be broadcast —
+        # the corpus side never shuffles for a join
+        assert explained.count("BroadcastHashJoin") >= 2
+
+
 class TestDropExactDuplicates:
     def test_keeps_min_id_per_content(self, spark):
         from docee_spark.operators.dedup import drop_exact_duplicates
