@@ -386,6 +386,34 @@ def q_decontaminate(spark, sf):
     )
 
 
+def q_stratified_sample(spark, sf):
+    """Quality-weighted deterministic downsampling: per-lang keep rates
+    applied through md5-hash selection (reproducible under retries and
+    across engines — no rand())."""
+    from docee_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _read(spark, sf, "documents").select("doc_id", "lang"),
+        rates_e4={"en": 7500, "zh": 2500, "es": 5000},
+        bucket_col="lang",
+        salt="r4",
+        default_rate_e4=1000,
+    )
+
+
+def q_mixture_cap(spark, sf):
+    """Per-source token budgeting (mixture building): greedy in-order
+    keep until each source crosses its token budget; flags kept
+    observable rather than filtered."""
+    from docee_spark.operators.sampling import mixture_cap
+
+    return mixture_cap(
+        _read(spark, sf, "documents"),
+        budgets={"src0": 2000, "src1": 500},
+        default_budget=1000,
+    )
+
+
 def q_source_stats(spark, sf):
     """Per-source crawl-QA rollup (doc counts, token volume, within-
     source exact dups)."""
@@ -1169,6 +1197,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docee_eval_rollup": q_docee_eval_rollup,
         "docee_eval_report": q_docee_eval_report,
         "source_stats": q_source_stats,
+        "stratified_sample": q_stratified_sample,
+        "mixture_cap": q_mixture_cap,
         "dedup_minhash": q_dedup_minhash,
         "embed_lsh_topk": q_embed_lsh_topk,
         "distinct_statuses": q_distinct_statuses,
@@ -1284,6 +1314,40 @@ select source,
   cast(sum(n_toks) as bigint) as n_tokens,
   cast(count(*) - count(distinct fp) as bigint) as n_exact_dups
 from p group by source
+"""
+
+
+def _stratified_sample_sql() -> str:
+    """Same md5-threshold arithmetic, re-derived: Spark conv(substring
+    (md5 ...), 16, 10) ↔ DuckDB '0x' || substring(md5 ...) cast."""
+    key = (
+        "cast(('0x' || substring(md5('r4|' || cast(doc_id as varchar)), 1, 8)) "
+        "as bigint) % 10000"
+    )
+    return f"""
+select doc_id, lang from documents
+where {key} < case when lang = 'en' then 7500
+                   when lang = 'es' then 5000
+                   when lang = 'zh' then 2500
+                   else 1000 end
+"""
+
+
+def _mixture_cap_sql() -> str:
+    toks = _TOKENS.format(c="text")
+    return f"""
+with per as (select doc_id, source, len({toks}) as n_toks from documents),
+w as (select doc_id, source, n_toks,
+             sum(n_toks) over (partition by source order by doc_id) as cum
+      from per)
+select doc_id, source, cast(n_toks as bigint) as n_toks,
+       cast(cum as bigint) as cum_toks,
+       cast(case when cum - n_toks <
+                 case when source = 'src0' then 2000
+                      when source = 'src1' then 500
+                      else 1000 end
+            then 1 else 0 end as int) as kept
+from w
 """
 
 
@@ -3477,6 +3541,8 @@ from documents group by 1
         "source_stats": _source_stats_sql(),
         "pii_scrub": _pii_sql(),
         "decontaminate": _decontaminate_sql(),
+        "stratified_sample": _stratified_sample_sql(),
+        "mixture_cap": _mixture_cap_sql(),
         "dedup_ngram": _ngram_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash64": _simhash64_sql(),

@@ -627,6 +627,60 @@ class TestDecontaminate:
         assert explained.count("BroadcastHashJoin") >= 2
 
 
+class TestSampling:
+    def test_hash_sample_deterministic_and_monotone(self, spark):
+        from docee_spark.operators.sampling import hash_sample
+
+        df = spark.createDataFrame(
+            [(i,) for i in range(400)], "doc_id long"
+        )
+        a = {r["doc_id"] for r in hash_sample(df, 2500, salt="s").collect()}
+        b = {r["doc_id"] for r in hash_sample(df, 2500, salt="s").collect()}
+        assert a == b  # reproducible, unlike df.sample()
+        # a higher rate with the same salt is a SUPERSET (coordinated splits)
+        big = {r["doc_id"] for r in hash_sample(df, 7500, salt="s").collect()}
+        assert a <= big
+        # rate lands near expectation (md5 is uniform)
+        assert 50 <= len(a) <= 150 and 250 <= len(big) <= 350
+        # a different salt draws a different sample
+        c = {r["doc_id"] for r in hash_sample(df, 2500, salt="t").collect()}
+        assert a != c
+
+    def test_stratified_rates_respected(self, spark):
+        from docee_spark.operators.sampling import stratified_sample
+
+        df = spark.createDataFrame(
+            [(i, "hi" if i % 2 == 0 else "lo") for i in range(600)],
+            "doc_id long, q string",
+        )
+        out = stratified_sample(
+            df, {"hi": 10000, "lo": 0}, bucket_col="q"
+        ).collect()
+        assert len(out) == 300 and all(r["q"] == "hi" for r in out)
+
+    def test_mixture_cap_greedy_boundary(self, spark):
+        from docee_spark.operators.sampling import mixture_cap
+
+        df = spark.createDataFrame(
+            [
+                (1, "a b c", "s1"),        # cum 3  (< 7 before: 0)  kept
+                (2, "d e f g", "s1"),      # cum 7  (before 3 < 7)   kept
+                (3, "h i", "s1"),          # before 7, not < 7       dropped
+                (4, "x " * 50, "s2"),      # first doc over budget   kept
+                (5, "y", "s2"),            # before 50, dropped
+            ],
+            "doc_id long, text string, source string",
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in mixture_cap(df, {"s1": 7, "s2": 10}).collect()
+        }
+        assert [rows[i]["kept"] for i in (1, 2, 3)] == [1, 1, 0]
+        # the doc that CROSSES the budget is kept (budgets are floors)
+        assert rows[4]["kept"] == 1 and rows[5]["kept"] == 0
+        assert rows[3]["cum_toks"] == 9
+
+
 class TestDropExactDuplicates:
     def test_keeps_min_id_per_content(self, spark):
         from docee_spark.operators.dedup import drop_exact_duplicates
