@@ -154,6 +154,101 @@ def host_throughput_monitor(stream: DataFrame) -> DataFrame:
     )
 
 
+def streaming_minhash_candidates(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    bands: int = 2,
+    shingle_n: int = 3,
+    state_ttl_ms: int = 600_000,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """NEAR-duplicate candidate detection ON the stream: the batch
+    MinHash-LSH banding (identical signature arithmetic —
+    ``operators.dedup.minhash_cols`` over ``word_shingles`` — so
+    stream-time and compaction-time agree on what collides) exploded to
+    one row per band, with ``applyInPandasWithState`` keyed per band
+    bucket.  State per bucket: the anchor (first id seen) + member
+    count; every later arrival emits a candidate pair
+    ``(band, doc_a=anchor, doc_b=later)`` for the downstream batch
+    verifier (candidates are NOT verified here — same contract as
+    ``minhash_lsh_pairs`` → ``minhash_verified_pairs``).  Pairs form a
+    star around the anchor rather than the batch op's full clique —
+    ``duplicate_clusters`` closes them transitively downstream, and
+    ``doc_a`` is the anchor (first-seen), not necessarily the smaller
+    id.
+
+    Scale guards, both mandatory at crawl scale: state expires on a
+    processing-time TTL (the streaming horizon — cross-horizon dups
+    belong to batch compaction, exactly like ``streaming_exact_dedup``'s
+    watermark), and a bucket stops emitting after ``max_bucket`` members
+    (the boilerplate-bucket skew guard; the batch pass sees everything
+    and applies its own observable cap)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.dedup import minhash_cols, word_shingles
+
+    rows = max(1, k // bands)
+    mh = minhash_cols(word_shingles(F.col(text_col), shingle_n), k)
+    sigd = stream.select(
+        F.col(id_col).alias("doc_id"),
+        *[m.alias(f"m{i}") for i, m in enumerate(mh)],
+    )
+    band_arr = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(str(b)),
+                *[F.col(f"m{b * rows + r}") for r in range(rows)],
+            )
+            for b in range(bands)
+        ]
+    )
+    keyed = sigd.select("doc_id", F.explode(band_arr).alias("band")).groupBy(
+        "band"
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        ids: list[int] = []
+        for pdf in pdfs:
+            ids.extend(int(x) for x in pdf["doc_id"])
+        ids.sort()  # deterministic within a micro-batch
+        if state.exists:
+            anchor, seen = state.get
+        else:
+            anchor, seen = ids[0], 0
+        out_b = []
+        for i in ids:
+            if seen >= max_bucket:
+                break
+            seen += 1
+            if i != anchor:
+                out_b.append(i)
+        state.update((anchor, seen))
+        state.setTimeoutDuration(state_ttl_ms)
+        if out_b:
+            yield pd.DataFrame(
+                {
+                    "band": key[0],
+                    "doc_a": anchor,
+                    "doc_b": out_b,
+                }
+            )
+
+    return keyed.applyInPandasWithState(
+        update,
+        outputStructType="band string, doc_a long, doc_b long",
+        stateStructType="anchor long, seen long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def streaming_exact_dedup(
     stream: DataFrame,
     text_col: str = "text",

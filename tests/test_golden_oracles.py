@@ -324,10 +324,26 @@ def test_query_registry_invariants():
 
     qs, oracles = entry.queries(), entry.oracle_sql()
     assert set(qs) == set(oracles)
+    # pinned EXACT tail: an accidental demotion of a primary-evidence
+    # query out of the recorded window fails here loudly
     tail = list(qs)[50:]
-    assert set(tail) <= {
-        "dedup_simhash",
-        "embed_lsh_buckets",
+    assert set(tail) == {
+        # LLM-pipeline ops added after the top-50 filled with survey-row
+        # primaries; their evidence is pytest + check_oracles + COVERAGE
+        "source_stats",
+        "stratified_sample",
+        "mixture_cap",
+        # redundantly-evidenced twins of stronger in-window siblings
+        "dedup_minhash",      # candidate path runs inside _verified
+        "embed_lsh_topk",     # = embed_lsh_topk_mp at probe_flips=0
+        "dedup_simhash",      # 16-bit demo of dedup_simhash64
+        "embed_lsh_buckets",  # projection of embed_lsh_topk
+        # generic relational demos cited by no survey row
+        "distinct_statuses",
         "sorted_lineitems",
         "priority_stats",
+        "agg_rollup",
+        "join_region_revenue",
+        "events_hourly",
+        "props_extract",
     }, tail

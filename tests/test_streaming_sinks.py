@@ -339,6 +339,81 @@ class TestStatefulHostCrawl:
                 assert finals and all(r["over_budget"] for r in finals)
 
 
+class TestStreamingMinhashCandidates:
+    def test_collisions_emit_star_pairs_across_batches(self, spark, tmp_path):
+        """Stream-time near-dup candidates: exact-dup bodies collide in
+        every band; the bucket anchor persists in state across
+        micro-batches and later arrivals emit (anchor, later) pairs;
+        unrelated text never pairs."""
+        from docee_spark.streaming.incremental import (
+            streaming_minhash_candidates,
+        )
+
+        src = str(tmp_path / "mh_src")
+        body = "the quick brown fox jumps over the lazy dog again and again"
+        other = "totally unrelated words nothing shared in this one at all"
+        spark.createDataFrame(
+            [(1, body)], "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(src)
+        spark.createDataFrame(
+            [(2, body), (3, body), (4, other)], "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = streaming_minhash_candidates(stream, k=4, bands=2)
+        plan = out._jdf.queryExecution().analyzed().toString()
+        assert "FlatMapGroupsInPandasWithState" in plan
+
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("mh_cand")
+            .option("checkpointLocation", str(tmp_path / "mh_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        rows = spark.sql("select * from mh_cand").collect()
+        pairs = {(r["doc_a"], r["doc_b"]) for r in rows}
+        docs = {d for p in pairs for d in p}
+        assert docs == {1, 2, 3}, pairs  # the unrelated doc never pairs
+        anchors = {a for a, _ in pairs}
+        assert len(anchors) == 1  # star around one first-seen anchor
+        assert {b for _, b in pairs} == docs - anchors
+
+    def test_bucket_cap_stops_emission(self, spark, tmp_path):
+        from docee_spark.streaming.incremental import (
+            streaming_minhash_candidates,
+        )
+
+        src = str(tmp_path / "mh_cap_src")
+        body = "same same body of words repeated across all three documents"
+        spark.createDataFrame(
+            [(1, body), (2, body), (3, body)], "doc_id long, text string"
+        ).coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        out = streaming_minhash_candidates(stream, k=4, bands=2, max_bucket=2)
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("mh_cap")
+            .option("checkpointLocation", str(tmp_path / "mh_cap_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        pairs = {
+            (r["doc_a"], r["doc_b"])
+            for r in spark.sql("select * from mh_cap").collect()
+        }
+        # bucket capped at 2 members: (1,2) emitted, (1,3) suppressed
+        assert pairs == {(1, 2)}
+
+
 class TestStreamingExactDedup:
     def test_first_seen_wins_and_state_expires(self, spark, tmp_path):
         """Stream-time exact dedup: duplicates within the watermark
