@@ -484,6 +484,23 @@ def _quantize(vec):
     return F.transform(vec, lambda x: F.round(x * 10000).cast("long"))
 
 
+def q_dedup_semantic(spark, sf):
+    """SemDeDup semantic dedup: k-means-cluster blocking (same offline
+    quantizer as the IVF queries), intra-cluster exact cosine, drop the
+    pair member closest to its centroid. τ=0.3 because the synthetic
+    embeddings are random (max intra-cluster cosine ~0.5) — real
+    SemDeDup thresholds sit near 0.95."""
+    from docee_spark.operators.dedup import semantic_dup_pairs
+
+    em = _read(spark, sf, "embeddings").select(
+        "vec_id", _quantize(F.col("embedding")).alias("qvec")
+    )
+    cents = _ivf_centroids("/root/testdata/sf0.01")
+    return semantic_dup_pairs(
+        em, cents, threshold_e6=300_000, id_col="vec_id", vec_col="qvec"
+    )
+
+
 def q_embed_topk(spark, sf):
     """Brute-force top-3 neighbors for vec_id < 5 by integer-quantized dot
     product (embeddings are unit-norm → dot ≈ cosine, exactly portable)."""
@@ -1170,6 +1187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "dedup_simhash64": q_dedup_simhash64,
         "dedup_embed": q_dedup_embed,
+        "dedup_semantic": q_dedup_semantic,
         "embed_topk": q_embed_topk,
         "embed_lsh_topk_mp": q_embed_lsh_topk_mp,
         "embed_ivf_topk": q_embed_ivf_topk,
@@ -1626,7 +1644,11 @@ where floor(n_common * 10000 / (sa.n_shingles + sb.n_shingles - n_common)) >= {t
 """
 
 
-_QUANT = "list_transform({v}, x -> cast(round(x * 10000) as bigint))"
+# cast to double BEFORE the multiply: the parquet column is float32 and
+# DuckDB would otherwise compute x*10000 in single precision, where e.g.
+# -428.49999 lands exactly on -428.5 and rounds away to -429 — Spark
+# promotes to double, so the oracle must too (caught by dedup_semantic)
+_QUANT = "list_transform({v}, x -> cast(round(cast(x as double) * 10000) as bigint))"
 _DOTQ = (
     "list_sum(list_transform(range(1, len(q.q) + 1), i -> q.q[i] * e.qvec[i]))"
 )
@@ -3388,6 +3410,70 @@ from topk where rank <= {k}
 """
 
 
+def _dedup_semantic_sql(threshold_e6: int = 300_000, max_cluster: int = 1024) -> str:
+    """SemDeDup re-derived in SQL: same inlined centroids as the Spark
+    query (deterministic offline training on sf0.01), nearest-centroid
+    assignment (exact integer dot, ties → lowest cid), centroid-cosine
+    per member, intra-cluster pairing with the 2..max_cluster keep
+    window, and the paper's drop rule (closer-to-centroid loses, ties
+    drop the greater id). Arithmetic mirrors cosine_e6 exactly:
+    floor(double_dot · 10⁶ / (‖a‖·‖b‖))."""
+    cents = _ivf_centroids("/root/testdata/sf0.01")
+    values = ",\n    ".join(
+        f"({i}, [{', '.join(str(int(v)) for v in c)}]::bigint[])"
+        for i, c in enumerate(cents)
+    )
+    dotc = "list_sum(list_transform(range(1, len(e.qvec) + 1), i -> e.qvec[i] * c.cvec[i]))"
+    norm = "sqrt(cast(list_sum(list_transform({v}, x -> x * x)) as double))"
+    dotp = (
+        "cast(list_sum(list_transform(range(1, len(a.qvec) + 1), "
+        "i -> a.qvec[i] * b.qvec[i])) as double)"
+    )
+    return f"""
+with cents(cid, cvec) as (values
+    {values}
+),
+em as (select vec_id, {_QUANT.format(v="embedding")} as qvec from embeddings),
+scored_assign as (
+  select e.vec_id, e.qvec, c.cid, c.cvec, cast({dotc} as bigint) as dot
+  from em e cross join cents c
+),
+assign as (
+  select vec_id, qvec, cast(cid as int) as cluster,
+         cast(dot as double) as cdot,
+         {norm.format(v="qvec")} * {norm.format(v="cvec")} as cdenom
+  from (
+    select *, row_number() over (partition by vec_id
+                                 order by dot desc, cid asc) rn
+    from scored_assign) where rn = 1
+),
+acos as (
+  select vec_id, qvec, cluster,
+    case when cdenom > 0 then cast(floor(cdot * 1000000 / cdenom) as bigint)
+         else 0 end as cent_cos_e6
+  from assign
+),
+keep as (
+  select cluster from (select cluster, count(*) as n from acos group by cluster)
+  where n >= 2 and n <= {max_cluster}
+),
+kv as (select acos.* from acos join keep using (cluster)),
+pairs as (
+  select a.cluster, a.vec_id as id_a, b.vec_id as id_b,
+    {dotp} as dot,
+    {norm.format(v="a.qvec")} * {norm.format(v="b.qvec")} as denom,
+    a.cent_cos_e6 as ca, b.cent_cos_e6 as cb
+  from kv a join kv b on a.cluster = b.cluster and a.vec_id < b.vec_id
+)
+select cluster, id_a, id_b,
+  cast(floor(dot * 1000000 / denom) as bigint) as cosine_e6,
+  case when ca > cb then id_a when cb > ca then id_b
+       else greatest(id_a, id_b) end as drop_id
+from pairs
+where denom > 0 and floor(dot * 1000000 / denom) >= {threshold_e6}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     stop = "('the','a','and','of','to','in','is','it','that','for')"
     toks = _TOKENS.format(c="text")
@@ -3547,6 +3633,7 @@ from documents group by 1
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash64": _simhash64_sql(),
         "dedup_embed": _dedup_embed_sql(),
+        "dedup_semantic": _dedup_semantic_sql(),
         "embed_topk": _embed_topk_sql(bucketed=False),
         "embed_ivf_topk": _embed_ivf_sql(),
         "embed_lsh_buckets": """

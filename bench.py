@@ -46,6 +46,7 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_simhash64",
     "dedup_embed",
+    "dedup_semantic",
     "decontaminate",
     "pii_scrub",
     "embed_topk",

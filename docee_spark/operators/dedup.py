@@ -907,3 +907,84 @@ def chunk_dedup(
             .alias("n_dropped"),
         )
     )
+
+
+def semantic_dup_pairs(
+    df: DataFrame,
+    centroids,
+    threshold_e6: int = 950_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) SEMANTIC dedup:
+    cluster embeddings with a pre-trained k-means quantizer, compare
+    pairs only WITHIN a cluster, and mark as droppable the member of
+    every over-threshold pair that sits CLOSER to its centroid (the
+    paper keeps the lowest-centroid-similarity member; ties drop the
+    greater id).  → ``(cluster, id_a, id_b, cosine_e6, drop_id)``;
+    compose with ``duplicate_clusters``/``dedup_keep`` for the corpus
+    keep-set, or anti-join distinct ``drop_id`` directly for the
+    paper's per-pair policy.
+
+    Integer-exact: expects integer-quantized vectors (see the caller's
+    ×10⁴ quantization) so dots are exact in doubles and the whole
+    decision is bit-portable to the SQL oracle.
+
+    Scale shape: assignment is ONE expression over a centroid literal
+    (no join, codegen) — the quantizer is trained OFFLINE on a sample,
+    exactly like ``ivf_topk``'s.  The cluster id is the partition key:
+    the only shuffle is the groupBy/self-join on ``cluster``.  The
+    intra-cluster pair expansion is the paper's O(n²/k) — the number of
+    clusters is the scale knob (SemDeDup uses 50k for LAION; mean
+    cluster = corpus/k) and ``max_cluster`` caps degenerate hot
+    clusters with an observed drop counter, like every other pair
+    operator here.  With tens of thousands of centroids, swap the
+    literal for a broadcast join on cluster id; the rest is unchanged."""
+    from .similarity import cosine_e6, ivf_assign
+
+    cvecs = F.array(
+        *[F.array(*[F.lit(int(x)) for x in c]) for c in centroids]
+    )
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        ivf_assign(F.col(vec_col), centroids).alias("cluster"),
+    ).withColumn(
+        "cent_cos_e6",
+        cosine_e6(
+            F.col("vec"), F.element_at(cvecs, F.col("cluster") + F.lit(1))
+        ),
+    )
+    counts = v.groupBy("cluster").agg(F.count("*").alias("_n"))
+    counts = counts.observe(
+        _metric_name("semantic_cluster_drops"),
+        F.sum(F.when(F.col("_n") > max_cluster, 1).otherwise(0)).alias(
+            "n_dropped_clusters"
+        ),
+        F.sum(
+            F.when(F.col("_n") > max_cluster, F.col("_n")).otherwise(0)
+        ).alias("n_dropped_rows"),
+    )
+    keep = counts.filter(
+        (F.col("_n") >= 2) & (F.col("_n") <= max_cluster)
+    ).select("cluster")
+    v = v.join(F.broadcast(keep), "cluster")
+    a, b = v.alias("a"), v.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cluster") == F.col("b.cluster"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.cluster").alias("cluster"),
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        cosine_e6(F.col("a.vec"), F.col("b.vec")).alias("cosine_e6"),
+        F.when(
+            F.col("a.cent_cos_e6") > F.col("b.cent_cos_e6"), F.col("a.id")
+        )
+        .when(F.col("b.cent_cos_e6") > F.col("a.cent_cos_e6"), F.col("b.id"))
+        .otherwise(F.greatest(F.col("a.id"), F.col("b.id")))
+        .alias("drop_id"),
+    )
+    return pairs.filter(F.col("cosine_e6") >= threshold_e6)

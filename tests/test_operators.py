@@ -66,6 +66,52 @@ class TestDedup:
         pairs = embedding_cosine_pairs(df, threshold_e6=990_000).collect()
         assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}
 
+    def test_semantic_dup_pairs(self, spark):
+        """SemDeDup drop rule: within a cluster, the over-threshold pair
+        drops the member CLOSER to the centroid; singleton clusters never
+        pair; equidistant ties drop the greater id."""
+        import numpy as np
+
+        from docee_spark.operators.dedup import semantic_dup_pairs
+
+        centroids = np.array([[10000, 0], [0, 10000]], dtype=np.int64)
+        rows = [
+            # cluster 0: 1 is closer to the centroid than 2 → drop 1
+            (1, [10000, 0]),
+            (2, [9000, 4000]),
+            # cluster 1: singleton, never paired
+            (3, [0, 10000]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, qvec array<long>")
+        got = semantic_dup_pairs(
+            df, centroids, threshold_e6=800_000, vec_col="qvec"
+        ).collect()
+        assert [(r["id_a"], r["id_b"], r["drop_id"]) for r in got] == [(1, 2, 1)]
+
+        # tie: both members equidistant from the centroid → drop greater id
+        tie = spark.createDataFrame(
+            [(5, [9000, 4000]), (6, [9000, -4000])],
+            "vec_id long, qvec array<long>",
+        )
+        got = semantic_dup_pairs(
+            tie, centroids, threshold_e6=500_000, vec_col="qvec"
+        ).collect()
+        assert [(r["id_a"], r["id_b"], r["drop_id"]) for r in got] == [(5, 6, 6)]
+
+    def test_semantic_dup_pairs_cluster_cap(self, spark):
+        """An over-cap hot cluster is excluded from pairing entirely."""
+        import numpy as np
+
+        from docee_spark.operators.dedup import semantic_dup_pairs
+
+        centroids = np.array([[10000, 0]], dtype=np.int64)
+        rows = [(i, [10000, i]) for i in range(5)]
+        df = spark.createDataFrame(rows, "vec_id long, qvec array<long>")
+        got = semantic_dup_pairs(
+            df, centroids, threshold_e6=0, vec_col="qvec", max_cluster=4
+        ).collect()
+        assert got == []
+
 
 class TestSimilarity:
     def test_bruteforce_matches_numpy(self, spark):
