@@ -422,6 +422,53 @@ def q_source_stats(spark, sf):
     return source_stats(_read(spark, sf, "documents"))
 
 
+def q_url_dedup(spark, sf):
+    """Canonical-url freshest-capture dedup (stages/ingest.py:url_dedup)
+    over a deterministic synthetic recrawl table built from
+    documents.doc_id: two captures per page differing only in case /
+    www. / default port / tracking params / fragment (one canonical
+    url), plus an un-parseable url per 50th doc exercising the
+    passthrough guard. Ties (doc_id%5==2) break by url descending.
+    Timestamps emitted as epoch longs for exact DuckDB comparison."""
+    from docee_spark.stages.ingest import url_dedup
+
+    i = F.col("doc_id")
+
+    def s(c):
+        return c.cast("string")
+
+    d = _read(spark, sf, "documents").select("doc_id")
+    a = d.select(
+        F.concat(
+            F.lit("HTTPS://WWW.Host"), s(i % 17),
+            F.lit(".Example.COM:443/a/"), s(i),
+            F.lit("?utm_source=feed&b="), s(i % 7),
+            F.lit("&a=1#s"), s(i % 3),
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(1700000000) + i * 7).alias("warc_ts"),
+    )
+    b = d.select(
+        F.concat(
+            F.lit("https://host"), s(i % 17), F.lit(".example.com/a/"),
+            s(i), F.lit("?a=1&gclid=x&b="), s(i % 7),
+        ).alias("url"),
+        F.timestamp_seconds(
+            F.lit(1700000000) + i * 7 + (i % 5) - 2
+        ).alias("warc_ts"),
+    )
+    c = d.filter(i % 50 == 0).select(
+        F.concat(F.lit("weird-"), s(i)).alias("url"),
+        F.timestamp_seconds(F.lit(1700000000)).alias("warc_ts"),
+    )
+    out = url_dedup(a.unionByName(b).unionByName(c))
+    return out.select(
+        "canonical_url",
+        "url",
+        F.col("warc_ts").cast("long").alias("ts_epoch"),
+        "n_captures",
+    )
+
+
 def q_dedup_exact(spark, sf):
     from docee_spark.operators.dedup import exact_duplicates
 
@@ -1215,6 +1262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docee_eval_rollup": q_docee_eval_rollup,
         "docee_eval_report": q_docee_eval_report,
         "source_stats": q_source_stats,
+        "url_dedup": q_url_dedup,
         "stratified_sample": q_stratified_sample,
         "mixture_cap": q_mixture_cap,
         "dedup_minhash": q_dedup_minhash,
@@ -1332,6 +1380,72 @@ select source,
   cast(sum(n_toks) as bigint) as n_tokens,
   cast(count(*) - count(distinct fp) as bigint) as n_exact_dups
 from p group by source
+"""
+
+
+def _url_dedup_sql() -> str:
+    """Independent DuckDB re-derivation of canonical_url + freshest-
+    capture dedup: same regex grammar re-written in DuckDB (regexp_
+    extract / list_filter / list_sort), window row_number instead of the
+    engine's struct-max aggregate — the ordering (ts desc, url desc) is
+    the lexicographic struct-max identity."""
+    return r"""
+with d as (select doc_id from documents),
+base as (
+  select 'HTTPS://WWW.Host' || (doc_id % 17) || '.Example.COM:443/a/'
+         || doc_id || '?utm_source=feed&b=' || (doc_id % 7)
+         || '&a=1#s' || (doc_id % 3) as url,
+         1700000000 + doc_id * 7 as ts from d
+  union all
+  select 'https://host' || (doc_id % 17) || '.example.com/a/' || doc_id
+         || '?a=1&gclid=x&b=' || (doc_id % 7) as url,
+         1700000000 + doc_id * 7 + (doc_id % 5) - 2 as ts from d
+  union all
+  select 'weird-' || doc_id as url, 1700000000 as ts
+  from d where doc_id % 50 = 0
+),
+parts as (
+  select url, ts,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+      as scheme,
+    lower(regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) as auth,
+    regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) as rawpath,
+    regexp_extract(url, '^[^#?]*\?([^#]*)', 1) as q
+  from base
+),
+qs_t as (
+  select *,
+    regexp_replace(auth, '^www\.', '') as h2,
+    array_to_string(list_sort(list_filter(string_split(q, '&'),
+      x -> x <> '' and not regexp_matches(x,
+        '^(utm_[a-z0-9]+|gclid|fbclid|msclkid|mc_cid|mc_eid|igshid|ref|ref_src)='
+      ))), '&') as qs
+  from parts
+),
+canon as (
+  select url, ts,
+    case when scheme = '' then url else
+      scheme || '://'
+      || (case when scheme = 'http' then regexp_replace(h2, ':80$', '')
+               when scheme = 'https' then regexp_replace(h2, ':443$', '')
+               else h2 end)
+      || (case when rawpath = '' then '/' else rawpath end)
+      || (case when qs = '' then '' else '?' || qs end)
+    end as canonical_url
+  from qs_t
+),
+ranked as (
+  select canonical_url, url, ts,
+    row_number() over (partition by canonical_url
+                       order by ts desc, url desc) as rn,
+    count(*) over (partition by canonical_url) as n
+  from canon
+)
+select canonical_url, url, cast(ts as bigint) as ts_epoch,
+       cast(n as bigint) as n_captures
+from ranked where rn = 1
 """
 
 
@@ -3625,6 +3739,7 @@ from documents group by 1
         "dedup_clusters": _dedup_clusters_sql(),
         "dedup_chunks": _chunk_dedup_sql(),
         "source_stats": _source_stats_sql(),
+        "url_dedup": _url_dedup_sql(),
         "pii_scrub": _pii_sql(),
         "decontaminate": _decontaminate_sql(),
         "stratified_sample": _stratified_sample_sql(),

@@ -38,6 +38,7 @@ HEADLINE = [
     "quality",
     "repetition",
     "vocab_topk",
+    "url_dedup",
     "dedup_exact",
     "dedup_clusters",
     "dedup_minhash",

@@ -160,6 +160,89 @@ def salted_repartition(
     )
 
 
+# Tracking query parameters dropped during url canonicalization (name
+# match, value-insensitive). Frozen list: canonical urls must be stable
+# across releases or recrawl dedup silently re-admits old captures.
+_TRACKING_PARAM_RE = (
+    r"^(utm_[a-z0-9]+|gclid|fbclid|msclkid|mc_cid|mc_eid|igshid|ref|ref_src)="
+)
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_SCHEME_PREFIX = r"^[A-Za-z][A-Za-z0-9+.-]*://"
+
+
+def canonical_url(url: Column) -> Column:
+    """RFC-3986-style url normalization as pure codegen expressions (no
+    UDF): lowercase scheme+authority, strip ``www.`` and the scheme's
+    default port, empty path → ``/``, drop the fragment, drop tracking
+    params (frozen list), sort the remaining query params. A string
+    without a ``scheme://`` prefix passes through unchanged — crawl
+    inputs contain garbage and an un-parseable url must stay a distinct
+    key, not collapse into ``://…``. Recrawl captures of the same page
+    differ only in tracking params / fragment / case, so this is the
+    blocking key for capture dedup (``url_dedup``)."""
+    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+    auth = F.lower(F.regexp_extract(url, _SCHEME_PREFIX + r"([^/?#]*)", 1))
+    host = F.regexp_replace(auth, r"^www\.", "")
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, r":443$", ""))
+        .otherwise(host)
+    )
+    path = F.regexp_extract(url, _SCHEME_PREFIX + r"[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    # query = first '?' .. fragment; [^#?]* pins the '?' BEFORE any '#'
+    # so a '?' inside the fragment cannot fake a query string
+    query = F.regexp_extract(url, r"^[^#?]*\?([^#]*)", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE),
+        )
+    )
+    qs = F.array_join(params, "&")
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)),
+    )
+    return F.when(scheme == "", url).otherwise(canon)
+
+
+def url_dedup(webtext: DataFrame) -> DataFrame:
+    """Freshest-capture-per-page dedup over the crawl shape
+    (url, warc_ts, …): group by ``canonical_url`` and keep the newest
+    capture (ties broken by url descending via lexicographic struct
+    max — deterministic under reruns; a NULL warc_ts loses to any
+    non-null). ONE groupBy with map-side partial aggregation — no
+    join-back, no window over the full crawl — so at 10^12 captures the
+    shuffle carries one (ts, url) struct + count per canonical url per
+    map partition. The struct-max buffer is non-primitive, so Spark
+    plans partial/final SortAggregate instead of HashAggregate
+    (plan-asserted): the extra per-partition sort rides the shuffle
+    sort, and the alternatives (window row_number, max_by) are the same
+    or worse — max_by's tie behavior is additionally nondeterministic.
+
+    → (canonical_url, url, warc_ts, n_captures)."""
+    agg = webtext.groupBy(
+        canonical_url(F.col("url")).alias("canonical_url")
+    ).agg(
+        F.max(
+            F.struct(
+                F.col("warc_ts").alias("warc_ts"), F.col("url").alias("url")
+            )
+        ).alias("best"),
+        F.count("*").cast("long").alias("n_captures"),
+    )
+    return agg.select(
+        "canonical_url",
+        F.col("best.url").alias("url"),
+        F.col("best.warc_ts").alias("warc_ts"),
+        "n_captures",
+    )
+
+
 def ingest(
     webtext: DataFrame,
     langs: tuple[str, ...] | None = None,

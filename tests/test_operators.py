@@ -896,3 +896,74 @@ class TestIvfAnn:
         a = train_ivf_centroids(q, n_centroids=4)
         b = train_ivf_centroids(q, n_centroids=4)
         assert np.array_equal(a, b)
+
+
+class TestUrlDedup:
+    """canonical_url normalization grammar + freshest-capture dedup
+    (stages/ingest.py) — the recrawl-collapse step of a Common-Crawl
+    ingest (url, warc_ts shape from the north-rule input hint)."""
+
+    CASES = [
+        # case-fold scheme+host, keep path case
+        ("HTTP://ExAmple.COM/Path/X", "http://example.com/Path/X"),
+        # www + default port stripped per scheme
+        ("https://www.example.com:443/a", "https://example.com/a"),
+        ("http://www.example.com:80/a", "http://example.com/a"),
+        # non-default port kept
+        ("http://example.com:8080/a", "http://example.com:8080/a"),
+        # :443 is NOT default for http
+        ("http://example.com:443/a", "http://example.com:443/a"),
+        # empty path -> /
+        ("https://example.com", "https://example.com/"),
+        # fragment dropped, incl. a '?' hiding inside the fragment
+        ("https://example.com/a#frag?x=1", "https://example.com/a"),
+        # tracking params dropped, remainder sorted; empty query dropped
+        (
+            "https://example.com/a?utm_source=t&b=2&a=1&gclid=z",
+            "https://example.com/a?a=1&b=2",
+        ),
+        ("https://example.com/a?utm_campaign=x", "https://example.com/a"),
+        # ref= is tracking, but a param merely *containing* ref is not
+        ("https://example.com/a?ref=top&pref=1", "https://example.com/a?pref=1"),
+        # no scheme: passthrough untouched (garbage stays distinct)
+        ("not a url", "not a url"),
+        ("example.com/a?utm_source=x", "example.com/a?utm_source=x"),
+    ]
+
+    def test_canonicalization_grammar(self, spark):
+        from docee_spark.stages.ingest import canonical_url
+
+        df = spark.createDataFrame(
+            [(u,) for u, _ in self.CASES], "url string"
+        ).withColumn("canon", canonical_url(F.col("url")))
+        got = {r["url"]: r["canon"] for r in df.collect()}
+        for raw, want in self.CASES:
+            assert got[raw] == want, (raw, got[raw], want)
+
+    def test_freshest_capture_and_ties(self, spark):
+        from docee_spark.stages.ingest import url_dedup
+
+        rows = [
+            # one page, three captures: newest wins
+            ("https://e.com/a?utm_source=1", "2024-01-01 00:00:00"),
+            ("https://WWW.e.com/a", "2024-03-01 00:00:00"),
+            ("https://e.com/a#x", "2024-02-01 00:00:00"),
+            # tie on ts: url desc wins deterministically
+            ("https://e.com/b", "2024-01-01 00:00:00"),
+            ("https://www.e.com/b", "2024-01-01 00:00:00"),
+            # NULL ts loses to any non-null
+            ("https://e.com/c?z=1", None),
+            ("https://e.com/c?z=1&utm_source=k", "2020-01-01 00:00:00"),
+        ]
+        df = spark.createDataFrame(rows, "url string, ts string").select(
+            "url", F.col("ts").cast("timestamp").alias("warc_ts")
+        )
+        out = {r["canonical_url"]: r for r in url_dedup(df).collect()}
+        assert len(out) == 3
+        a = out["https://e.com/a"]
+        assert a["url"] == "https://WWW.e.com/a" and a["n_captures"] == 3
+        b = out["https://e.com/b"]
+        assert b["url"] == "https://www.e.com/b"  # 'w' > 'e' tie-break
+        c = out["https://e.com/c?z=1"]
+        assert c["url"] == "https://e.com/c?z=1&utm_source=k"
+        assert c["n_captures"] == 2

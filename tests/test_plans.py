@@ -227,3 +227,18 @@ class TestNewQueryPlans:
         plan = _plan(em.q_multimodal_features(spark, SF))
         m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
         assert m and m.group(1) == "doc_id:bigint", plan
+
+    def test_url_dedup_single_exchange_no_join(self, spark):
+        """Freshest-capture dedup must be ONE hash-partitioned groupBy
+        with map-side partial agg (two HashAggregates, one Exchange) and
+        no join-back; canonicalization is codegen expressions."""
+        import __spark_entry__ as em
+
+        plan = _plan(em.q_url_dedup(spark, SF))
+        assert _n_nodes(plan, "Exchange") == 1, plan
+        assert "Join" not in plan, plan
+        # struct-max is not hash-aggregable (non-primitive buffer), so the
+        # expected plan is partial SortAggregate -> Exchange -> final
+        # SortAggregate: still map-side combined, one shuffle
+        assert _n_nodes(plan, "SortAggregate") == 2, plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
