@@ -262,6 +262,25 @@ def q_quality(spark, sf):
     return quality_scores(_read(spark, sf, "documents"))
 
 
+def _load_quality_clf():
+    import os
+
+    from docee_spark.golden import GOLDEN_DIR
+    from docee_spark.model.quality_clf import load_classifier
+
+    return load_classifier(os.path.join(GOLDEN_DIR, "quality_clf.npz"))
+
+
+def q_quality_model(spark, sf):
+    """fastText-style model-based quality filter (trained hashed-n-gram
+    logistic, model/quality_clf.py) over documents — pure map, zero
+    shuffle: the weight table is a constant-folded array literal and the
+    score one codegen aggregate HOF."""
+    from docee_spark.model.quality_clf import quality_model_scores
+
+    return quality_model_scores(_read(spark, sf, "documents"), _load_quality_clf())
+
+
 def q_langid(spark, sf):
     from docee_spark.operators.textstats import lang_id
 
@@ -1263,6 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docee_eval_report": q_docee_eval_report,
         "source_stats": q_source_stats,
         "url_dedup": q_url_dedup,
+        "quality_model": q_quality_model,
         "stratified_sample": q_stratified_sample,
         "mixture_cap": q_mixture_cap,
         "dedup_minhash": q_dedup_minhash,
@@ -1734,6 +1754,48 @@ select doc_id,
   cast(case when len(ltoks) > 0 then floor(len(list_filter(ltoks, x -> x in {stop})) * 10000 / len(ltoks)) else 0 end as bigint) as stopword_ratio_e4,
   cast(case when len(text) > 0 then floor((len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g'))) * 10000 / len(text)) else 0 end as bigint) as punct_ratio_e4
 from t
+"""
+
+
+def _quality_model_sql() -> str:
+    """Independent re-derivation of the model quality filter: the SAME
+    frozen npz integers (one source of truth) inlined as a VALUES weight
+    table, but a different algorithm shape — unnest grams → join weights
+    → per-doc sum — vs the engine's map-only aggregate HOF. Bucket hash
+    and floor division are exact integer arithmetic on both sides."""
+    clf = _load_quality_clf()
+    vals = ", ".join(f"({i}, {int(w)})" for i, w in enumerate(clf.w_e6))
+    toks = _TOKENS.format(c="lower(text)")
+    return f"""
+with w(bucket, wt) as (values {vals}),
+t as (select doc_id, {toks} as toks from documents),
+g as (
+  select doc_id, gram from (
+    select doc_id, unnest(toks) as gram from t
+    union all
+    select doc_id, unnest(list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i+1])) as gram from t
+  )
+),
+sums as (
+  select g.doc_id, count(*) as n_grams, sum(w.wt) as s
+  from g join w
+    on cast(('0x' || substring(md5(g.gram), 1, 8)) as bigint) % {clf.d}
+       = w.bucket
+  group by g.doc_id
+),
+m as (
+  select t.doc_id,
+    coalesce(sums.n_grams, 0) as n_grams,
+    {clf.b_e6} + coalesce(
+      cast((sums.s - ((sums.s % sums.n_grams + sums.n_grams)
+                      % sums.n_grams)) / sums.n_grams as bigint),
+      0) as margin_e6
+  from t left join sums on t.doc_id = sums.doc_id
+)
+select doc_id, n_grams, margin_e6,
+       cast(case when margin_e6 > 0 then 1 else 0 end as bigint) as keep
+from m
 """
 
 
@@ -3740,6 +3802,7 @@ from documents group by 1
         "dedup_chunks": _chunk_dedup_sql(),
         "source_stats": _source_stats_sql(),
         "url_dedup": _url_dedup_sql(),
+        "quality_model": _quality_model_sql(),
         "pii_scrub": _pii_sql(),
         "decontaminate": _decontaminate_sql(),
         "stratified_sample": _stratified_sample_sql(),

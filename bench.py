@@ -36,6 +36,7 @@ HEADLINE = [
     "sessionize",
     "events_hourly",
     "quality",
+    "quality_model",
     "repetition",
     "vocab_topk",
     "url_dedup",
