@@ -488,6 +488,29 @@ def q_url_dedup(spark, sf):
     )
 
 
+def q_pagerank(spark, sf):
+    """Crawl-frontier PageRank (operators/linkgraph.py) over a
+    deterministic synthetic web-link graph on documents.doc_id: three
+    affine out-links per page ((k·id+c) mod N, k∈{3,4,5} — non-coprime
+    multipliers give skewed in-degrees), pages with doc_id%7==0 publish
+    no links (dangling — their mass redistributes). Exact e9 fixed-point
+    integer ranks, 8 power iterations."""
+    from docee_spark.operators.linkgraph import pagerank
+
+    d = _read(spark, sf, "documents").select("doc_id")
+    n = F.broadcast(d.agg(F.count("*").alias("n")))
+    b = d.crossJoin(n).filter(F.col("doc_id") % 7 != 0)
+    parts = [
+        b.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * k + c) % F.col("n")).alias("dst"),
+        )
+        for k, c in ((3, 1), (4, 18), (5, 35))
+    ]
+    edges = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return pagerank(edges, n_iter=8)
+
+
 def q_dedup_exact(spark, sf):
     from docee_spark.operators.dedup import exact_duplicates
 
@@ -1283,6 +1306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_stats": q_source_stats,
         "url_dedup": q_url_dedup,
         "quality_model": q_quality_model,
+        "pagerank": q_pagerank,
         "stratified_sample": q_stratified_sample,
         "mixture_cap": q_mixture_cap,
         "dedup_minhash": q_dedup_minhash,
@@ -1797,6 +1821,26 @@ select doc_id, n_grams, margin_e6,
        cast(case when margin_e6 > 0 then 1 else 0 end as bigint) as keep
 from m
 """
+
+
+def _pagerank_sql() -> str:
+    """Same e9 integer recurrence unrolled into 8 CTE layers (generated
+    by linkgraph.pagerank_sql — join formulation per layer, no
+    correlated subqueries); the edge grammar is re-stated here."""
+    from docee_spark.operators.linkgraph import pagerank_sql
+
+    edge_cte = """cnt as (select count(*) as n from documents),
+edges as (
+  select doc_id as src, (doc_id * 3 + 1) % cnt.n as dst
+  from documents, cnt where doc_id % 7 <> 0
+  union all
+  select doc_id, (doc_id * 4 + 18) % cnt.n
+  from documents, cnt where doc_id % 7 <> 0
+  union all
+  select doc_id, (doc_id * 5 + 35) % cnt.n
+  from documents, cnt where doc_id % 7 <> 0
+)"""
+    return pagerank_sql(edge_cte, n_iter=8)
 
 
 def _ngram_sql(threshold_e4: int = 500) -> str:
@@ -3803,6 +3847,7 @@ from documents group by 1
         "source_stats": _source_stats_sql(),
         "url_dedup": _url_dedup_sql(),
         "quality_model": _quality_model_sql(),
+        "pagerank": _pagerank_sql(),
         "pii_scrub": _pii_sql(),
         "decontaminate": _decontaminate_sql(),
         "stratified_sample": _stratified_sample_sql(),

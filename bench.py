@@ -40,6 +40,7 @@ HEADLINE = [
     "repetition",
     "vocab_topk",
     "url_dedup",
+    "pagerank",
     "dedup_exact",
     "dedup_clusters",
     "dedup_minhash",

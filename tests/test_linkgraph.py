@@ -1,0 +1,87 @@
+"""PageRank (operators/linkgraph.py): exact integer recurrence vs an
+independent python reference, conservation/dangling semantics, and the
+two-node analytic fixpoint."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from docee_spark.operators.linkgraph import E9, pagerank
+
+
+def _pagerank_py(edges: list[tuple[int, int]], n_iter: int = 8) -> dict[int, int]:
+    """Independent single-process reference of the SAME e9 integer
+    recurrence (dict-based, no dataframes)."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    outdeg: dict[int, int] = {}
+    for u, _ in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    rank = {v: E9 // n for v in nodes}
+    for _ in range(n_iter):
+        in_sum = {v: 0 for v in nodes}
+        for u, v in edges:
+            in_sum[v] += rank[u] // outdeg[u]
+        dangling = sum(rank[v] for v in nodes if v not in outdeg)
+        rank = {
+            v: (15 * E9) // (100 * n)
+            + (85 * (in_sum[v] + dangling // n)) // 100
+            for v in nodes
+        }
+    return rank
+
+
+@pytest.fixture(scope="module")
+def small_graph():
+    # 9 nodes: a skewed core, a self-loop, a dangling sink (8 has no
+    # out-edges), and a multi-edge (0→1 twice — multigraph semantics)
+    return [
+        (0, 1), (0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (3, 4),
+        (4, 5), (5, 3), (6, 6), (6, 2), (7, 8), (2, 8), (5, 8),
+    ]
+
+
+class TestPageRank:
+    def test_matches_python_reference(self, spark, small_graph):
+        df = spark.createDataFrame(small_graph, "src long, dst long")
+        got = {r["node"]: r["rank_e9"] for r in pagerank(df, n_iter=8).collect()}
+        want = _pagerank_py(small_graph, n_iter=8)
+        assert got == want
+
+    def test_two_node_cycle_fixpoint(self, spark):
+        # A⇄B: the symmetric fixpoint is rank = 0.5 each; integer floors
+        # keep both ranks equal and the sum within floor-loss of 1e9
+        df = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+        got = {r["node"]: r["rank_e9"] for r in pagerank(df, n_iter=12).collect()}
+        assert got[0] == got[1]
+        assert abs(got[0] - E9 // 2) <= 100
+
+    def test_mass_conservation_with_dangling(self, spark, small_graph):
+        # dangling redistribution keeps total mass ≈ 1e9 (floors only
+        # ever LOSE mass — bounded by ~(edges+nodes) units per pass)
+        df = spark.createDataFrame(small_graph, "src long, dst long")
+        rows = pagerank(df, n_iter=8).collect()
+        total = sum(r["rank_e9"] for r in rows)
+        assert 0 < E9 - total < 8 * (len(small_graph) + 9 + 2)
+
+    def test_sink_accumulates_more_than_isolated_feeder(self, spark, small_graph):
+        df = spark.createDataFrame(small_graph, "src long, dst long")
+        got = {r["node"]: r["rank_e9"] for r in pagerank(df, n_iter=8).collect()}
+        # node 2 has 4 in-edges; node 7 has none — ordering must reflect it
+        assert got[2] > got[7]
+
+    def test_oracle_sql_matches_spark(self, spark, small_graph):
+        import duckdb
+
+        from docee_spark.operators.linkgraph import pagerank_sql
+
+        vals = ", ".join(f"({u}, {v})" for u, v in small_graph)
+        sql = pagerank_sql(f"edges(src, dst) as (values {vals})", n_iter=8)
+        want = {
+            int(r[0]): int(r[1])
+            for r in duckdb.connect().execute(sql).fetchall()
+        }
+        df = spark.createDataFrame(small_graph, "src long, dst long")
+        got = {r["node"]: r["rank_e9"] for r in pagerank(df, n_iter=8).collect()}
+        assert got == want
