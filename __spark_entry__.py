@@ -488,6 +488,53 @@ def q_url_dedup(spark, sf):
     )
 
 
+def q_kg_incremental(spark, sf):
+    """Incremental KG maintenance (stages/canonicalize.py:merge_triples)
+    over a deterministic synthetic recrawl on orders: every order is an
+    old triple (c<cust> -placed-> o<order>); orders %10==0 are
+    re-extracted with a changed pred/obj (replacement), %37==0 spawn NEW
+    documents (insertion), %17==0 are purged (deletion — wins over a
+    concurrent re-extraction). Returns the re-canonicalized edge table;
+    the oracle re-derives the merge AND the LSH clustering in SQL."""
+    from docee_spark.stages.canonicalize import merge_triples
+
+    o = _read(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+
+    def trip(df, doc, subj, pred, obj):
+        return df.select(
+            doc.cast("long").alias("doc_id"),
+            F.lit("order").alias("event_type"),
+            F.lit(0).cast("long").alias("recguid"),
+            subj.alias("subj"),
+            F.lit(pred).alias("pred"),
+            obj.alias("obj"),
+        )
+
+    cs = F.concat(F.lit("c"), c.cast("string"))
+    old = trip(o, k, cs, "placed", F.concat(F.lit("o"), k.cast("string")))
+    delta = trip(
+        o.filter(k % 10 == 0),
+        k,
+        cs,
+        "placed_v2",
+        F.concat(F.lit("o"), k.cast("string"), F.lit("r")),
+    ).unionByName(
+        trip(
+            o.filter(k % 37 == 0),
+            k + 5000000,
+            cs,
+            "mentions",
+            F.concat(F.lit("p"), (k % 97).cast("string")),
+        )
+    )
+    deleted = o.filter(k % 17 == 0).select(k.cast("long").alias("doc_id"))
+    _, _, edges = merge_triples(old, delta, deleted)
+    return edges.select(
+        "src", "pred", "dst", "doc_id", F.col("recguid").cast("long").alias("recguid")
+    )
+
+
 def q_pagerank(spark, sf):
     """Crawl-frontier PageRank (operators/linkgraph.py) over a
     deterministic synthetic web-link graph on documents.doc_id: three
@@ -1144,6 +1191,22 @@ def q_docee_vertices(spark, sf):
     ].select("entity_id", "surface", "n_mentions")
 
 
+def q_docee_vertices_verified(spark, sf):
+    """Precision-controlled KG vertex table: LSH bands BLOCK, true
+    character-shingle Jaccard ≥ 0.60 VERIFIES each candidate pair, and
+    connected components over verified edges cluster
+    (stages/canonicalize.py:canonicalize_verified). Same gold-pipeline
+    triples as docee_vertices — the two queries differ exactly in the
+    blocking-vs-matching discipline."""
+    from docee_spark.stages.canonicalize import canonicalize_verified
+    from docee_spark.stages.pipeline import run_pipeline
+
+    web, gold = _fixture_webtext_and_gold(spark)
+    trip = run_pipeline(web, gold=gold, mode="clique", adjacency="gold")["triples"]
+    v, _ = canonicalize_verified(trip)
+    return v.select("entity_id", "surface", "n_mentions")
+
+
 def q_docee_adj_metrics(spark, sf):
     """A5 — adjacency/connection/trigger metrics (dee/metrics.py:310-399)
     comparing the deterministic sentence-adjacency 'prediction' against
@@ -1243,19 +1306,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 50 entries, so the registry is ordered by evidence priority —
     # every survey row's PRIMARY oracle comes first, and the tail holds
     # the queries whose survey rows are already covered by an earlier
-    # entry (dedup_simhash is the 16-bit demo of dedup_simhash64;
-    # dedup_minhash's candidate generator runs verbatim inside
-    # dedup_minhash_verified; embed_lsh_topk is embed_lsh_topk_mp at
-    # probe_flips=0; embed_lsh_buckets ⊂ embed_lsh_topk; sorted_lineitems
-    # shares O6 with distinct_statuses; agg_rollup/priority_stats shape
-    # like the stronger docee_eval_rollup; join_region_revenue /
-    # events_hourly / props_extract are generic relational demos cited by
-    # no survey row).
+    # entry. The FULL registry (window + tail) is oracle-compared in
+    # pytest every round (tests/test_entry_queries.py) and by
+    # tools/check_oracles.py — the window only selects what the driver
+    # record shows. Tail rationale per entry:
+    #   user_mode_event        — W2's row also cites docee_key_sentences
+    #                            (in window); generic window-fn shape is
+    #                            in-window via sessionize/window_topk
+    #   docee_vertices_verified— precision variant; sibling
+    #                            docee_vertices (same row) in window
+    #   model_spans_spot       — spot-witness hardening docee_triples_
+    #                            model (in window), not an operator row
+    #   docee_triples_trigger_inc — G7 golden-ported pytest; sibling G6
+    #                            trigger decode in window
+    #   docee_triples_product  — M10 covered by docee_triples_greedy
+    #   docee_git_edges        — G10 covered by docee_triples_git_rgcn
+    #   dedup_simhash          — 16-bit demo of dedup_simhash64
+    #   dedup_minhash          — candidate generator runs verbatim inside
+    #                            dedup_minhash_verified
+    #   embed_lsh_topk         — = embed_lsh_topk_mp at probe_flips=0
+    #   embed_lsh_buckets      — projection of embed_lsh_topk
+    #   sorted_lineitems       — shares O6 with distinct_statuses
+    #   agg_rollup/priority_stats — shape like docee_eval_rollup
+    #   source_stats/stratified_sample/mixture_cap — additive LLM ops,
+    #                            pytest + check_oracles evidence
+    #   join_region_revenue/events_hourly/props_extract/distinct_statuses
+    #                          — generic relational demos, no survey row
     return {
         "filter_isin": q_filter_isin,
         "window_topk": q_window_topk,
         "events_cube": q_events_cube,
-        "user_mode_event": q_user_mode_event,
         "sessionize": q_sessionize,
         "token_stats": q_token_stats,
         "quality": q_quality,
@@ -1287,26 +1367,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docee_triples_heuristic": q_docee_triples_heuristic,
         "docee_triples_greedy": q_docee_triples_greedy,
         "docee_triples_dcfee": q_docee_triples_dcfee,
-        "docee_triples_product": q_docee_triples_product,
         "docee_triples_trigger": q_docee_triples_trigger,
-        "docee_triples_trigger_inc": q_docee_triples_trigger_inc,
         "docee_triples_model": q_docee_triples_model,
         "docee_triples_model_edag": q_docee_triples_model_edag,
-        "model_spans_spot": q_model_spans_spot,
         "docee_triples_scored": q_docee_triples_scored,
         "docee_triples_biaffine": q_docee_triples_biaffine,
         "docee_triples_doc_ctx": q_docee_triples_doc_ctx,
         "docee_triples_git_rgcn": q_docee_triples_git_rgcn,
-        "docee_git_edges": q_docee_git_edges,
         "docee_vertices": q_docee_vertices,
         "docee_edges": q_docee_edges,
         "docee_adj_metrics": q_docee_adj_metrics,
         "docee_eval_rollup": q_docee_eval_rollup,
         "docee_eval_report": q_docee_eval_report,
-        "source_stats": q_source_stats,
         "url_dedup": q_url_dedup,
         "quality_model": q_quality_model,
         "pagerank": q_pagerank,
+        "kg_incremental": q_kg_incremental,
+        # ---- end of the 50-entry driver-recorded window ----
+        "user_mode_event": q_user_mode_event,
+        "docee_vertices_verified": q_docee_vertices_verified,
+        "model_spans_spot": q_model_spans_spot,
+        "docee_triples_trigger_inc": q_docee_triples_trigger_inc,
+        "docee_triples_product": q_docee_triples_product,
+        "docee_git_edges": q_docee_git_edges,
+        "source_stats": q_source_stats,
         "stratified_sample": q_stratified_sample,
         "mixture_cap": q_mixture_cap,
         "dedup_minhash": q_dedup_minhash,
@@ -1820,6 +1904,45 @@ m as (
 select doc_id, n_grams, margin_e6,
        cast(case when margin_e6 > 0 then 1 else 0 end as bigint) as keep
 from m
+"""
+
+
+def _kg_incremental_sql() -> str:
+    """Independent re-derivation of the incremental merge + LSH
+    canonicalization: replacement/insertion/deletion restated as
+    anti-join set algebra over orders, then the generic canonicalizer
+    chain (_canon_rep_ctes — the same independent SQL the docee_vertices
+    / docee_edges oracles use), projected as edges."""
+    return f"""
+with o as (select o_orderkey as k, o_custkey as c from orders),
+old_t as (
+  select k as doc_id, 'order' as event_type, cast(0 as bigint) as recguid,
+         'c' || c as subj, 'placed' as pred, 'o' || k as obj from o
+),
+delta_t as (
+  select k as doc_id, 'order' as event_type, cast(0 as bigint) as recguid,
+         'c' || c as subj, 'placed_v2' as pred, 'o' || k || 'r' as obj
+  from o where k % 10 = 0
+  union all
+  select k + 5000000, 'order', cast(0 as bigint), 'c' || c,
+         'mentions', 'p' || (k % 97)
+  from o where k % 37 = 0
+),
+deleted as (select k as doc_id from o where k % 17 = 0),
+changed as (
+  select distinct doc_id from delta_t
+  union select doc_id from deleted
+),
+trips as materialized (
+  select * from old_t where doc_id not in (select doc_id from changed)
+  union all
+  select * from delta_t where doc_id not in (select doc_id from deleted)
+),
+{_canon_rep_ctes("trips")}
+select rs.lsh_rep as src, t.pred, ro.lsh_rep as dst, t.doc_id, t.recguid
+from trips t
+join rep2 rs on rs.surface = t.subj
+join rep2 ro on ro.surface = t.obj
 """
 
 
@@ -3214,20 +3337,13 @@ cliques as materialized (
     return body + _combination_decode_tail_sql()
 
 
-def _gold_canon_ctes() -> str:
-    """Shared CTE block: the pure gold-triples derivation
-    (_docee_triples_gold_sql semantics, from gold_args.parquet) composed
-    with an independent DuckDB re-implementation of stages.canonicalize
-    (minhash = lexicographic min of md5 hex; 8 hashes, 4 bands × 2 rows,
-    2 label-propagation passes). Ends with ``rep2(surface, lsh_rep)``
-    plus ``gtrips`` and ``surfaces(surface, n_mentions, norm)`` in scope
-    — neither the decode path nor stages.canonicalize contributes any
-    code to this chain."""
-    gold = _docee_triples_gold_sql().strip()
-    # turn the standalone gold-triples statement into a CTE
-    final_idx = gold.rindex("select n.doc_id")
-    gold_ctes = gold[:final_idx].rstrip().rstrip(",")  # "with nn as (...) ..."
-    gold_final = gold[final_idx:]
+def _canon_rep_ctes(trips_rel: str) -> str:
+    """Generic CTE block: an independent DuckDB re-implementation of
+    stages.canonicalize's LSH clustering (minhash = lexicographic min of
+    md5 hex; 8 hashes, 4 bands × 2 rows, 2 label-propagation passes)
+    over a relation ``{trips_rel}(…, subj, obj, …)`` already in scope.
+    Emits ``surfaces(surface, n_mentions, norm)`` and
+    ``rep2(surface, lsh_rep)``."""
     m_cols = ",\n    ".join(
         f"list_min(list_transform(shingles, s -> md5('{i}|' || s))) as m{i}"
         for i in range(8)
@@ -3237,14 +3353,10 @@ def _gold_canon_ctes() -> str:
         f"from sig"
         for b in range(4)
     )
-    return f"""{gold_ctes},
-gtrips as materialized (
-  {gold_final}
-),
-mentions as (
-  select subj as surface from gtrips where subj is not null
+    return f"""mentions as (
+  select subj as surface from {trips_rel} where subj is not null
   union all
-  select obj from gtrips where obj is not null
+  select obj from {trips_rel} where obj is not null
 ),
 surfaces as (
   select surface, count(*) as n_mentions,
@@ -3253,11 +3365,15 @@ surfaces as (
   from mentions group by surface
 ),
 sh as (
+  -- pad CONDITIONALLY: rpad truncates strings longer than 3, which would
+  -- collapse the shingle set to the first 3 chars (prefix blocking)
   select surface, norm,
          list_distinct(list_transform(
-             range(1, len(rpad(norm, 3, '_')) - 1),
-             i -> substring(rpad(norm, 3, '_'), cast(i as int), 3))) as shingles
-  from surfaces
+             range(1, len(padded) - 1),
+             i -> substring(padded, cast(i as int), 3))) as shingles
+  from (select *, case when len(norm) >= 3 then norm
+                       else rpad(norm, 3, '_') end as padded
+        from surfaces)
 ),
 sig as materialized (
   select surface, norm,
@@ -3277,6 +3393,25 @@ bmin2 as (select band, min(lsh_rep) as band_min
 rep2 as materialized (
   select surface, min(band_min) as lsh_rep
   from membership join bmin2 using (band) group by surface)"""
+
+
+def _gold_canon_ctes() -> str:
+    """Shared CTE block: the pure gold-triples derivation
+    (_docee_triples_gold_sql semantics, from gold_args.parquet) composed
+    with the independent canonicalizer chain (_canon_rep_ctes). Ends with
+    ``rep2(surface, lsh_rep)`` plus ``gtrips`` and ``surfaces(surface,
+    n_mentions, norm)`` in scope — neither the decode path nor
+    stages.canonicalize contributes any code to this chain."""
+    gold = _docee_triples_gold_sql().strip()
+    # turn the standalone gold-triples statement into a CTE
+    final_idx = gold.rindex("select n.doc_id")
+    gold_ctes = gold[:final_idx].rstrip().rstrip(",")  # "with nn as (...) ..."
+    gold_final = gold[final_idx:]
+    return f"""{gold_ctes},
+gtrips as materialized (
+  {gold_final}
+),
+{_canon_rep_ctes("gtrips")}"""
 
 
 def _docee_edges_sql() -> str:
@@ -3394,6 +3529,83 @@ def _docee_vertices_sql() -> str:
 select r.lsh_rep as entity_id, min(s.surface) as surface,
        cast(sum(s.n_mentions) as bigint) as n_mentions
 from surfaces s join rep2 r using (surface)
+group by 1
+"""
+
+
+def _docee_vertices_verified_sql() -> str:
+    """Independent oracle for the verified canonicalizer: the shared
+    gold-derivation chain for surfaces/signatures, then band blocking
+    restated as a band self-join (cap = whole-bucket drop, 2..64),
+    Jaccard verification in exact integer floor arithmetic, and a
+    recursive reachability CTE for the components (vs the engine's
+    min-label propagation)."""
+    base = _gold_canon_ctes()
+    assert base.lstrip().startswith("with ")
+    base = base.replace("with ", "with recursive ", 1)
+    m_cols = ",\n    ".join(
+        f"list_min(list_transform(shingles, s -> md5('{i}|' || s))) as m{i}"
+        for i in range(8)
+    )
+    vbands = "\n  union all ".join(
+        f"select norm, '{b}:' || m{2 * b} || ':' || m{2 * b + 1} as band "
+        f"from nsig"
+        for b in range(4)
+    )
+    return f"""{base},
+nsh as (select distinct norm, shingles from sh),
+nsig as materialized (
+  select norm,
+    {m_cols}
+  from nsh
+),
+vmem as materialized (
+  {vbands}
+),
+kept as (
+  select band from vmem group by band having count(*) between 2 and 64
+),
+vpairs as (
+  select distinct x.norm as a, y.norm as b
+  from vmem x
+  join vmem y on y.band = x.band and x.norm < y.norm
+  join kept k on k.band = x.band
+),
+vjac as (
+  select a, b from (
+    select a, b,
+      cast((i10k - (i10k % u)) / u as bigint) as jac
+    from (
+      select p.a, p.b,
+        cast(len(list_intersect(sa.shingles, sb.shingles)) as bigint)
+          * 10000 as i10k,
+        cast(len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+          as bigint) as u
+      from vpairs p
+      join nsh sa on sa.norm = p.a
+      join nsh sb on sb.norm = p.b
+    )
+  ) where jac >= 6000
+),
+vedges as (
+  select a as src, b as dst from vjac
+  union
+  select b, a from vjac
+),
+walk(n, reach) as (
+  select src, src from vedges
+  union
+  select w.n, e.dst from walk w join vedges e on e.src = w.reach
+),
+comp as (select n as norm, min(reach) as rep from walk group by n),
+vrep as (
+  select s.norm, coalesce(c.rep, s.norm) as lsh_rep
+  from (select distinct norm from surfaces) s
+  left join comp c using (norm)
+)
+select r.lsh_rep as entity_id, min(s.surface) as surface,
+       cast(sum(s.n_mentions) as bigint) as n_mentions
+from surfaces s join vrep r using (norm)
 group by 1
 """
 
@@ -3715,6 +3927,7 @@ def oracle_sql() -> dict[str, str]:
         "docee_triples_git_rgcn": _docee_triples_matrix_sql("adj_git_rgcn.parquet"),
         "docee_git_edges": _docee_git_edges_sql(),
         "docee_vertices": _docee_vertices_sql(),
+        "docee_vertices_verified": _docee_vertices_verified_sql(),
         "docee_edges": _docee_edges_sql(),
         "docee_adj_metrics": _docee_adj_metrics_sql(),
         "docee_eval_rollup": _docee_eval_rollup_sql(),
@@ -3848,6 +4061,7 @@ from documents group by 1
         "url_dedup": _url_dedup_sql(),
         "quality_model": _quality_model_sql(),
         "pagerank": _pagerank_sql(),
+        "kg_incremental": _kg_incremental_sql(),
         "pii_scrub": _pii_sql(),
         "decontaminate": _decontaminate_sql(),
         "stratified_sample": _stratified_sample_sql(),

@@ -41,6 +41,7 @@ HEADLINE = [
     "vocab_topk",
     "url_dedup",
     "pagerank",
+    "kg_incremental",
     "dedup_exact",
     "dedup_clusters",
     "dedup_minhash",

@@ -26,8 +26,14 @@ from pyspark.sql import functions as F
 
 
 def shingles(col: Column, n: int = 3) -> Column:
-    """Character n-gram shingle set (distinct), padded for short strings."""
-    padded = F.rpad(col, n, "_")
+    """Character n-gram shingle set (distinct), padded for short strings.
+
+    The pad must be CONDITIONAL: ``rpad(col, n)`` TRUNCATES strings
+    longer than n (in Spark and DuckDB alike), which would silently turn
+    the shingle set into "the first n characters" and degrade MinHash-LSH
+    surface clustering into prefix-equality blocking (every 'o…' order id
+    sharing a 3-char prefix would merge into one entity)."""
+    padded = F.when(F.length(col) >= n, col).otherwise(F.rpad(col, n, "_"))
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.length(padded) - n),
@@ -68,6 +74,50 @@ def normalize_surface(col: Column) -> Column:
     ).otherwise(F.trim(col))
 
 
+def merge_triples(
+    old_triples: DataFrame,
+    delta_triples: DataFrame,
+    deleted_docs: DataFrame | None = None,
+    **canon_kwargs,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Incremental KG maintenance under a recrawl → ``(triples, vertices,
+    edges)``.
+
+    Documents present in ``delta_triples`` REPLACE their previous triples
+    wholesale (a re-extracted page re-emits all its triples — partial
+    per-triple diffs are not meaningful for extraction output);
+    ``deleted_docs`` (a ``doc_id`` frame: 404s, robots-revoked, purged
+    pages) drop out entirely; every other document's triples survive
+    UNTOUCHED — extraction (the expensive per-document decode/inference
+    at 100 TB) never re-runs for survivors.
+
+    Scale shape: survivor selection is ONE anti-join on ``doc_id``
+    (recrawl deltas are small relative to the corpus, so AQE plans it
+    broadcast; worst case one hash shuffle). Canonicalization then
+    re-runs over the merged triples because cluster representatives are
+    GLOBAL — a new surface can bridge two old clusters or become a
+    cluster's new minimum — so per-cluster patching cannot preserve the
+    full-recompute identity this function guarantees (tested:
+    merge(old, Δ) ≡ canonicalize(survivors ∪ Δ) exactly). Its expensive
+    input is the distinct-surface vocabulary, which grows sublinearly in
+    corpus size; the per-mention edge resolution is the same two joins a
+    cold build pays.
+
+    Idempotent: re-applying the same delta is a no-op (replacement
+    semantics), so a resumed/retried merge job converges. A document in
+    BOTH ``delta_triples`` and ``deleted_docs`` is deleted — deletion
+    wins (a purge order outranks a concurrent re-extraction)."""
+    changed = delta_triples.select("doc_id").distinct()
+    if deleted_docs is not None:
+        dele = deleted_docs.select("doc_id")
+        changed = changed.unionByName(dele).distinct()
+        delta_triples = delta_triples.join(dele, "doc_id", "left_anti")
+    survivors = old_triples.join(changed, "doc_id", "left_anti")
+    merged = survivors.unionByName(delta_triples)
+    vertices, edges = canonicalize(merged, **canon_kwargs)
+    return merged, vertices, edges
+
+
 def canonicalize(
     triples_df: DataFrame,
     entity_dict: DataFrame | None = None,
@@ -104,18 +154,25 @@ def canonicalize(
         .unionAll(triples_df.select(F.col("obj").alias("surface")))
         .filter(F.col("surface").isNotNull())
     )
+    # materialized ONCE: surfaces feeds the signature chain AND the final
+    # clustered join, and membership is referenced twice per propagation
+    # pass — without checkpoints Spark re-executes the whole upstream
+    # union+groupBy per reference (2^passes recompute; measured 35→9 s on
+    # 145k triples). |distinct surfaces| is the small vocabulary table.
     surfaces = (
         mentions.groupBy("surface")
         .agg(F.count("*").alias("n_mentions"))
         .withColumn("norm", normalize_surface(F.col("surface")))
-    )
+    ).localCheckpoint()
 
     mh = minhash_cols(shingles(F.col("norm")), k=k)
     sigd = surfaces.select(
         "*", *[m.alias(f"m{i}") for i, m in enumerate(mh)]
     )
-    membership = sigd.withColumn("band", F.explode(band_keys(bands, rows))).select(
-        "surface", "norm", "band"
+    membership = (
+        sigd.withColumn("band", F.explode(band_keys(bands, rows)))
+        .select("surface", "norm", "band")
+        .localCheckpoint()
     )
     # label propagation: rep(surface) := min over its bands of
     # min(rep of band members); seed rep = normalized surface
@@ -132,7 +189,20 @@ def canonicalize(
             .agg(F.min("band_min").alias("lsh_rep"))
         )
     clustered = surfaces.join(rep, "surface")
+    return _resolve_tables(
+        clustered, triples_df, entity_dict, broadcast_resolved
+    )
 
+
+def _resolve_tables(
+    clustered: DataFrame,
+    triples_df: DataFrame,
+    entity_dict: DataFrame | None,
+    broadcast_resolved: bool | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared tail of canonicalize/canonicalize_verified: dictionary
+    override, vertex aggregation, edge resolution. ``clustered`` =
+    (surface, n_mentions, lsh_rep, …)."""
     if entity_dict is not None:
         clustered = clustered.join(
             F.broadcast(entity_dict.select("surface", F.col("entity_id").alias("dict_id"))),
@@ -175,3 +245,91 @@ def canonicalize(
         .select("src", "pred", "dst", "doc_id", "recguid", "event_type")
     )
     return vertices, edges
+
+
+def canonicalize_verified(
+    triples_df: DataFrame,
+    jaccard_e4: int = 6000,
+    entity_dict: DataFrame | None = None,
+    k: int = 8,
+    bands: int = 4,
+    max_bucket: int = 64,
+    max_iters: int = 20,
+    broadcast_resolved: bool | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Precision-controlled canonicalization → (vertices, edges).
+
+    ``canonicalize`` clusters surfaces by LSH band CO-OCCURRENCE alone —
+    recall-oriented, and a single band collision merges two entities for
+    good. This variant follows the standard blocking→matching→clustering
+    shape instead: LSH bands only BLOCK; every candidate pair is VERIFIED
+    by true character-shingle Jaccard (``⌊10⁴·|∩|/|∪|⌋ ≥ jaccard_e4``,
+    exact integer floor); clusters are connected components over verified
+    edges only (min-label propagation + pointer jumping via
+    ``duplicate_clusters``).
+
+    Scale shape: candidate pairs come from banded groupBy buckets with
+    the dedup operators' cap discipline (``_cap_buckets`` — over-cap
+    bands are boilerplate-norm buckets, dropped with OBSERVED counters,
+    never an unbounded self-join); verification touches candidates only;
+    node ids are distinct NORMS (strictly smaller than the surface
+    vocabulary). Everything downstream (dictionary override, vertex agg,
+    edge resolution) is shared with ``canonicalize``."""
+    from ..operators.dedup import _cap_buckets, _pairs_from_ids, duplicate_clusters
+
+    rows = bands and max(1, k // bands)
+    mentions = (
+        triples_df.select(F.col("subj").alias("surface"))
+        .unionAll(triples_df.select(F.col("obj").alias("surface")))
+        .filter(F.col("surface").isNotNull())
+    )
+    surfaces = (
+        mentions.groupBy("surface")
+        .agg(F.count("*").alias("n_mentions"))
+        .withColumn("norm", normalize_surface(F.col("surface")))
+    ).localCheckpoint()
+
+    norms = (
+        surfaces.select("norm")
+        .distinct()
+        .withColumn("sh", shingles(F.col("norm")))
+        .localCheckpoint()
+    )
+    mh = minhash_cols(F.col("sh"), k=k)
+    sigd = norms.select("norm", *[m.alias(f"m{i}") for i, m in enumerate(mh)])
+    membership = sigd.withColumn("band", F.explode(band_keys(bands, rows))).select(
+        "norm", "band"
+    )
+    buckets = membership.groupBy("band").agg(
+        F.sort_array(F.collect_list("norm")).alias("ids")
+    )
+    pairs = (
+        _pairs_from_ids(_cap_buckets(buckets, max_bucket, "canon_verified"))
+        .distinct()
+        .withColumnRenamed("doc_a", "norm_a")
+        .withColumnRenamed("doc_b", "norm_b")
+    )
+    sh_map = norms.select("norm", "sh")
+    cand = pairs.join(
+        sh_map.select(F.col("norm").alias("norm_a"), F.col("sh").alias("sh_a")),
+        "norm_a",
+    ).join(
+        sh_map.select(F.col("norm").alias("norm_b"), F.col("sh").alias("sh_b")),
+        "norm_b",
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("long")
+    uni = F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))).cast("long")
+    num = inter * 10000
+    jac = ((num - F.pmod(num, uni)) / uni).cast("long")  # exact floor
+    verified = cand.filter(jac >= jaccard_e4).select("norm_a", "norm_b")
+
+    clusters = duplicate_clusters(
+        verified, a_col="norm_a", b_col="norm_b", max_iters=max_iters
+    ).select(F.col("doc_id").alias("norm"), "cluster_id")
+    rep = norms.join(clusters, "norm", "left").select(
+        "norm", F.coalesce(F.col("cluster_id"), F.col("norm")).alias("lsh_rep")
+    )
+    clustered = surfaces.join(rep, "norm").select(
+        "surface", "n_mentions", "lsh_rep"
+    )
+    return _resolve_tables(clustered, triples_df, entity_dict, broadcast_resolved)

@@ -334,10 +334,17 @@ def test_query_registry_invariants():
         "stratified_sample",
         "mixture_cap",
         # redundantly-evidenced twins of stronger in-window siblings
-        "dedup_minhash",      # candidate path runs inside _verified
-        "embed_lsh_topk",     # = embed_lsh_topk_mp at probe_flips=0
-        "dedup_simhash",      # 16-bit demo of dedup_simhash64
-        "embed_lsh_buckets",  # projection of embed_lsh_topk
+        # (per-entry rationale in the queries() docComment)
+        "user_mode_event",            # W2 also cited by docee_key_sentences
+        "docee_vertices_verified",    # sibling docee_vertices in window
+        "model_spans_spot",           # spot-witness of docee_triples_model
+        "docee_triples_trigger_inc",  # G7; sibling G6 trigger in window
+        "docee_triples_product",      # M10 covered by docee_triples_greedy
+        "docee_git_edges",            # G10 covered by docee_triples_git_rgcn
+        "dedup_minhash",              # candidate path runs inside _verified
+        "embed_lsh_topk",             # = embed_lsh_topk_mp at probe_flips=0
+        "dedup_simhash",              # 16-bit demo of dedup_simhash64
+        "embed_lsh_buckets",          # projection of embed_lsh_topk
         # generic relational demos cited by no survey row
         "distinct_statuses",
         "sorted_lineitems",
@@ -347,3 +354,6 @@ def test_query_registry_invariants():
         "events_hourly",
         "props_extract",
     }, tail
+    # the four round-4 operators with no sibling must BE in the window
+    window = set(list(qs)[:50])
+    assert {"url_dedup", "quality_model", "pagerank", "kg_incremental"} <= window

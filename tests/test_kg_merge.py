@@ -1,0 +1,91 @@
+"""Incremental KG maintenance (stages/canonicalize.py:merge_triples):
+full-recompute equivalence, replacement/insertion/deletion semantics,
+idempotence, deletion-wins precedence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from docee_spark.stages.canonicalize import canonicalize, merge_triples
+
+COLS = "doc_id long, event_type string, recguid long, subj string, pred string, obj string"
+
+
+def _t(spark, rows):
+    return spark.createDataFrame(rows, COLS)
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    old = _t(
+        spark,
+        [
+            (1, "e", 0, "acme corp", "acquired", "beta llc"),
+            (1, "e", 1, "acme corp", "ceo", "jane roe"),
+            (2, "e", 0, "beta llc", "hq", "berlin"),
+            (3, "e", 0, "gamma inc", "hq", "paris"),
+            (4, "e", 0, "delta gmbh", "hq", "bonn"),
+        ],
+    )
+    delta = _t(
+        spark,
+        [
+            # doc 1 re-extracted: one triple replaced, one dropped
+            (1, "e", 0, "acme corp", "acquired", "beta llc (2024)"),
+            # doc 9 is brand new
+            (9, "e", 0, "epsilon sa", "hq", "lyon"),
+        ],
+    )
+    return old, delta
+
+
+class TestMergeTriples:
+    def test_equals_full_recompute(self, spark, corpus):
+        old, delta = corpus
+        deleted = spark.createDataFrame([(3,)], "doc_id long")
+        merged, vertices, edges = merge_triples(old, delta, deleted)
+        # the identity the docstring guarantees: merge ≡ canonicalize of
+        # the survivor∪delta set built independently here
+        expect_trips = old.filter(~F.col("doc_id").isin(1, 3)).unionByName(delta)
+        ev, ee = canonicalize(expect_trips)
+        assert _sorted_rows(merged) == _sorted_rows(expect_trips)
+        assert _sorted_rows(vertices) == _sorted_rows(ev)
+        assert _sorted_rows(edges) == _sorted_rows(ee)
+
+    def test_replacement_drops_stale_triples(self, spark, corpus):
+        old, delta = corpus
+        merged, _, _ = merge_triples(old, delta)
+        doc1 = [r for r in merged.collect() if r["doc_id"] == 1]
+        # the re-extraction emitted ONE triple; the old ceo triple is gone
+        assert len(doc1) == 1 and doc1[0]["obj"] == "beta llc (2024)"
+
+    def test_insertion_and_survivors(self, spark, corpus):
+        old, delta = corpus
+        merged, _, _ = merge_triples(old, delta)
+        docs = {r["doc_id"] for r in merged.collect()}
+        assert docs == {1, 2, 3, 4, 9}
+
+    def test_idempotent_reapply(self, spark, corpus):
+        old, delta = corpus
+        once, _, _ = merge_triples(old, delta)
+        twice, _, _ = merge_triples(once, delta)
+        assert _sorted_rows(once) == _sorted_rows(twice)
+
+    def test_deletion_wins_over_reextraction(self, spark, corpus):
+        old, delta = corpus
+        deleted = spark.createDataFrame([(1,), (9,)], "doc_id long")
+        merged, _, _ = merge_triples(old, delta, deleted)
+        docs = {r["doc_id"] for r in merged.collect()}
+        assert docs == {2, 3, 4}
+
+    def test_vertices_reflect_merge(self, spark, corpus):
+        old, delta = corpus
+        _, vertices, _ = merge_triples(old, delta)
+        surfaces = {r["surface"] for r in vertices.collect()}
+        assert "epsilon sa" in surfaces  # inserted
+        assert "jane roe" not in surfaces  # replaced away with doc 1
