@@ -535,6 +535,58 @@ def q_kg_incremental(spark, sf):
     )
 
 
+def q_kg_path_2hop(spark, sf):
+    """2-hop triple-pattern match (operators/kgquery.py:path_query):
+    (customer)-[placed]->(order)-[status]->(s) over an edge table derived
+    from orders. Predicate filters evaluate pre-join; one hash join on
+    the middle entity."""
+    from docee_spark.operators.kgquery import path_query
+
+    o = _read(spark, sf, "orders")
+    k = F.col("o_orderkey").cast("string")
+    edges = o.select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.lit("placed").alias("pred"),
+        F.concat(F.lit("o"), k).alias("dst"),
+    ).unionByName(
+        o.select(
+            F.concat(F.lit("o"), k).alias("src"),
+            F.lit("status").alias("pred"),
+            F.col("o_orderstatus").alias("dst"),
+        )
+    )
+    return path_query(edges, "placed", "status")
+
+
+def q_kg_khop(spark, sf):
+    """k-hop neighborhood extraction (operators/kgquery.py:k_hop):
+    2-hop undirected ball around every 100th customer over the same
+    orders-derived edge table; broadcast frontier per hop, min-hop
+    labels. Status nodes are 3-way hubs — hop 2 reaches them, and the
+    frontier guard is what stops hop 3 from being the whole graph."""
+    from docee_spark.operators.kgquery import k_hop
+
+    o = _read(spark, sf, "orders")
+    k = F.col("o_orderkey").cast("string")
+    edges = o.select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("o"), k).alias("dst"),
+    ).unionByName(
+        o.select(
+            F.concat(F.lit("o"), k).alias("src"),
+            F.col("o_orderstatus").alias("dst"),
+        )
+    )
+    seeds = (
+        o.filter(F.col("o_custkey") % 100 == 0)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("node")
+        )
+        .distinct()
+    )
+    return k_hop(edges, seeds, hops=2, directed=False)
+
+
 def q_pagerank(spark, sf):
     """Crawl-frontier PageRank (operators/linkgraph.py) over a
     deterministic synthetic web-link graph on documents.doc_id: three
@@ -1384,6 +1436,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "kg_incremental": q_kg_incremental,
         # ---- end of the 50-entry driver-recorded window ----
+        # kg_path_2hop / kg_khop: KG read-path demos over the edge shape;
+        # evidence = pytest + check_oracles (window full of primaries)
+        "kg_path_2hop": q_kg_path_2hop,
+        "kg_khop": q_kg_khop,
         "user_mode_event": q_user_mode_event,
         "docee_vertices_verified": q_docee_vertices_verified,
         "model_spans_spot": q_model_spans_spot,
@@ -1943,6 +1999,51 @@ select rs.lsh_rep as src, t.pred, ro.lsh_rep as dst, t.doc_id, t.recguid
 from trips t
 join rep2 rs on rs.surface = t.subj
 join rep2 ro on ro.surface = t.obj
+"""
+
+
+def _kg_path_2hop_sql() -> str:
+    """Pattern match restated as two predicate-filtered scans + one
+    equi-join on the middle entity."""
+    return """
+with e as (
+  select 'c' || o_custkey as src, 'placed' as pred,
+         'o' || o_orderkey as dst from orders
+  union all
+  select 'o' || o_orderkey, 'status', o_orderstatus from orders
+)
+select distinct e1.src as a, e1.dst as x, e2.dst as b
+from e e1 join e e2 on e2.src = e1.dst
+where e1.pred = 'placed' and e2.pred = 'status'
+"""
+
+
+def _kg_khop_sql() -> str:
+    """BFS layers unrolled: hop h = neighbors of hop h-1 minus all
+    earlier hops (min-hop semantics by construction)."""
+    return """
+with e as (
+  select 'c' || o_custkey as u, 'o' || o_orderkey as v from orders
+  union all
+  select 'o' || o_orderkey, o_orderstatus from orders
+),
+adj as (select u, v from e union all select v, u from e),
+h0 as (
+  select distinct 'c' || o_custkey as node from orders
+  where o_custkey % 100 = 0
+),
+h1 as (
+  select distinct a.v as node from adj a join h0 on a.u = h0.node
+  where a.v not in (select node from h0)
+),
+h2 as (
+  select distinct a.v as node from adj a join h1 on a.u = h1.node
+  where a.v not in (select node from h0)
+    and a.v not in (select node from h1)
+)
+select node, cast(0 as int) as hop from h0
+union all select node, cast(1 as int) from h1
+union all select node, cast(2 as int) from h2
 """
 
 
@@ -4062,6 +4163,8 @@ from documents group by 1
         "quality_model": _quality_model_sql(),
         "pagerank": _pagerank_sql(),
         "kg_incremental": _kg_incremental_sql(),
+        "kg_path_2hop": _kg_path_2hop_sql(),
+        "kg_khop": _kg_khop_sql(),
         "pii_scrub": _pii_sql(),
         "decontaminate": _decontaminate_sql(),
         "stratified_sample": _stratified_sample_sql(),

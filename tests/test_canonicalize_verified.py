@@ -10,6 +10,10 @@ from pyspark.sql import functions as F
 
 from docee_spark.stages.canonicalize import canonicalize, canonicalize_verified
 
+# label-propagation e2e per case (~1 min total) — slow loop; the verified
+# oracle also runs in test_entry_queries[docee_vertices_verified]
+pytestmark = pytest.mark.slow
+
 COLS = "doc_id long, event_type string, recguid long, subj string, pred string, obj string"
 
 

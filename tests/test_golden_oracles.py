@@ -333,6 +333,8 @@ def test_query_registry_invariants():
         "source_stats",
         "stratified_sample",
         "mixture_cap",
+        "kg_path_2hop",
+        "kg_khop",
         # redundantly-evidenced twins of stronger in-window siblings
         # (per-entry rationale in the queries() docComment)
         "user_mode_event",            # W2 also cited by docee_key_sentences

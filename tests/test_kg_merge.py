@@ -9,6 +9,10 @@ from pyspark.sql import functions as F
 
 from docee_spark.stages.canonicalize import canonicalize, merge_triples
 
+# iterative-canonicalize e2e (~1 min) — slow loop; the merge operator's
+# oracle also runs in test_entry_queries[kg_incremental]
+pytestmark = pytest.mark.slow
+
 COLS = "doc_id long, event_type string, recguid long, subj string, pred string, obj string"
 
 

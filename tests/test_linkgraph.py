@@ -9,6 +9,10 @@ from pyspark.sql import functions as F
 
 from docee_spark.operators.linkgraph import E9, pagerank
 
+# 8-12 checkpointed power iterations per case (~50 s) — slow loop; the
+# operator's oracle also runs in test_entry_queries[pagerank]
+pytestmark = pytest.mark.slow
+
 
 def _pagerank_py(edges: list[tuple[int, int]], n_iter: int = 8) -> dict[int, int]:
     """Independent single-process reference of the SAME e9 integer
