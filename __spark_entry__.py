@@ -535,6 +535,29 @@ def q_kg_incremental(spark, sf):
     )
 
 
+def q_host_filter(spark, sf):
+    """UT1-style domain-blocklist flags (stages/ingest.py:host_flags)
+    over a deterministic synthetic crawl: doc_id%5 picks the host shape —
+    including a blocked apex, a subdomain of a blocked domain (suffix
+    match must catch it), and an allowlisted subdomain carve-out."""
+    from docee_spark.stages.ingest import host_flags
+
+    i = F.col("doc_id")
+    shapes = (
+        F.when(i % 5 == 0, F.concat(F.lit("https://spam.example/p"), i.cast("string")))
+        .when(i % 5 == 1, F.concat(F.lit("https://cdn.spam.example/p"), i.cast("string")))
+        .when(i % 5 == 2, F.concat(F.lit("https://docs.spam.example/p"), i.cast("string")))
+        .when(i % 5 == 3, F.concat(F.lit("https://ok.org/p"), i.cast("string")))
+        .otherwise(F.concat(F.lit("HTTPS://Mixed.OK.org:443/p"), i.cast("string")))
+    )
+    d = _read(spark, sf, "documents").select("doc_id", shapes.alias("url"))
+    blocked = spark.createDataFrame([("spam.example",)], "domain string")
+    allowed = spark.createDataFrame([("docs.spam.example",)], "domain string")
+    return host_flags(d, blocked, allowed).select(
+        "doc_id", "url", "host", "is_blocked"
+    )
+
+
 def q_kg_path_2hop(spark, sf):
     """2-hop triple-pattern match (operators/kgquery.py:path_query):
     (customer)-[placed]->(order)-[status]->(s) over an edge table derived
@@ -1440,6 +1463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # evidence = pytest + check_oracles (window full of primaries)
         "kg_path_2hop": q_kg_path_2hop,
         "kg_khop": q_kg_khop,
+        "host_filter": q_host_filter,
         "user_mode_event": q_user_mode_event,
         "docee_vertices_verified": q_docee_vertices_verified,
         "model_spans_spot": q_model_spans_spot,
@@ -1999,6 +2023,42 @@ select rs.lsh_rep as src, t.pred, ro.lsh_rep as dst, t.doc_id, t.recguid
 from trips t
 join rep2 rs on rs.surface = t.subj
 join rep2 ro on ro.surface = t.obj
+"""
+
+
+def _host_filter_sql() -> str:
+    """Suffix-match blocklist re-derived: host grammar in DuckDB regex,
+    suffix set via list_transform(range), membership via list overlap —
+    no join shape shared with the engine's probe/join-back."""
+    return """
+with d as (
+  select doc_id,
+    case doc_id % 5
+      when 0 then 'https://spam.example/p' || doc_id
+      when 1 then 'https://cdn.spam.example/p' || doc_id
+      when 2 then 'https://docs.spam.example/p' || doc_id
+      when 3 then 'https://ok.org/p' || doc_id
+      else 'HTTPS://Mixed.OK.org:443/p' || doc_id
+    end as url
+  from documents
+),
+h as (
+  select doc_id, url,
+    regexp_replace(lower(regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':[0-9]+$', '') as host
+  from d
+),
+s as (
+  select doc_id, url, host,
+    list_transform(range(1, len(string_split(host, '.')) + 1),
+      i -> array_to_string(string_split(host, '.')[i:], '.')) as sufs
+  from h
+)
+select doc_id, url, host,
+  cast(case when list_has_any(sufs, ['spam.example'])
+             and not list_has_any(sufs, ['docs.spam.example'])
+       then 1 else 0 end as bigint) as is_blocked
+from s
 """
 
 
@@ -4165,6 +4225,7 @@ from documents group by 1
         "kg_incremental": _kg_incremental_sql(),
         "kg_path_2hop": _kg_path_2hop_sql(),
         "kg_khop": _kg_khop_sql(),
+        "host_filter": _host_filter_sql(),
         "pii_scrub": _pii_sql(),
         "decontaminate": _decontaminate_sql(),
         "stratified_sample": _stratified_sample_sql(),

@@ -134,21 +134,49 @@ def load_classifier(path: str) -> QualityClassifier:
 # --------------------------------------------------------------------------
 
 
-def margin_expr(clf: QualityClassifier, text: Column) -> Column:
-    """``margin_e6`` as a single Column expression. The weight table is a
-    D-element array LITERAL — CreateArray over foldable children constant-
-    folds once per plan, so per row the work is gram construction + one
-    codegen ``aggregate`` of ``element_at`` lookups."""
+def _margin_struct(clf: QualityClassifier, text: Column) -> Column:
+    """``struct(n_grams, margin_e6)`` with every expensive subexpression
+    bound ONCE per row.
+
+    Two binding disciplines matter here (both measured, same trap as the
+    minhash signature work in BENCH.md "how we got there"):
+    * the gram array and the weight-array literal are threaded through
+      1-element-array lambdas — lambda variables cannot be inlined, so
+      neither projection collapse nor multi-reference (n_grams + margin +
+      keep all derive from the same grams) re-evaluates them;
+    * the weight table binds as a lambda variable W, so the 512-literal
+      CreateArray is built once per ROW worst-case instead of once per
+      GRAM (measured 35 s → ~2 s on 5k docs)."""
     w_arr = F.array(*[F.lit(int(v)) for v in clf.w_e6])
-    gs = _spark_grams(text)
-    n = F.size(gs)
-    s = F.aggregate(
-        gs,
-        F.lit(0).cast("long"),
-        lambda acc, g: acc + F.element_at(w_arr, _spark_bucket(g, clf.d).cast("int") + 1),
-    )
-    fdiv = ((s - F.pmod(s, n)) / n).cast("long")
-    return (F.lit(clf.b_e6) + F.when(n > 0, fdiv).otherwise(F.lit(0))).cast("long")
+    d = clf.d
+    b_e6 = clf.b_e6
+
+    def per_grams(gs):
+        def per_weights(W):
+            n = F.size(gs)
+            s = F.aggregate(
+                gs,
+                F.lit(0).cast("long"),
+                lambda acc, g: acc
+                + F.element_at(W, _spark_bucket(g, d).cast("int") + 1),
+            )
+            fdiv = ((s - F.pmod(s, n)) / n).cast("long")
+            margin = (
+                F.lit(b_e6) + F.when(n > 0, fdiv).otherwise(F.lit(0))
+            ).cast("long")
+            return F.struct(
+                n.cast("long").alias("n_grams"), margin.alias("margin_e6")
+            )
+
+        return F.element_at(F.transform(F.array(w_arr), per_weights), 1)
+
+    return F.element_at(F.transform(F.array(_spark_grams(text)), per_grams), 1)
+
+
+def margin_expr(clf: QualityClassifier, text: Column) -> Column:
+    """``margin_e6`` as a single Column expression (bind-once plumbing in
+    ``_margin_struct``)."""
+    return _margin_struct(clf, text)["margin_e6"]
 
 
 def quality_model_scores(
@@ -156,14 +184,16 @@ def quality_model_scores(
 ) -> DataFrame:
     """→ (doc_id, n_grams, margin_e6, keep) — the model-filter verdict per
     document. ``keep`` is emitted as 0/1 long so oracle hashing never
-    compares engine boolean encodings."""
-    c = F.col(text_col)
-    m = margin_expr(clf, c)
-    return df.select(
+    compares engine boolean encodings. The verdict struct is computed
+    once and fanned out through a projection, so the three outputs share
+    one gram pass."""
+    st = _margin_struct(clf, F.col(text_col))
+    t = df.select("doc_id", st.alias("_q"))
+    return t.select(
         "doc_id",
-        F.size(_spark_grams(c)).cast("long").alias("n_grams"),
-        m.alias("margin_e6"),
-        (m > 0).cast("long").alias("keep"),
+        F.col("_q.n_grams").alias("n_grams"),
+        F.col("_q.margin_e6").alias("margin_e6"),
+        (F.col("_q.margin_e6") > 0).cast("long").alias("keep"),
     )
 
 

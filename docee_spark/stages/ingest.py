@@ -160,6 +160,78 @@ def salted_repartition(
     )
 
 
+def url_host(url: Column) -> Column:
+    """Registrable host of a url: lowercased authority minus port — the
+    key every crawl-hygiene list (UT1 blocklists, robots policies,
+    per-host budgets) is keyed by. Scheme-less garbage → empty string."""
+    auth = F.lower(F.regexp_extract(url, _SCHEME_PREFIX + r"([^/?#]*)", 1))
+    return F.regexp_replace(auth, r":[0-9]+$", "")
+
+
+def _host_suffixes(host: Column) -> Column:
+    """['a.b.co', 'b.co', 'co'] for host 'a.b.co' — domain lists match by
+    suffix (blocking 'spam.example' must catch 'cdn.spam.example')."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat_ws(".", F.slice(parts, i, n - i + 1)),
+    )
+
+
+def host_flags(
+    webtext: DataFrame,
+    blocked: DataFrame,
+    allowed: DataFrame | None = None,
+    url_col: str = "url",
+) -> DataFrame:
+    """Domain-blocklist verdict per row → input + (host, is_blocked).
+
+    A row is blocked iff its host has ANY suffix in ``blocked(domain)``
+    and NO suffix in ``allowed(domain)`` (the allowlist carves
+    exceptions: allow 'docs.spam.example' out of a blocked
+    'spam.example'). ``is_blocked`` is a 0/1 long — a FLAG, not a silent
+    drop, so filter volume is observable; ``host_filter`` applies it.
+
+    Scale shape (the decontaminate pattern): suffixes explode ONLY into
+    the match probe — distinct hosts → explode suffixes → inner join the
+    BROADCAST domain lists → tiny distinct blocked-host set → broadcast
+    join-back. The corpus itself never shuffles and never inflates; the
+    probe side is |distinct hosts| ≪ corpus."""
+    with_host = webtext.withColumn("host", url_host(F.col(url_col)))
+    hosts = with_host.select("host").distinct()
+    probe = hosts.select(
+        "host", F.explode(_host_suffixes(F.col("host"))).alias("domain")
+    )
+    hit = probe.join(
+        F.broadcast(blocked.select("domain")), "domain"
+    ).select("host")
+    if allowed is not None:
+        excused = probe.join(
+            F.broadcast(allowed.select("domain")), "domain"
+        ).select("host")
+        # excused ≤ allowlist hits — broadcastable by construction
+        hit = hit.join(F.broadcast(excused), "host", "left_anti")
+    blocked_hosts = hit.distinct().withColumn("is_blocked", F.lit(1).cast("long"))
+    return (
+        with_host.join(F.broadcast(blocked_hosts), "host", "left")
+        .withColumn("is_blocked", F.coalesce(F.col("is_blocked"), F.lit(0)))
+        .select(*webtext.columns, "host", "is_blocked")
+    )
+
+
+def host_filter(
+    webtext: DataFrame,
+    blocked: DataFrame,
+    allowed: DataFrame | None = None,
+    url_col: str = "url",
+) -> DataFrame:
+    """Rows surviving the domain blocklist (see ``host_flags``)."""
+    return host_flags(webtext, blocked, allowed, url_col).filter(
+        F.col("is_blocked") == 0
+    ).drop("is_blocked")
+
+
 # Tracking query parameters dropped during url canonicalization (name
 # match, value-insensitive). Frozen list: canonical urls must be stable
 # across releases or recrawl dedup silently re-admits old captures.
