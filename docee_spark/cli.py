@@ -28,6 +28,7 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description="DocEE-style webtext → KG pipeline")
     src = p.add_mutually_exclusive_group(required=True)
     src.add_argument("--input", help="webtext parquet path/table")
+    src.add_argument("--input-warc", help="WARC file glob (.warc/.warc.gz)")
     src.add_argument("--synth", type=int, help="synthesize N fixture docs instead")
     p.add_argument("--output", required=True, help="output dir for KG tables")
     p.add_argument("--mode", default="clique",
@@ -68,6 +69,10 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("docee_kg")
     if args.input:
         web = spark.read.parquet(args.input)
+    elif args.input_warc:
+        from docee_spark.stages.warc import webtext_from_warc
+
+        web = webtext_from_warc(spark, args.input_warc)
     else:
         web = distributed_corpus(spark, args.synth)
 

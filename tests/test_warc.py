@@ -125,3 +125,15 @@ class TestSparkReader:
         texts = {r["doc_id"]: r["text"] for r in docs.collect()}
         assert texts["https://example.com/p1"] == "doc 1"
         assert texts["https://other.net/q"] == "gz page"
+
+    @pytest.mark.slow
+    def test_cli_input_warc(self, spark, warc_dir, tmp_path):
+        """--input-warc drives the full CLI pipeline from archive files."""
+        import os
+
+        from docee_spark.cli import main
+
+        out = str(tmp_path / "kg")
+        rc = main(["--input-warc", warc_dir + "/*", "--output", out])
+        assert rc == 0
+        assert os.path.isdir(out)
