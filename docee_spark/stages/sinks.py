@@ -139,7 +139,7 @@ def submission_records(decoded: DataFrame, guess_strategy: str | None = "&") -> 
 def write_kg(
     result: dict[str, DataFrame], out_dir: str, fmt: str = "parquet"
 ) -> None:
-    for name in ("triples", "vertices", "edges"):
+    for name in ("triples", "vertices", "edges", "ranks"):
         if name in result:
             result[name].write.mode("overwrite").format(fmt).save(
                 os.path.join(out_dir, name)

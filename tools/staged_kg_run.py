@@ -73,26 +73,41 @@ def main() -> int:
     health_sat = [bench.host_health_probe_saturating()]
 
     def leg() -> tuple[float, dict]:
+        from docee_spark.operators.linkgraph import pagerank
+
         web = spark.read.parquet(corpus_dir).withColumn(
             "html", F.lit(None).cast("binary")
         )
         t0 = time.perf_counter()
+        store = StageStore(store_dir)
+        fingerprint = f"staged-{args.docs}"
         result = run_pipeline(
             web,
             entity_dict=heuristic_entity_dict(),
             mode=args.mode,
-            store=StageStore(store_dir),
-            input_fingerprint=f"staged-{args.docs}",
+            store=store,
+            input_fingerprint=fingerprint,
             use_html=False,
             n_partitions=2 * args.cpus,
         )
+        # entity-importance stage over the materialized KG edges (the
+        # crawl-frontier / canonicalization-priority ranking), committed
+        # with the same manifest lineage so resume skips it too
+        if store.is_committed("ranks", fingerprint):
+            result["ranks"] = store.load("ranks")
+        else:
+            result["ranks"] = store.commit(
+                "ranks",
+                pagerank(result["edges"].select("src", "dst")),
+                fingerprint,
+            )
         write_kg(result, out_dir)
         return round(time.perf_counter() - t0, 1), result
 
     cold_sec, _ = leg()
     counts = {
         name: spark.read.parquet(os.path.join(out_dir, name)).count()
-        for name in ("triples", "vertices", "edges")
+        for name in ("triples", "vertices", "edges", "ranks")
     }
     resume_sec, _ = leg()
     resume_triples = spark.read.parquet(os.path.join(out_dir, "triples")).count()
