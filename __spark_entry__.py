@@ -535,6 +535,16 @@ def q_kg_incremental(spark, sf):
     )
 
 
+def q_bpe_merges(spark, sf):
+    """Distributed BPE tokenizer training (operators/bpe.py): 12 merge
+    rounds learned from the documents word-frequency table (ONE corpus
+    pass; each round is a groupBy over |vocab| rows + a 1-row top-1).
+    Returns the learned merge table — the tokenizer spec itself."""
+    from docee_spark.operators.bpe import bpe_merge_table
+
+    return bpe_merge_table(_read(spark, sf, "documents"), n_merges=12)
+
+
 def q_host_filter(spark, sf):
     """UT1-style domain-blocklist flags (stages/ingest.py:host_flags)
     over a deterministic synthetic crawl: doc_id%5 picks the host shape —
@@ -1464,6 +1474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_path_2hop": q_kg_path_2hop,
         "kg_khop": q_kg_khop,
         "host_filter": q_host_filter,
+        "bpe_merges": q_bpe_merges,
         "user_mode_event": q_user_mode_event,
         "docee_vertices_verified": q_docee_vertices_verified,
         "model_spans_spot": q_model_spans_spot,
@@ -2023,6 +2034,24 @@ select rs.lsh_rep as src, t.pred, ro.lsh_rep as dst, t.doc_id, t.recguid
 from trips t
 join rep2 rs on rs.surface = t.subj
 join rep2 ro on ro.surface = t.obj
+"""
+
+
+def _bpe_merges_sql() -> str:
+    """Generated unrolled-rounds oracle (operators/bpe.py:bpe_sql): the
+    word-count table is restated here; every round's pair counts, top-1
+    (pinned tie-break) and merge application are re-derived in SQL."""
+    from docee_spark.operators.bpe import bpe_sql
+
+    toks = _TOKENS.format(c="lower(text)")
+    return f"""
+with wc as (
+  select word, count(*) as n from (
+    select unnest({toks}) as word from documents
+  ) where not contains(word, chr(31))
+  group by word
+),
+{bpe_sql(n_merges=12)}
 """
 
 
@@ -4226,6 +4255,7 @@ from documents group by 1
         "kg_path_2hop": _kg_path_2hop_sql(),
         "kg_khop": _kg_khop_sql(),
         "host_filter": _host_filter_sql(),
+        "bpe_merges": _bpe_merges_sql(),
         "pii_scrub": _pii_sql(),
         "decontaminate": _decontaminate_sql(),
         "stratified_sample": _stratified_sample_sql(),
