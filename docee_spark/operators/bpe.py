@@ -127,6 +127,22 @@ def bpe_merge_table(
     )
 
 
+def bpe_tokens_expr(word: Column, merges: list[dict]) -> Column:
+    """Corpus-scale application of learned merges as a PURE column
+    expression: encode → K chained literal replaces (one per merge, in
+    rank order — replace is leftmost non-overlapping, i.e. BPE
+    application order) → split back to symbols. Map-only whole-stage
+    work, no UDF; K is the merge count, fixed at training time."""
+    enc = _encode(word)
+    for m in merges:
+        enc = F.replace(
+            enc,
+            F.lit(SEP + m["left"] + SEP + SEP + m["right"] + SEP),
+            F.lit(SEP + m["merged"] + SEP),
+        )
+    return _symbols(enc)
+
+
 def apply_bpe(word: str, merges: list[dict]) -> list[str]:
     """Reference application (python; tokenizing a corpus at scale would
     reuse the same replace-chain as a column expression): apply merges in

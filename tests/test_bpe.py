@@ -98,6 +98,22 @@ class TestBPE:
         assert [r["rank"] for r in rows] == [0, 1, 2]
         assert all(r["merged"] == r["left"] + r["right"] for r in rows)
 
+    def test_tokens_expr_matches_python_application(self, spark):
+        from docee_spark.operators.bpe import bpe_tokens_expr
+
+        df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+        merges = train_bpe(word_counts(df), n_merges=6)
+        words = ["lowest", "low", "newest", "wide", "xyz", "a"]
+        wdf = spark.createDataFrame([(w,) for w in words], "word string")
+        got = {
+            r["word"]: list(r["toks"])
+            for r in wdf.select(
+                "word", bpe_tokens_expr(F.col("word"), merges).alias("toks")
+            ).collect()
+        }
+        for w in words:
+            assert got[w] == apply_bpe(w, merges), w
+
     def test_early_stop_when_fully_merged(self, spark):
         df = spark.createDataFrame([("aa aa",)], "text string")
         merges = train_bpe(word_counts(df), n_merges=50)
