@@ -535,6 +535,48 @@ def q_kg_incremental(spark, sf):
     )
 
 
+_ROBOTS_A = """# politeness file
+User-agent: *
+Disallow: /private/
+Allow: /private/ok/
+Disallow: /tmp*.log
+Disallow: /exact$
+
+User-agent: specialbot
+Disallow: /
+"""
+
+
+def q_robots(spark, sf):
+    """RFC-9309 robots.txt evaluation (stages/robots.py): parse a fixed
+    two-host robots corpus relationally (line explode → ua-block windows
+    → group join → agent selection) and score deterministic urls from
+    documents.doc_id; longest pattern wins, allow wins ties, no rule ⇒
+    allowed. The oracle restates the EXPECTED rule table by hand from
+    the same bodies (golden-style — a parse bug changes verdicts and
+    breaks the hash) and re-derives the decision in SQL."""
+    from docee_spark.stages.robots import robots_rules, robots_verdict
+
+    robots = spark.createDataFrame(
+        [("a.com", _ROBOTS_A), ("b.com", "User-agent: *\nDisallow:\n")],
+        "host string, body string",
+    )
+    i = F.col("doc_id")
+    s = i.cast("string")
+    url = (
+        F.when(i % 7 == 0, F.concat(F.lit("https://a.com/public/p"), s))
+        .when(i % 7 == 1, F.concat(F.lit("https://a.com/private/p"), s))
+        .when(i % 7 == 2, F.concat(F.lit("https://a.com/private/ok/p"), s))
+        .when(i % 7 == 3, F.concat(F.lit("https://a.com/tmp"), s, F.lit(".log")))
+        .when(i % 7 == 4, F.lit("https://a.com/exact"))
+        .when(i % 7 == 5, F.concat(F.lit("https://b.com/x"), s))
+        .otherwise(F.concat(F.lit("https://c.com/y"), s))
+    )
+    d = _read(spark, sf, "documents").select("doc_id", url.alias("url"))
+    out = robots_verdict(d, robots_rules(robots, agent="mycrawler"))
+    return out.select(F.col("key").alias("doc_id"), "url", "is_allowed")
+
+
 def q_bpe_merges(spark, sf):
     """Distributed BPE tokenizer training (operators/bpe.py): 12 merge
     rounds learned from the documents word-frequency table (ONE corpus
@@ -1475,6 +1517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_khop": q_kg_khop,
         "host_filter": q_host_filter,
         "bpe_merges": q_bpe_merges,
+        "robots": q_robots,
         "user_mode_event": q_user_mode_event,
         "docee_vertices_verified": q_docee_vertices_verified,
         "model_spans_spot": q_model_spans_spot,
@@ -2034,6 +2077,51 @@ select rs.lsh_rep as src, t.pred, ro.lsh_rep as dst, t.doc_id, t.recguid
 from trips t
 join rep2 rs on rs.surface = t.subj
 join rep2 ro on ro.surface = t.obj
+"""
+
+
+def _robots_sql() -> str:
+    """Hand-derived effective rule table for the fixture bodies (the *
+    group of a.com; b.com's empty disallow is no rule) + the RFC decision
+    re-derived: score = plen·2 + is_allow makes max() the (longest,
+    allow-wins-tie) lexicographic pick."""
+    return r"""
+with rules(host, rule, pattern, plen, rx) as (values
+  ('a.com', 'disallow', '/private/',    9, '^/private/'),
+  ('a.com', 'allow',    '/private/ok/', 12, '^/private/ok/'),
+  ('a.com', 'disallow', '/tmp*.log',    9, '^/tmp.*\.log'),
+  ('a.com', 'disallow', '/exact$',      7, '^/exact$')
+),
+u as (
+  select doc_id,
+    case cast(doc_id % 7 as int)
+      when 0 then 'https://a.com/public/p' || doc_id
+      when 1 then 'https://a.com/private/p' || doc_id
+      when 2 then 'https://a.com/private/ok/p' || doc_id
+      when 3 then 'https://a.com/tmp' || doc_id || '.log'
+      when 4 then 'https://a.com/exact'
+      when 5 then 'https://b.com/x' || doc_id
+      else 'https://c.com/y' || doc_id
+    end as url
+  from documents
+),
+p as (
+  select doc_id, url,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) as host,
+    coalesce(nullif(regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), ''), '/') as path
+  from u
+),
+scored as (
+  select p.doc_id, p.url,
+    max(case when r.rx is not null and regexp_matches(p.path, r.rx)
+        then r.plen * 2 + (r.rule = 'allow')::int end) as best
+  from p left join rules r on r.host = p.host
+  group by 1, 2
+)
+select doc_id, url,
+  cast(coalesce(best % 2, 1) as bigint) as is_allowed
+from scored
 """
 
 
@@ -4256,6 +4344,7 @@ from documents group by 1
         "kg_khop": _kg_khop_sql(),
         "host_filter": _host_filter_sql(),
         "bpe_merges": _bpe_merges_sql(),
+        "robots": _robots_sql(),
         "pii_scrub": _pii_sql(),
         "decontaminate": _decontaminate_sql(),
         "stratified_sample": _stratified_sample_sql(),
