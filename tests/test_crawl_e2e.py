@@ -65,6 +65,29 @@ def crawl_warc(tmp_path_factory):
     return str(base)
 
 
+def test_clean_crawl_wrapper(spark, crawl_warc):
+    """The library-level composition (stages/hygiene.py:clean_crawl)
+    reproduces the hand-chained gate sequence below exactly."""
+    from docee_spark.stages.hygiene import clean_crawl
+    from docee_spark.stages.warc import webtext_from_warc
+
+    web = webtext_from_warc(spark, crawl_warc + "/*")
+    robots = spark.createDataFrame(
+        [("news.ok.org", "User-agent: *\nDisallow: /private/\n")],
+        "host string, body string",
+    )
+    blocked = spark.createDataFrame([("spam.example",)], "domain string")
+    out = clean_crawl(web, robots=robots, blocked=blocked)
+    assert set(out.columns) == set(web.columns)
+    urls = {r["url"] for r in out.select("url").collect()}
+    assert urls == {
+        "https://news.ok.org/a",
+        "https://news.ok.org/d",
+        "https://news.ok.org/e",
+        "https://mirror.ok.org/a-copy",
+    }
+
+
 def test_crawl_to_kg(spark, crawl_warc):
     from docee_spark.golden import GOLDEN_DIR
     from docee_spark.model.quality_clf import load_classifier, quality_model_scores
