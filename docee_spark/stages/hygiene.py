@@ -39,7 +39,13 @@ def clean_crawl(
 ) -> DataFrame:
     """webtext (url, warc_ts, …) → the surviving freshest captures,
     same columns. Pass ``robots(host, body)`` and/or
-    ``blocked/allowed(domain)`` to enable those gates."""
+    ``blocked/allowed(domain)`` to enable those gates.
+
+    Edge case, intentionally passed through: two captures with an
+    IDENTICAL (url, warc_ts) pair but different payloads both survive
+    the join-back (the recrawl collapse keys on exactly that pair, and
+    picking one of two same-key payloads would be arbitrary) — exact
+    content dedup downstream resolves them deterministically."""
     df = webtext
     if robots is not None:
         verdicts = robots_verdict(df, robots_rules(robots, agent), key_col="url")
