@@ -242,3 +242,17 @@ class TestNewQueryPlans:
         # SortAggregate: still map-side combined, one shuffle
         assert _n_nodes(plan, "SortAggregate") == 2, plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_kg_path_2hop_one_join_no_python(self, spark):
+        """The 2-hop pattern match is exactly ONE join (on the middle
+        entity) with the predicate filters evaluated pre-join, plus the
+        distinct; never Python."""
+        import __spark_entry__ as em
+
+        plan = _plan(em.q_kg_path_2hop(spark, SF))
+        n_joins = sum(
+            _n_nodes(plan, j)
+            for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+        )
+        assert n_joins == 1, plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
