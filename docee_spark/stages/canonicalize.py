@@ -154,16 +154,23 @@ def canonicalize(
         .unionAll(triples_df.select(F.col("obj").alias("surface")))
         .filter(F.col("surface").isNotNull())
     )
-    # materialized ONCE: surfaces feeds the signature chain AND the final
+    # computed ONCE: surfaces feeds the signature chain AND the final
     # clustered join, and membership is referenced twice per propagation
-    # pass — without checkpoints Spark re-executes the whole upstream
+    # pass — without reuse Spark re-executes the whole upstream
     # union+groupBy per reference (2^passes recompute; measured 35→9 s on
-    # 145k triples). |distinct surfaces| is the small vocabulary table.
+    # 145k triples). persist (LAZY), not localCheckpoint (EAGER): this
+    # function is called while pipelines are still BUILDING their plan,
+    # and an eager checkpoint here forces the whole upstream pipeline to
+    # execute at plan-build time — and then again at action time
+    # (measured: the fused-pipeline bench regressed 2.8→8.1 s with
+    # checkpoints). |distinct surfaces| is the small vocabulary table, so
+    # the cache is cheap; execution reuses the InMemoryRelation across
+    # every reference.
     surfaces = (
         mentions.groupBy("surface")
         .agg(F.count("*").alias("n_mentions"))
         .withColumn("norm", normalize_surface(F.col("surface")))
-    ).localCheckpoint()
+    ).persist()
 
     mh = minhash_cols(shingles(F.col("norm")), k=k)
     sigd = surfaces.select(
@@ -172,7 +179,7 @@ def canonicalize(
     membership = (
         sigd.withColumn("band", F.explode(band_keys(bands, rows)))
         .select("surface", "norm", "band")
-        .localCheckpoint()
+        .persist()
     )
     # label propagation: rep(surface) := min over its bands of
     # min(rep of band members); seed rep = normalized surface
