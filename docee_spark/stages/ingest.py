@@ -184,6 +184,7 @@ def host_flags(
     blocked: DataFrame,
     allowed: DataFrame | None = None,
     url_col: str = "url",
+    broadcast_verdict: bool | None = True,
 ) -> DataFrame:
     """Domain-blocklist verdict per row → input + (host, is_blocked).
 
@@ -195,9 +196,13 @@ def host_flags(
 
     Scale shape (the decontaminate pattern): suffixes explode ONLY into
     the match probe — distinct hosts → explode suffixes → inner join the
-    BROADCAST domain lists → tiny distinct blocked-host set → broadcast
-    join-back. The corpus itself never shuffles and never inflates; the
-    probe side is |distinct hosts| ≪ corpus."""
+    BROADCAST domain lists → distinct blocked-host set → join-back. With
+    ``broadcast_verdict=True`` (default) the join-back is a broadcast and
+    the corpus never shuffles — correct while |blocked hosts| fits the
+    broadcast budget (typical: blocklists block apex domains, the blocked
+    HOST set ≈ the blocklist hit count). A UT1-scale list (~10⁶ domains)
+    against a full crawl can exceed it: pass ``None`` to let AQE decide
+    on the measured size, or ``False`` to force the shuffle join."""
     with_host = webtext.withColumn("host", url_host(F.col(url_col)))
     hosts = with_host.select("host").distinct()
     probe = hosts.select(
@@ -213,8 +218,12 @@ def host_flags(
         # excused ≤ allowlist hits — broadcastable by construction
         hit = hit.join(F.broadcast(excused), "host", "left_anti")
     blocked_hosts = hit.distinct().withColumn("is_blocked", F.lit(1).cast("long"))
+    if broadcast_verdict is True:
+        blocked_hosts = F.broadcast(blocked_hosts)
+    elif broadcast_verdict is False:
+        blocked_hosts = blocked_hosts.hint("shuffle_merge")
     return (
-        with_host.join(F.broadcast(blocked_hosts), "host", "left")
+        with_host.join(blocked_hosts, "host", "left")
         .withColumn("is_blocked", F.coalesce(F.col("is_blocked"), F.lit(0)))
         .select(*webtext.columns, "host", "is_blocked")
     )
