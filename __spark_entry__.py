@@ -547,6 +547,17 @@ Disallow: /
 """
 
 
+def q_lm_surprisal(spark, sf):
+    """Unigram-LM surprisal quality scoring (operators/lm.py): train on
+    the documents corpus (one pass, top-512 vocabulary, deterministic
+    boundary), then score every document — mean −logp per token in e6
+    fixed point, OOV counted separately."""
+    from docee_spark.operators.lm import lm_surprisal, train_unigram_lm
+
+    d = _read(spark, sf, "documents")
+    return lm_surprisal(d, train_unigram_lm(d, vocab_size=512))
+
+
 def q_robots(spark, sf):
     """RFC-9309 robots.txt evaluation (stages/robots.py): parse a fixed
     two-host robots corpus relationally (line explode → ua-block windows
@@ -1518,6 +1529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_filter": q_host_filter,
         "bpe_merges": q_bpe_merges,
         "robots": q_robots,
+        "lm_surprisal": q_lm_surprisal,
         "user_mode_event": q_user_mode_event,
         "docee_vertices_verified": q_docee_vertices_verified,
         "model_spans_spot": q_model_spans_spot,
@@ -2077,6 +2089,50 @@ select rs.lsh_rep as src, t.pred, ro.lsh_rep as dst, t.doc_id, t.recguid
 from trips t
 join rep2 rs on rs.surface = t.subj
 join rep2 ro on ro.surface = t.obj
+"""
+
+
+def _lm_surprisal_sql() -> str:
+    """Same frozen formula re-derived: note DuckDB's ``ln`` (its ``log``
+    is log10); token-level floor at e6 then exact integer arithmetic."""
+    toks = _TOKENS.format(c="lower(text)")
+    return f"""
+with tk as (
+  select doc_id, unnest({toks}) as token from documents
+),
+counts as (select token, count(*) as n from tk group by token),
+tot as (select sum(n) as t from counts),
+vocab as (
+  select token,
+    cast(floor(ln(n) * 1000000) as bigint)
+      - cast(floor(ln(t) * 1000000) as bigint) as logp_e6
+  from counts, tot
+  order by n desc, token asc limit 512
+),
+oov as (select -cast(floor(ln(t) * 1000000) as bigint) as lp from tot),
+scored as (
+  select tk.doc_id,
+    coalesce(v.logp_e6, (select lp from oov)) as lp,
+    (v.logp_e6 is null)::bigint as oov_flag
+  from tk left join vocab v using (token)
+),
+agg as (
+  select doc_id, count(*) as n_tokens, sum(oov_flag) as n_oov,
+         -sum(lp) as neg
+  from scored group by doc_id
+),
+filled as (
+  select d.doc_id,
+    coalesce(a.n_tokens, 0) as n_tokens,
+    coalesce(a.n_oov, 0) as n_oov,
+    coalesce(cast((a.neg - ((a.neg % a.n_tokens + a.n_tokens)
+                            % a.n_tokens)) / a.n_tokens as bigint),
+             0) as surprisal_e6
+  from documents d left join agg a using (doc_id)
+)
+select doc_id, cast(n_tokens as bigint) as n_tokens,
+       cast(n_oov as bigint) as n_oov, surprisal_e6
+from filled
 """
 
 
@@ -4345,6 +4401,7 @@ from documents group by 1
         "host_filter": _host_filter_sql(),
         "bpe_merges": _bpe_merges_sql(),
         "robots": _robots_sql(),
+        "lm_surprisal": _lm_surprisal_sql(),
         "pii_scrub": _pii_sql(),
         "decontaminate": _decontaminate_sql(),
         "stratified_sample": _stratified_sample_sql(),
