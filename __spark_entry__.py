@@ -1691,7 +1691,7 @@ parts as (
 ),
 qs_t as (
   select *,
-    regexp_replace(auth, '^www\.', '') as h2,
+    regexp_replace(auth, '^(www\.)+', '') as h2,
     array_to_string(list_sort(list_filter(string_split(q, '&'),
       x -> x <> '' and not regexp_matches(x,
         '^(utm_[a-z0-9]+|gclid|fbclid|msclkid|mc_cid|mc_eid|igshid|ref|ref_src)='

@@ -263,7 +263,12 @@ def canonical_url(url: Column) -> Column:
     blocking key for capture dedup (``url_dedup``)."""
     scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
     auth = F.lower(F.regexp_extract(url, _SCHEME_PREFIX + r"([^/?#]*)", 1))
-    host = F.regexp_replace(auth, r"^www\.", "")
+    # strip ALL leading 'www.' labels, not just one: the canonical url
+    # is the recrawl-dedup blocking key, so it must be a fixed point —
+    # 'www.www.x' stripping to 'www.x' would re-strip on a second pass
+    # and two crawls of the same page could land in different groups
+    # (idempotence property-tested in tests/test_url_properties.py)
+    host = F.regexp_replace(auth, r"^(www\.)+", "")
     host = (
         F.when(scheme == "http", F.regexp_replace(host, r":80$", ""))
         .when(scheme == "https", F.regexp_replace(host, r":443$", ""))
