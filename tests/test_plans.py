@@ -256,3 +256,54 @@ class TestNewQueryPlans:
         )
         assert n_joins == 1, plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestRound4CrawlOpPlans:
+    """The round-4 crawl operators stay JVM-side: robots evaluation,
+    LM surprisal scoring and BPE application are hot-path map/agg work
+    over the full crawl — a Python eval node in any of them would be a
+    10-100x regression at 100 TB."""
+
+    def test_robots_pipeline_no_python(self, spark):
+        from docee_spark.stages.robots import robots_rules, robots_verdict
+
+        robots = spark.createDataFrame(
+            [("h.com", "User-agent: *\nDisallow: /x\nAllow: /x/y")],
+            "host string, body string",
+        )
+        urls = spark.createDataFrame(
+            [(1, "http://h.com/x"), (2, "http://h.com/x/y")],
+            "doc_id long, url string",
+        )
+        plan = _plan(robots_verdict(urls, robots_rules(robots)))
+        assert "EvalPython" not in plan
+
+    def test_lm_surprisal_no_python_vocab_broadcast(self, spark):
+        from docee_spark.operators.lm import lm_surprisal, train_unigram_lm
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        plan = _plan(lm_surprisal(docs, train_unigram_lm(docs)))
+        assert "EvalPython" not in plan
+        # the vocab and oov-logp joins against the corpus token stream
+        # must be broadcast — the corpus side never shuffles for scoring
+        assert _n_nodes(plan, "BroadcastHashJoin") >= 1
+        assert _n_nodes(plan, "BroadcastNestedLoopJoin") >= 1
+
+    def test_bpe_application_codegen_no_python(self, spark):
+        from docee_spark.operators.bpe import bpe_tokens_expr
+
+        merges = [
+            {"rank": 0, "left": "a", "right": "b", "merged": "ab", "cnt": 3},
+            {"rank": 1, "left": "ab", "right": "c", "merged": "abc", "cnt": 2},
+        ]
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        toks = docs.select(
+            F.explode(F.split(F.col("text"), r"\s+")).alias("word")
+        ).select(bpe_tokens_expr(F.col("word"), merges).alias("pieces"))
+        plan = _plan(toks)
+        assert "EvalPython" not in plan
+        # the final Project uses higher-order functions (transform +
+        # lambda), which Spark evaluates JVM-interpreted outside
+        # whole-stage codegen — the scan/explode path itself stays
+        # codegen'd and nothing drops to Python
+        assert "* Generate" in plan or "* ColumnarToRow" in plan
