@@ -31,7 +31,14 @@ def _seg_expr(text: Column, punkt: str) -> Column:
         text, "([" + punkt + "]+[" + _QUOTES + "]*)", "$1\n"
     )
     parts = F.split(marked, "\n")
-    return F.filter(F.transform(parts, F.trim), lambda s: F.length(s) > 0)
+    # \s-trim, NOT F.trim: the reference strips str.strip() whitespace
+    # from each sentence, and web text is full of CRLF — a space-only
+    # trim leaves trailing '\r' on every sentence and emits phantom
+    # '\r' sentences (caught by tests/test_segment_properties.py fuzz
+    # vs pyref). Java \s covers the ASCII whitespace str.strip() does;
+    # unicode spaces (NBSP …) are a documented boundary.
+    strip = lambda s: F.regexp_replace(s, r"^\s+|\s+$", "")  # noqa: E731
+    return F.filter(F.transform(parts, strip), lambda s: F.length(s) > 0)
 
 
 def segment(
