@@ -716,6 +716,17 @@ def q_dedup_ngram(spark, sf):
     )
 
 
+def q_dedup_substr(spark, sf):
+    """ExactSubstr-style duplicated-SPAN dedup (Lee et al. 2022): maximal
+    token spans covered by 8-token windows whose hash repeats corpus-wide
+    (cross-doc or within-doc) — the span-level complement of whole-doc
+    dedup. k-gram rolling-hash islands, the distributed adaptation of the
+    paper's suffix array; 3 shuffles, no pair expansion anywhere."""
+    from docee_spark.operators.dedup import duplicated_spans
+
+    return duplicated_spans(_read(spark, sf, "documents"), k=8)
+
+
 def q_dedup_simhash(spark, sf):
     from docee_spark.operators.dedup import simhash_duplicates
 
@@ -1530,6 +1541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "robots": q_robots,
         "lm_surprisal": q_lm_surprisal,
+        "dedup_substr": q_dedup_substr,
         "user_mode_event": q_user_mode_event,
         "docee_vertices_verified": q_docee_vertices_verified,
         "model_spans_spot": q_model_spans_spot,
@@ -2298,6 +2310,40 @@ edges as (
   from documents, cnt where doc_id % 7 <> 0
 )"""
     return pagerank_sql(edge_cte, n_iter=8)
+
+
+def _dedup_substr_sql(k: int = 8) -> str:
+    """ExactSubstr oracle: the identical k-gram rolling-hash island
+    computation, independently re-derived in SQL — windows via
+    unnest(range)+list slicing, duplicated hashes via HAVING, maximal
+    spans via classic gaps-and-islands window functions (a structurally
+    different merge than the engine's sorted-array column fold)."""
+    toks = _TOKENS.format(c="text")
+    return f"""
+with t as (select doc_id, {toks} as toks from documents),
+w as (
+  select doc_id, i - 1 as pos,
+         md5(array_to_string(toks[i:i+{k - 1}], ' ')) as h
+  from t, unnest(range(1, len(toks) - {k} + 2)) as u(i)
+  where len(toks) >= {k}
+),
+dup as (select h from w group by h having count(*) >= 2),
+dp as (select w.doc_id, w.pos from w join dup using (h)),
+isl as (
+  select doc_id, pos,
+         case when lag(pos) over (partition by doc_id order by pos) is null
+                or pos > lag(pos) over (partition by doc_id order by pos) + {k}
+              then 1 else 0 end as brk
+  from dp),
+grp as (
+  select doc_id, pos,
+         sum(brk) over (partition by doc_id order by pos) as g
+  from isl)
+select doc_id, cast(min(pos) as bigint) as span_start,
+       cast(max(pos) + {k} as bigint) as span_end,
+       cast(count(*) as bigint) as n_dup_windows
+from grp group by doc_id, g
+"""
 
 
 def _ngram_sql(threshold_e4: int = 500) -> str:
@@ -4407,6 +4453,7 @@ from documents group by 1
         "stratified_sample": _stratified_sample_sql(),
         "mixture_cap": _mixture_cap_sql(),
         "dedup_ngram": _ngram_sql(),
+        "dedup_substr": _dedup_substr_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash64": _simhash64_sql(),
         "dedup_embed": _dedup_embed_sql(),

@@ -47,6 +47,7 @@ HEADLINE = [
     "dedup_minhash",
     "dedup_minhash_verified",
     "dedup_ngram",
+    "dedup_substr",
     "dedup_simhash",
     "dedup_simhash64",
     "dedup_embed",

@@ -988,3 +988,158 @@ def semantic_dup_pairs(
         .alias("drop_id"),
     )
     return pairs.filter(F.col("cosine_e6") >= threshold_e6)
+
+
+# --------------------------------------------------------------------------
+# ExactSubstr — duplicated-SPAN detection (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better"). Whole-doc dedup misses the
+# dominant web-duplication mode: long verbatim passages (licenses, boiler-
+# plate paragraphs, quoted articles) embedded in otherwise-distinct pages.
+# The reference implementation builds a corpus-wide suffix array — a
+# single-machine construction. The Spark-native equivalent: fixed-width
+# token-window rolling hashes. A duplicated substring of >= k tokens
+# contains at least one duplicated k-token window, so the union of
+# duplicated windows covers every duplicated substring of length >= k
+# (windows shorter than k are below the paper's match threshold by
+# construction). Maximal duplicated spans = interval-union of the
+# duplicated windows — k-gram islands, the standard distributed
+# adaptation of ExactSubstr.
+# --------------------------------------------------------------------------
+
+
+def window_hashes(df: DataFrame, text_col: str = "text", k: int = 8) -> DataFrame:
+    """→ ``(doc_id, pos, h)``: md5 of every k-token window, one row per
+    window START position (token index, 0-based). Tokenization is the
+    T4 whitespace rule (``textstats.tokens``) so spans index into the
+    same token stream every other operator sees. Docs with < k tokens
+    emit nothing — they cannot contain a >= k-token duplicate.
+
+    Pure codegen: the window hash array is built map-side
+    (transform+slice+md5) and exploded; no Python, no shuffle here."""
+    from .textstats import token_ngrams, tokens
+
+    toks = tokens(F.col(text_col))
+    wins = F.transform(token_ngrams(toks, k), lambda g: F.md5(g))
+    return ensure_parallelism(df).select(
+        "doc_id", F.posexplode(wins).alias("pos", "h")
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """→ ``(doc_id, span_start, span_end, n_dup_windows)``: maximal
+    token-index spans ``[span_start, span_end)`` covered by k-token
+    windows whose hash occurs >= ``min_count`` times corpus-wide
+    (across documents OR repeated within one — the paper counts total
+    occurrences, so self-repeats count).
+
+    Scale shape (the 100 TB rule): the window frame is k× token volume —
+    the documented, intrinsic cost of ExactSubstr (the suffix array it
+    replaces is also O(tokens) but not distributable). The hash-count
+    groupBy partial-aggregates map-side; the dup-hash join is a
+    hash-partitioned equi-join emitting one row per duplicated WINDOW
+    (never a pair expansion — a hash shared by a million docs costs a
+    million rows, not a trillion pairs, which is why no bucket cap is
+    needed here); the per-doc interval union is one groupBy on doc_id
+    with the island merge done in a column expression over the sorted
+    position array. Three shuffles total, all on high-cardinality keys.
+
+    Islands: window starts p, q (p < q) merge iff q <= p + k (overlap or
+    touch — the covered text [p, p+k) ∪ [q, q+k) is contiguous). Since
+    positions are sorted, comparing each to its predecessor suffices."""
+    wins = window_hashes(df, text_col=text_col, k=k)
+    dup_h = (
+        wins.groupBy("h")
+        .agg(F.count("*").alias("n_occ"))
+        .filter(F.col("n_occ") >= min_count)
+        .select("h")
+    )
+    dup_pos = wins.join(dup_h, "h").select("doc_id", "pos")
+    ps = F.sort_array(F.collect_list("pos"))
+    per_doc = dup_pos.groupBy("doc_id").agg(ps.alias("ps"))
+    # island boundaries over the sorted start array: a window opens a new
+    # span iff it neither overlaps nor touches the previous window
+    starts = F.filter(
+        F.col("ps"),
+        lambda p, i: (i == F.lit(0)) | (p > F.get(F.col("ps"), i - 1) + F.lit(k)),
+    )
+    ends = F.transform(
+        F.filter(
+            F.col("ps"),
+            lambda p, i: (i == F.size(F.col("ps")) - 1)
+            | (F.get(F.col("ps"), i + 1) > p + F.lit(k)),
+        ),
+        lambda p: p + F.lit(k),
+    )
+    spans = F.zip_with(
+        starts, ends, lambda s, e: F.struct(s.alias("s"), e.alias("e"))
+    )
+    # n_dup_windows inside THIS span: count of ps within [s, e-k]
+    n_in = F.size(
+        F.filter(
+            F.col("ps"),
+            lambda p: (p >= F.col("sp.s")) & (p <= F.col("sp.e") - F.lit(k)),
+        )
+    )
+    out = (
+        per_doc.select("doc_id", "ps", F.explode(spans).alias("sp"))
+        .select(
+            "doc_id",
+            F.col("sp.s").cast("long").alias("span_start"),
+            F.col("sp.e").cast("long").alias("span_end"),
+            n_in.cast("long").alias("n_dup_windows"),
+        )
+    )
+    return out
+
+
+def strip_duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """→ the corpus with every duplicated span REMOVED from every copy
+    (the paper's actual policy — ExactSubstr deletes all occurrences,
+    not all-but-one) plus ``n_tokens_removed``. Documents with no
+    duplicated span pass through with text untouched (byte-identical:
+    the rebuild branch only runs for flagged docs).
+
+    One extra join vs ``duplicated_spans``: the span list is aggregated
+    per doc and joined back to the corpus spine; AQE broadcasts it when
+    duplication is sparse (the common case), else it shuffles — never a
+    driver collect."""
+    from .textstats import tokens
+
+    spans = duplicated_spans(df, text_col=text_col, k=k, min_count=min_count)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_dup_spans")
+    )
+    joined = df.join(per_doc, "doc_id", "left")
+    toks = tokens(F.col(text_col))
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            F.col("_dup_spans"),
+            lambda sp: (i >= sp["span_start"]) & (i < sp["span_end"]),
+        ),
+    )
+    removed = (F.size(toks) - F.size(kept)).cast("long")
+    rebuilt = F.concat_ws(" ", kept)
+    return joined.select(
+        *[
+            F.when(F.col("_dup_spans").isNotNull(), rebuilt)
+            .otherwise(F.col(c))
+            .alias(c)
+            if c == text_col
+            else F.col(c)
+            for c in df.columns
+        ],
+        F.when(F.col("_dup_spans").isNotNull(), removed)
+        .otherwise(F.lit(0).cast("long"))
+        .alias("n_tokens_removed"),
+    )

@@ -339,6 +339,7 @@ def test_query_registry_invariants():
         "bpe_merges",
         "robots",
         "lm_surprisal",
+        "dedup_substr",
         # redundantly-evidenced twins of stronger in-window siblings
         # (per-entry rationale in the queries() docComment)
         "user_mode_event",            # W2 also cited by docee_key_sentences

@@ -289,6 +289,27 @@ class TestRound4CrawlOpPlans:
         assert _n_nodes(plan, "BroadcastHashJoin") >= 1
         assert _n_nodes(plan, "BroadcastNestedLoopJoin") >= 1
 
+    def test_dedup_substr_no_python_bounded_shuffles(self, spark):
+        """ExactSubstr spans: window hashing + island merge are column
+        expressions (no Python); the whole operator is 3 shuffles — the
+        dup-hash partial-agg groupBy, the dup-window join, and the
+        per-doc groupBy — and the join never pair-expands (one physical
+        join node, equi on the hash)."""
+        from docee_spark.operators.dedup import duplicated_spans
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        plan = _plan(duplicated_spans(docs))
+        assert "EvalPython" not in plan
+        n_joins = sum(
+            _n_nodes(plan, j)
+            for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+        )
+        assert n_joins == 1, plan
+        # window-frame shuffles only: dup-count agg, join sides, doc agg
+        assert _n_nodes(plan, "Exchange") <= 4, plan
+        # dup-hash count partial-aggregates map-side before its shuffle
+        assert _n_nodes(plan, "HashAggregate") >= 2, plan
+
     def test_bpe_application_codegen_no_python(self, spark):
         from docee_spark.operators.bpe import bpe_tokens_expr
 
