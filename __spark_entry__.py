@@ -488,6 +488,54 @@ def q_url_dedup(spark, sf):
     )
 
 
+def q_extract_links(spark, sf):
+    """HTML link extraction (operators/linkgraph.py:extract_links) — the
+    crawl operator that produces the edge table pagerank ranks and the
+    anchor-text surfaces entity linking consumes. Deterministic synthetic
+    pages from documents.doc_id exercising every resolution branch:
+    absolute (plus an UPPERCASE <A HREF>), single-quoted root-relative,
+    path-relative (resolved against the page directory), protocol-
+    relative, fragment and mailto (both → NULL, emitted as '' for exact
+    hashing), nested markup + double spaces inside the anchor text."""
+    from docee_spark.operators.linkgraph import extract_links
+
+    i = F.col("doc_id")
+
+    def s(c):
+        return c.cast("string")
+
+    def seg(cond, *parts):
+        return F.when(cond, F.concat(*parts)).otherwise(F.lit(""))
+
+    d = _read(spark, sf, "documents").select("doc_id").filter(i < 300)
+    url = F.concat(
+        F.lit("https://WWW.Host"), s(i % 13), F.lit(".Example.com/d/"),
+        s(i), F.lit("/index.html"),
+    )
+    html = F.concat(
+        F.lit("<html><body><h1>Doc "), s(i), F.lit("</h1>"),
+        F.lit('<a href="https://site-'), s(i % 7),
+        F.lit(".example.org/t/"), s(i), F.lit('">Read <b>doc '), s(i),
+        F.lit("</b>  now</a>"),
+        seg(i % 3 == 0, F.lit("<a href='/local/"), s(i),
+            F.lit("' class='x'>local page</a>")),
+        seg(i % 4 == 0, F.lit('<a href="sib-'), s(i),
+            F.lit('.html">next</a>')),
+        seg(i % 5 == 0, F.lit('<a href="//cdn.example.net/a'), s(i),
+            F.lit('">cdn</a>')),
+        seg(i % 6 == 0, F.lit('<a href="#top">top</a>')),
+        seg(i % 9 == 0, F.lit('<A HREF="HTTP://Upper.Example.COM/U'),
+            s(i), F.lit('">UP</A>')),
+        seg(i % 11 == 0, F.lit('<a href="mailto:a@b.c">mail</a>')),
+        F.lit("</body></html>"),
+    )
+    out = extract_links(d.select(url.alias("url"), html.alias("html")))
+    return out.select(
+        "url", "href", "anchor",
+        F.coalesce("dst_url", F.lit("")).alias("dst_url"),
+    )
+
+
 def q_kg_incremental(spark, sf):
     """Incremental KG maintenance (stages/canonicalize.py:merge_triples)
     over a deterministic synthetic recrawl on orders: every order is an
@@ -1542,6 +1590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots": q_robots,
         "lm_surprisal": q_lm_surprisal,
         "dedup_substr": q_dedup_substr,
+        "extract_links": q_extract_links,
         "user_mode_event": q_user_mode_event,
         "docee_vertices_verified": q_docee_vertices_verified,
         "model_spans_spot": q_model_spans_spot,
@@ -1732,6 +1781,114 @@ ranked as (
 select canonical_url, url, cast(ts as bigint) as ts_epoch,
        cast(n as bigint) as n_captures
 from ranked where rn = 1
+"""
+
+
+def _extract_links_sql() -> str:
+    """Independent DuckDB re-derivation of extract_links: the same two
+    anchor regexes (RE2 dialect — parallel unnests zip the href/anchor
+    groups positionally), the RFC-3986 resolution case chain, and the
+    canonical_url grammar re-written as in _url_dedup_sql. regexp_replace
+    needs the explicit 'g' flag here (Spark's is global by default)."""
+    return r"""
+with d as (select doc_id from documents where doc_id < 300),
+pages as (
+  select 'https://WWW.Host' || (doc_id % 13) || '.Example.com/d/'
+           || doc_id || '/index.html' as url,
+         '<html><body><h1>Doc ' || doc_id || '</h1>'
+         || '<a href="https://site-' || (doc_id % 7) || '.example.org/t/'
+           || doc_id || '">Read <b>doc ' || doc_id || '</b>  now</a>'
+         || case when doc_id % 3 = 0 then '<a href=''/local/' || doc_id
+                   || ''' class=''x''>local page</a>' else '' end
+         || case when doc_id % 4 = 0 then '<a href="sib-' || doc_id
+                   || '.html">next</a>' else '' end
+         || case when doc_id % 5 = 0 then '<a href="//cdn.example.net/a'
+                   || doc_id || '">cdn</a>' else '' end
+         || case when doc_id % 6 = 0 then '<a href="#top">top</a>'
+                 else '' end
+         || case when doc_id % 9 = 0 then '<A HREF="HTTP://Upper.Example.COM/U'
+                   || doc_id || '">UP</A>' else '' end
+         || case when doc_id % 11 = 0 then '<a href="mailto:a@b.c">mail</a>'
+                 else '' end
+         || '</body></html>' as html
+  from d),
+raw as (
+  select url,
+         unnest(regexp_extract_all(html,
+           '(?is)<a\s[^>]*href\s*=\s*"([^"]*)"[^>]*>(.*?)</a>', 1)) as href,
+         unnest(regexp_extract_all(html,
+           '(?is)<a\s[^>]*href\s*=\s*"([^"]*)"[^>]*>(.*?)</a>', 2)) as rawanchor
+  from pages
+  union all
+  select url,
+         unnest(regexp_extract_all(html,
+           '(?is)<a\s[^>]*href\s*=\s*''([^'']*)''[^>]*>(.*?)</a>', 1)) as href,
+         unnest(regexp_extract_all(html,
+           '(?is)<a\s[^>]*href\s*=\s*''([^'']*)''[^>]*>(.*?)</a>', 2)) as rawanchor
+  from pages),
+resolved as (
+  select url, href,
+    trim(regexp_replace(regexp_replace(rawanchor, '<[^>]*>', '', 'g'),
+         '\s+', ' ', 'g')) as anchor,
+    case
+      when trim(href) = '' or trim(href) like '#%' then NULL
+      when regexp_matches(trim(href), '^[A-Za-z][A-Za-z0-9+.-]*:') then
+        case when regexp_matches(trim(href), '(?i)^https?://')
+             then trim(href) else NULL end
+      when trim(href) like '//%' then
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+          || ':' || trim(href)
+      when trim(href) like '/%' then
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+          || '://'
+          || lower(regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
+          || trim(href)
+      else
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+          || '://'
+          || lower(regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
+          || (case when regexp_extract(url,
+                     '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) = ''
+                   then '/'
+                   else regexp_replace(regexp_extract(url,
+                     '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                     '/[^/]*$', '/') end)
+          || trim(href)
+    end as r
+  from raw),
+lparts as (
+  select url, href, anchor, r,
+    lower(regexp_extract(r, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) as scheme,
+    lower(regexp_extract(r,
+      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) as auth,
+    regexp_extract(r,
+      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) as rawpath,
+    -- no '?' -> regexp_extract yields NULL (not ''): coalesce, or the
+    -- NULL propagates through the concat and blanks the whole dst_url
+    coalesce(regexp_extract(r, '^[^#?]*\?([^#]*)', 1), '') as q
+  from resolved),
+lqs as (
+  select *,
+    regexp_replace(auth, '^(www\.)+', '') as h2,
+    -- array_to_string over an EMPTY list is NULL in DuckDB: coalesce
+    coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'),
+      x -> x <> '' and not regexp_matches(x,
+        '^(utm_[a-z0-9]+|gclid|fbclid|msclkid|mc_cid|mc_eid|igshid|ref|ref_src)='
+      ))), '&'), '') as qs
+  from lparts)
+select url, href, anchor,
+  coalesce(case when r is null then NULL
+                when scheme = '' then r else
+    scheme || '://'
+    || (case when scheme = 'http' then regexp_replace(h2, ':80$', '')
+             when scheme = 'https' then regexp_replace(h2, ':443$', '')
+             else h2 end)
+    || (case when rawpath = '' then '/' else rawpath end)
+    || (case when qs = '' then '' else '?' || qs end)
+  end, '') as dst_url
+from lqs
 """
 
 
@@ -4454,6 +4611,7 @@ from documents group by 1
         "mixture_cap": _mixture_cap_sql(),
         "dedup_ngram": _ngram_sql(),
         "dedup_substr": _dedup_substr_sql(),
+        "extract_links": _extract_links_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash64": _simhash64_sql(),
         "dedup_embed": _dedup_embed_sql(),

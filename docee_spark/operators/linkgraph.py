@@ -162,3 +162,124 @@ def pagerank_sql(edge_cte: str, n_iter: int = 8) -> str:
         + ",\n".join(lines)
         + f"\nselect node, rank_e9 from {prev}"
     )
+
+
+# --------------------------------------------------------------------------
+# Link extraction — the crawl step that PRODUCES the edge table above.
+# --------------------------------------------------------------------------
+
+#: one pattern per quote style; identical in Java regex (Spark) and RE2
+#: (DuckDB): case-insensitive + dotall flags, no backrefs/lookaround.
+#: group 1 = href value, group 2 = raw inner anchor markup.
+_A_DQ = r'(?is)<a\s[^>]*href\s*=\s*"([^"]*)"[^>]*>(.*?)</a>'
+_A_SQ = r"(?is)<a\s[^>]*href\s*=\s*'([^']*)'[^>]*>(.*?)</a>"
+
+_SCHEME_ANY = r"^[A-Za-z][A-Za-z0-9+.-]*:"
+
+
+def _resolve_href(url: Column, href: Column) -> Column:
+    """RFC-3986 reference resolution, the crawl-pragmatic subset (the
+    cases that occur in anchor hrefs): absolute http(s) pass through,
+    protocol-relative take the page scheme, root-relative take
+    scheme://authority, path-relative append to the page's directory.
+    Fragments, empty hrefs, and non-http(s) schemes (mailto:,
+    javascript:, tel:) resolve to NULL — they are not crawl edges.
+    Dot-segment normalization (../) is intentionally NOT applied; the
+    canonical form is ``canonical_url``'s job and dot segments are rare
+    in anchors (documented subset, like the tracking-param list)."""
+    from ..stages.ingest import _SCHEME_PREFIX, _SCHEME_RE
+
+    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+    auth = F.lower(F.regexp_extract(url, _SCHEME_PREFIX + r"([^/?#]*)", 1))
+    path = F.regexp_extract(url, _SCHEME_PREFIX + r"[^/?#]*([^?#]*)", 1)
+    basedir = F.when(path == "", F.lit("/")).otherwise(
+        F.regexp_replace(path, r"/[^/]*$", "/")
+    )
+    h = F.trim(href)
+    return (
+        F.when((h == "") | h.startswith("#"), F.lit(None).cast("string"))
+        .when(
+            h.rlike(_SCHEME_ANY),
+            F.when(h.rlike(r"(?i)^https?://"), h).otherwise(
+                F.lit(None).cast("string")
+            ),
+        )
+        .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
+        .when(h.startswith("/"), F.concat(scheme, F.lit("://"), auth, h))
+        .otherwise(F.concat(scheme, F.lit("://"), auth, basedir, h))
+    )
+
+
+def extract_links(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """→ ``(url, href, anchor, dst_url)``: one row per ``<a href>`` in
+    each page — the crawl operator that feeds ``pagerank`` (via
+    ``host_edges``) and anchor-text entity linking (anchor surfaces are
+    the classic mention dictionary for web KGs).
+
+    ``href`` is the raw attribute value; ``anchor`` the inner text with
+    nested markup stripped and whitespace collapsed; ``dst_url`` the
+    resolved + ``canonical_url``-normalized target (NULL for fragments /
+    non-http schemes — kept so callers can count dropped links).
+
+    Pure codegen: two regexp_extract_all passes per quote style (same
+    pattern ⇒ positional alignment of href/anchor groups is guaranteed),
+    arrays_zip + explode, then the resolution expression. Map-side only —
+    no shuffle, no Python; binary ``html`` columns are decoded in-plan."""
+    from ..stages.ingest import canonical_url
+
+    html = F.col(html_col)
+    if dict(df.dtypes).get(html_col) == "binary":
+        html = F.decode(html, "UTF-8")
+
+    def links_of(pat: str) -> Column:
+        return F.arrays_zip(
+            F.regexp_extract_all(html, F.lit(pat), 1).alias("href"),
+            F.regexp_extract_all(html, F.lit(pat), 2).alias("anchor"),
+        )
+
+    out = []
+    for pat in (_A_DQ, _A_SQ):
+        exploded = df.select(
+            F.col(url_col).alias("url"), F.explode(links_of(pat)).alias("l")
+        )
+        clean_anchor = F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.col("l.anchor"), r"<[^>]*>", ""),
+                r"\s+",
+                " ",
+            )
+        )
+        out.append(
+            exploded.select(
+                "url",
+                F.col("l.href").alias("href"),
+                clean_anchor.alias("anchor"),
+                canonical_url(
+                    _resolve_href(F.col("url"), F.col("l.href"))
+                ).alias("dst_url"),
+            )
+        )
+    return out[0].unionAll(out[1])
+
+
+def host_edges(links: DataFrame) -> DataFrame:
+    """→ distinct ``(src, dst)`` host pairs from ``extract_links`` output —
+    the host-level web graph ``pagerank`` runs on (page-level graphs work
+    too; host-level is the standard frontier-ranking granularity).
+    Self-loops (intra-host navigation, the bulk of anchors) are dropped.
+    One map-side projection + the distinct's single shuffle. Both sides
+    go through ``canonical_url`` first so ``www.`` / port / case variants
+    of the same host collapse into the same node (and intra-site links
+    correctly self-loop away)."""
+    from ..stages.ingest import canonical_url, url_host
+
+    src = url_host(canonical_url(F.col("url")))
+    dst = url_host(F.col("dst_url"))
+    return (
+        links.filter(F.col("dst_url").isNotNull())
+        .select(src.alias("src"), dst.alias("dst"))
+        .filter((F.col("src") != "") & (F.col("dst") != "") & (F.col("src") != F.col("dst")))
+        .distinct()
+    )

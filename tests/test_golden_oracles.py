@@ -340,6 +340,7 @@ def test_query_registry_invariants():
         "robots",
         "lm_surprisal",
         "dedup_substr",
+        "extract_links",
         # redundantly-evidenced twins of stronger in-window siblings
         # (per-entry rationale in the queries() docComment)
         "user_mode_event",            # W2 also cited by docee_key_sentences

@@ -89,3 +89,96 @@ class TestPageRank:
         df = spark.createDataFrame(small_graph, "src long, dst long")
         got = {r["node"]: r["rank_e9"] for r in pagerank(df, n_iter=8).collect()}
         assert got == want
+
+
+HTML = '''<html><body>
+<a href="https://other.example.org/abs">Absolute <b>link</b>  here</a>
+<a href='//cdn.example.net/lib.js'>proto-rel</a>
+<a href="/root/page2">root rel</a>
+<a href="sibling.html">path rel</a>
+<a href="#frag">frag</a>
+<a href="mailto:x@y.z">mail</a>
+<A HREF="HTTP://Upper.Example.COM/X?b=2&utm_source=f&a=1">upper</A>
+</body></html>'''
+
+PAGE = "https://www.Site-A.example.com:443/dir/page.html?q=1"
+
+
+class TestExtractLinks:
+    def _links(self, spark, html=HTML, url=PAGE):
+        from docee_spark.operators.linkgraph import extract_links
+
+        df = spark.createDataFrame([(url, html)], "url string, html string")
+        return {
+            r["href"]: (r["anchor"], r["dst_url"])
+            for r in extract_links(df).collect()
+        }
+
+    def test_resolution_branches(self, spark):
+        got = self._links(spark)
+        assert got["https://other.example.org/abs"] == (
+            "Absolute link here",  # nested markup stripped, spaces collapsed
+            "https://other.example.org/abs",
+        )
+        assert got["//cdn.example.net/lib.js"][1] == "https://cdn.example.net/lib.js"
+        # root-relative: page authority, lowercased; :443 is https default
+        # and www. strips under canonical_url
+        assert got["/root/page2"][1] == "https://site-a.example.com/root/page2"
+        # path-relative resolves against the page DIRECTORY
+        assert got["sibling.html"][1] == "https://site-a.example.com/dir/sibling.html"
+        assert got["#frag"][1] is None
+        assert got["mailto:x@y.z"][1] is None
+        # uppercase <A HREF>, scheme+host lowered, tracking param dropped,
+        # params sorted
+        assert got["HTTP://Upper.Example.COM/X?b=2&utm_source=f&a=1"][1] == (
+            "http://upper.example.com/X?a=1&b=2"
+        )
+
+    def test_binary_html_column_decodes_in_plan(self, spark):
+        from docee_spark.operators.linkgraph import extract_links
+
+        df = spark.createDataFrame(
+            [(PAGE, bytearray(HTML, "utf-8"))], "url string, html binary"
+        )
+        assert len(extract_links(df).collect()) == 7
+
+    def test_host_edges_collapse_and_dedup(self, spark):
+        from docee_spark.operators.linkgraph import extract_links, host_edges
+
+        df = spark.createDataFrame([(PAGE, HTML)], "url string, html string")
+        got = {
+            (r["src"], r["dst"]) for r in host_edges(extract_links(df)).collect()
+        }
+        # src host canonicalized (www./port gone) so the root-relative and
+        # path-relative links become SELF-loops and drop; one edge per
+        # external host, fragments/mailto gone
+        assert got == {
+            ("site-a.example.com", "other.example.org"),
+            ("site-a.example.com", "cdn.example.net"),
+            ("site-a.example.com", "upper.example.com"),
+        }
+
+    def test_feeds_pagerank_end_to_end(self, spark):
+        """The full crawl loop: pages -> extract_links -> host_edges ->
+        pagerank. Three hosts all linking to one hub -> the hub outranks
+        every feeder."""
+        from docee_spark.operators.linkgraph import (
+            extract_links,
+            host_edges,
+            pagerank,
+        )
+
+        pages = [
+            (f"https://feeder-{i}.example.com/p",
+             '<a href="https://hub.example.org/x">hub</a>'
+             f'<a href="https://feeder-{(i + 1) % 3}.example.com/p">next</a>')
+            for i in range(3)
+        ]
+        df = spark.createDataFrame(pages, "url string, html string")
+        ranks = {
+            r["node"]: r["rank_e9"]
+            for r in pagerank(
+                host_edges(extract_links(df)), n_iter=4
+            ).collect()
+        }
+        assert ranks["hub.example.org"] == max(ranks.values())

@@ -289,6 +289,21 @@ class TestRound4CrawlOpPlans:
         assert _n_nodes(plan, "BroadcastHashJoin") >= 1
         assert _n_nodes(plan, "BroadcastNestedLoopJoin") >= 1
 
+    def test_extract_links_map_side_no_python(self, spark):
+        """Link extraction is a pure map: two regex branches unioned,
+        resolution + canonicalization as expressions — zero exchanges,
+        zero joins, no Python. At 100 TB this runs at scan speed."""
+        from docee_spark.operators.linkgraph import extract_links
+
+        pages = spark.createDataFrame(
+            [("https://h.example.com/a/", '<a href="/x">x</a>')],
+            "url string, html string",
+        )
+        plan = _plan(extract_links(pages))
+        assert "EvalPython" not in plan
+        assert _n_nodes(plan, "Exchange") == 0, plan
+        assert "Join" not in plan, plan
+
     def test_dedup_substr_no_python_bounded_shuffles(self, spark):
         """ExactSubstr spans: window hashing + island merge are column
         expressions (no Python); the whole operator is 3 shuffles — the
