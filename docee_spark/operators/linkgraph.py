@@ -283,3 +283,44 @@ def host_edges(links: DataFrame) -> DataFrame:
         .filter((F.col("src") != "") & (F.col("dst") != "") & (F.col("src") != F.col("dst")))
         .distinct()
     )
+
+
+def anchor_surfaces(links: DataFrame, min_anchors: int = 2) -> DataFrame:
+    """→ ``(surface, entity_id, n_anchors)``: anchor texts aggregated
+    into an entity dictionary — the classic web-KG signal (anchor text
+    is how the web NAMES an entity; the link target identifies it).
+    ``surface`` = lowercased anchor text, ``entity_id`` = the surface's
+    most-linked canonical destination (ties → lexicographically smallest
+    url, deterministic), ``n_anchors`` = total links carrying the
+    surface; surfaces below ``min_anchors`` are noise and drop.
+
+    The output is schema-compatible with
+    ``stages.canonicalize.canonicalize(entity_dict=...)`` — anchor-mined
+    surfaces override LSH clustering for entities the web itself
+    disambiguates. Two hash-partitioned groupBys ((surface, dst) counts,
+    then per-surface struct-min vote); no joins, no Python."""
+    a = links.filter(
+        F.col("dst_url").isNotNull() & (F.trim(F.col("anchor")) != "")
+    ).select(
+        # extract_links already collapses whitespace; re-normalize here so
+        # directly-supplied link tables get the same surface keys
+        F.lower(
+            F.regexp_replace(F.trim(F.col("anchor")), r"\s+", " ")
+        ).alias("surface"),
+        "dst_url",
+    )
+    per = a.groupBy("surface", "dst_url").agg(F.count("*").alias("cnt"))
+    return (
+        per.groupBy("surface")
+        .agg(
+            F.min_by(
+                "dst_url",
+                F.struct(
+                    (-F.col("cnt")).alias("neg_cnt"),
+                    F.col("dst_url").alias("dst_url"),
+                ),
+            ).alias("entity_id"),
+            F.sum("cnt").alias("n_anchors"),
+        )
+        .filter(F.col("n_anchors") >= min_anchors)
+    )

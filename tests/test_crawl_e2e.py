@@ -155,3 +155,69 @@ def test_crawl_to_kg(spark, crawl_warc):
         GOOD_TEXT + " newer capture",
         GOOD_TEXT + " unique survivor page",
     }
+
+
+@pytest.fixture(scope="module")
+def link_warc(tmp_path_factory):
+    """Three feeder hosts each linking the same hub + their ring
+    neighbor; one page also links a blocklisted domain."""
+    from docee_spark.stages.warc import build_warc
+
+    base = tmp_path_factory.mktemp("linkcrawl")
+
+    def ts(i):
+        return datetime(2024, 3, 2, 9, i, 0, tzinfo=timezone.utc)
+
+    records = []
+    for i in range(3):
+        body = (
+            f"<html><body><p>{GOOD_TEXT}</p>"
+            f'<a href="https://hub.ok.org/x">the <b>hub</b></a>'
+            f'<a href="https://feeder-{(i + 1) % 3}.ok.org/p">ring</a>'
+            + ('<a href="https://spam.example/z">spam</a>' if i == 0 else "")
+            + '<a href="/about">about us</a>'
+            "</body></html>"
+        ).encode()
+        records.append(
+            {"url": f"https://feeder-{i}.ok.org/p", "warc_ts": ts(i),
+             "html": body}
+        )
+    p = base / "links.warc.gz"
+    p.write_bytes(build_warc(records, gzip_members=True))
+    return str(base)
+
+
+def test_crawl_to_linkgraph(spark, link_warc):
+    """Archive → link extraction (binary html straight from WARC) →
+    blocklist-filtered host graph → PageRank: the crawl-frontier ranking
+    leg of the pipeline, end to end on production operators."""
+    from docee_spark.operators.linkgraph import (
+        extract_links,
+        host_edges,
+        pagerank,
+    )
+    from docee_spark.stages.ingest import _host_suffixes
+    from docee_spark.stages.warc import webtext_from_warc
+
+    web = webtext_from_warc(spark, link_warc + "/*")
+    links = extract_links(web)  # html is BINARY here — decoded in-plan
+    by_href = {r["href"] for r in links.collect()}
+    assert "/about" in by_href  # root-relative resolved, then self-loops away
+
+    edges = host_edges(links)
+    # edge-level blocklist: suffix semantics, same list as host_filter
+    blocked = spark.createDataFrame([("spam.example",)], "domain string")
+    clean = edges.join(
+        F.broadcast(blocked),
+        F.array_contains(_host_suffixes(F.col("dst")), F.col("domain")),
+        "left_anti",
+    )
+    got = {(r["src"], r["dst"]) for r in clean.collect()}
+    assert ("feeder-0.ok.org", "spam.example") not in got
+    assert ("feeder-0.ok.org", "hub.ok.org") in got
+    assert len(got) == 6  # 3 hub links + 3 ring links
+
+    ranks = {
+        r["node"]: r["rank_e9"] for r in pagerank(clean, n_iter=4).collect()
+    }
+    assert ranks["hub.ok.org"] == max(ranks.values())

@@ -182,3 +182,59 @@ class TestExtractLinks:
             ).collect()
         }
         assert ranks["hub.example.org"] == max(ranks.values())
+
+
+class TestAnchorSurfaces:
+    def test_majority_vote_and_tiebreak(self, spark):
+        from docee_spark.operators.linkgraph import anchor_surfaces
+
+        rows = [
+            # "acme corp" points twice to /acme, once to /other -> majority
+            ("u1", "x", "Acme Corp", "https://kb.example.org/acme"),
+            ("u2", "x", "acme  corp", "https://kb.example.org/acme"),
+            ("u3", "x", "ACME CORP", "https://kb.example.org/other"),
+            # "beta" ties 1-1 -> lexicographically smaller url wins
+            ("u4", "x", "beta", "https://kb.example.org/b2"),
+            ("u5", "x", "beta", "https://kb.example.org/b1"),
+            # singleton surface drops at min_anchors=2
+            ("u6", "x", "rare", "https://kb.example.org/rare"),
+            # empty anchor / null dst never become surfaces
+            ("u7", "x", "", "https://kb.example.org/e"),
+            ("u8", "x", "frag", None),
+        ]
+        links = spark.createDataFrame(
+            rows, "url string, href string, anchor string, dst_url string"
+        )
+        got = {
+            r["surface"]: (r["entity_id"], r["n_anchors"])
+            for r in anchor_surfaces(links).collect()
+        }
+        assert got == {
+            "acme corp": ("https://kb.example.org/acme", 3),
+            "beta": ("https://kb.example.org/b1", 2),
+        }
+
+    def test_feeds_canonicalize_entity_dict(self, spark):
+        """Anchor-mined surfaces override LSH clustering: two triples
+        whose subj surfaces share an anchor-dictionary entry resolve to
+        the SAME entity_id (the web's identifier), not an LSH rep."""
+        from docee_spark.operators.linkgraph import anchor_surfaces
+        from docee_spark.stages.canonicalize import canonicalize
+
+        links = spark.createDataFrame(
+            [("u1", "x", "Acme Corp", "https://kb.example.org/acme"),
+             ("u2", "x", "acme corp", "https://kb.example.org/acme")],
+            "url string, href string, anchor string, dst_url string",
+        )
+        ed = anchor_surfaces(links).select("surface", "entity_id")
+        trips = spark.createDataFrame(
+            [("d1", "T", 0, "acme corp", "T#r", "beta llc"),
+             ("d2", "T", 0, "acme corp", "T#r", "gamma inc")],
+            "doc_id string, event_type string, recguid int, "
+            "subj string, pred string, obj string",
+        )
+        vertices, edges = canonicalize(trips, entity_dict=ed)
+        srcs = {r["src"] for r in edges.collect()}
+        assert srcs == {"https://kb.example.org/acme"}
+        vs = {r["entity_id"] for r in vertices.collect()}
+        assert "https://kb.example.org/acme" in vs
