@@ -281,6 +281,26 @@ def q_quality_model(spark, sf):
     return quality_model_scores(_read(spark, sf, "documents"), _load_quality_clf())
 
 
+def _load_dsir():
+    import os
+
+    from docee_spark.golden import GOLDEN_DIR
+    from docee_spark.operators.dsir import load_dsir
+
+    return load_dsir(os.path.join(GOLDEN_DIR, "dsir.npz"))
+
+
+def q_dsir(spark, sf):
+    """DSIR importance-resampling scores (Xie et al. 2023; operators/
+    dsir.py) over documents — per-doc hashed-n-gram importance
+    log-weight under frozen target/source models, exact e6 integers,
+    pure map (same constant-folded-weights aggregate-HOF plan shape as
+    quality_model)."""
+    from docee_spark.operators.dsir import dsir_scores
+
+    return dsir_scores(_read(spark, sf, "documents"), _load_dsir())
+
+
 def q_langid(spark, sf):
     from docee_spark.operators.textstats import lang_id
 
@@ -1591,6 +1611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_surprisal": q_lm_surprisal,
         "dedup_substr": q_dedup_substr,
         "extract_links": q_extract_links,
+        "dsir": q_dsir,
         "user_mode_event": q_user_mode_event,
         "docee_vertices_verified": q_docee_vertices_verified,
         "model_spans_spot": q_model_spans_spot,
@@ -2219,6 +2240,40 @@ m as (
 select doc_id, n_grams, margin_e6,
        cast(case when margin_e6 > 0 then 1 else 0 end as bigint) as keep
 from m
+"""
+
+
+def _dsir_sql() -> str:
+    """Independent re-derivation of the DSIR score: the SAME frozen npz
+    integers inlined as a VALUES table, but unnest grams → join weights →
+    per-doc sum (vs the engine's map-only aggregate HOF). Docs whose
+    grams all miss... cannot happen (every gram hashes to a bucket), but
+    empty docs left-join to (0, 0)."""
+    model = _load_dsir()
+    vals = ", ".join(f"({i}, {int(w)})" for i, w in enumerate(model.logratio_e6))
+    toks = _TOKENS.format(c="lower(text)")
+    return f"""
+with w(bucket, wt) as (values {vals}),
+t as (select doc_id, {toks} as toks from documents),
+g as (
+  select doc_id, gram from (
+    select doc_id, unnest(toks) as gram from t
+    union all
+    select doc_id, unnest(list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i+1])) as gram from t
+  )
+),
+sums as (
+  select g.doc_id, count(*) as n_grams, sum(w.wt) as s
+  from g join w
+    on cast(('0x' || substring(md5(g.gram), 1, 8)) as bigint) % {model.d}
+       = w.bucket
+  group by g.doc_id
+)
+select t.doc_id,
+       coalesce(sums.n_grams, 0) as n_grams,
+       cast(coalesce(sums.s, 0) as bigint) as logw_e6
+from t left join sums on t.doc_id = sums.doc_id
 """
 
 
@@ -4612,6 +4667,7 @@ from documents group by 1
         "dedup_ngram": _ngram_sql(),
         "dedup_substr": _dedup_substr_sql(),
         "extract_links": _extract_links_sql(),
+        "dsir": _dsir_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash64": _simhash64_sql(),
         "dedup_embed": _dedup_embed_sql(),

@@ -54,6 +54,8 @@ HEADLINE = [
     "dedup_semantic",
     "decontaminate",
     "pii_scrub",
+    "dsir",
+    "extract_links",
     "embed_topk",
     "embed_lsh_topk",
     "doc_mentions",

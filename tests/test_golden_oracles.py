@@ -341,6 +341,7 @@ def test_query_registry_invariants():
         "lm_surprisal",
         "dedup_substr",
         "extract_links",
+        "dsir",
         # redundantly-evidenced twins of stronger in-window siblings
         # (per-entry rationale in the queries() docComment)
         "user_mode_event",            # W2 also cited by docee_key_sentences

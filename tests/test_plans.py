@@ -289,6 +289,22 @@ class TestRound4CrawlOpPlans:
         assert _n_nodes(plan, "BroadcastHashJoin") >= 1
         assert _n_nodes(plan, "BroadcastNestedLoopJoin") >= 1
 
+    def test_dsir_scores_map_only_no_python(self, spark):
+        """DSIR scoring is a pure map like quality_model: constant-folded
+        weight array + one aggregate HOF — zero exchanges, no join, no
+        Python. Selection by threshold adds only a codegen Filter."""
+        import os
+
+        from docee_spark.golden import GOLDEN_DIR
+        from docee_spark.operators.dsir import dsir_select, load_dsir
+
+        model = load_dsir(os.path.join(GOLDEN_DIR, "dsir.npz"))
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        plan = _plan(dsir_select(docs, model, keep_threshold_e6=0))
+        assert "EvalPython" not in plan
+        assert _n_nodes(plan, "Exchange") == 0, plan
+        assert "Join" not in plan, plan
+
     def test_extract_links_map_side_no_python(self, spark):
         """Link extraction is a pure map: two regex branches unioned,
         resolution + canonicalization as expressions — zero exchanges,
