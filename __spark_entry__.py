@@ -313,6 +313,19 @@ def q_dsir(spark, sf):
     )
 
 
+def q_pack_sequences(spark, sf):
+    """GPT-style sequence packing (operators/sampling.py:pack_sequences):
+    concatenate documents per md5 shard and chunk into fixed-64-token
+    training sequences — one (doc, sequence) slice row per assignment.
+    One per-shard window + a map-side explode; exact integer arithmetic
+    end to end."""
+    from docee_spark.operators.sampling import pack_sequences
+
+    return pack_sequences(
+        _read(spark, sf, "documents"), seq_len=64, n_shards=4
+    )
+
+
 def q_langid(spark, sf):
     from docee_spark.operators.textstats import lang_id
 
@@ -1624,6 +1637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substr": q_dedup_substr,
         "extract_links": q_extract_links,
         "dsir": q_dsir,
+        "pack_sequences": q_pack_sequences,
         "user_mode_event": q_user_mode_event,
         "docee_vertices_verified": q_docee_vertices_verified,
         "model_spans_spot": q_model_spans_spot,
@@ -2252,6 +2266,41 @@ m as (
 select doc_id, n_grams, margin_e6,
        cast(case when margin_e6 > 0 then 1 else 0 end as bigint) as keep
 from m
+"""
+
+
+def _pack_sequences_sql(seq_len: int = 64, n_shards: int = 4) -> str:
+    """Independent re-derivation of sequence packing: window cumulative
+    sums + range unnest (vs the engine's Window + sequence explode).
+    All-integer arithmetic; DuckDB's // is integer floor on bigints."""
+    toks = _TOKENS.format(c="text")
+    return f"""
+with t as (
+  select doc_id,
+    cast(('0x' || substring(md5(cast(doc_id as varchar)), 1, 8)) as bigint)
+      % {n_shards} as shard,
+    cast(len({toks}) as bigint) as n_tok
+  from documents),
+nz as (select * from t where n_tok > 0),
+pos as (
+  select doc_id, shard, n_tok,
+    -- window sum of bigint is HUGEINT in DuckDB; range() needs bigint
+    cast(sum(n_tok) over (partition by shard order by doc_id) - n_tok
+         as bigint) as start
+  from nz),
+s as (
+  select doc_id, shard, n_tok, start,
+    unnest(range(start // {seq_len},
+                 (start + n_tok - 1) // {seq_len} + 1)) as seq_id
+  from pos)
+select cast(shard as bigint) as shard,
+  cast(seq_id as bigint) as seq_id,
+  doc_id,
+  cast(greatest(0, seq_id * {seq_len} - start) as bigint) as tok_start,
+  cast(least(n_tok, (seq_id + 1) * {seq_len} - start) as bigint) as tok_end,
+  cast(start + greatest(0, seq_id * {seq_len} - start)
+       - seq_id * {seq_len} as bigint) as seq_off
+from s
 """
 
 
@@ -4680,6 +4729,7 @@ from documents group by 1
         "dedup_substr": _dedup_substr_sql(),
         "extract_links": _extract_links_sql(),
         "dsir": _dsir_sql(),
+        "pack_sequences": _pack_sequences_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash64": _simhash64_sql(),
         "dedup_embed": _dedup_embed_sql(),

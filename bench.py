@@ -56,6 +56,7 @@ HEADLINE = [
     "pii_scrub",
     "dsir",
     "extract_links",
+    "pack_sequences",
     "embed_topk",
     "embed_lsh_topk",
     "doc_mentions",

@@ -100,3 +100,76 @@ def mixture_cap(
         .cast("int")
         .alias("kept"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    n_shards: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents (per shard) into
+    one token stream and chunk it into fixed-``seq_len`` training
+    sequences — the standard pre-training prep step (GPT-2/3, Pile;
+    documents separated by an EOS the tokenizer adds, boundaries fall
+    mid-document by design).
+
+    → ``(shard, seq_id, doc_id, tok_start, tok_end, seq_off)``: one row
+    per (document, sequence) SLICE — document tokens ``[tok_start,
+    tok_end)`` (doc-local, T4 whitespace tokens) land in shard-local
+    sequence ``seq_id`` at offset ``seq_off``. A document longer than
+    ``seq_len`` spans several sequences; each shard's final sequence is
+    partial (trainers pad or drop it). Empty documents vanish (their
+    empty slice carries no tokens).
+
+    Determinism/scale shape: a global concatenation order would need a
+    global sort, so packing is SHARDED — shard = md5(doc_id) mod
+    ``n_shards`` (one shard ≈ one output training file), order within a
+    shard = doc_id. ONE window (sum over the shard partition — a
+    per-shard sort, never global), then a map-side sequence explode of
+    at most ⌈n_tok/seq_len⌉+1 rows per doc. Shards are md5-balanced, so
+    the window partitions are even; at 100 TB pick n_shards ≈ the number
+    of training files and the sort stays in-memory per shard."""
+    from .textstats import token_count
+
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+    n_tok = token_count(F.col(text_col)).cast("long")
+    base = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            (h.cast("long") % n_shards).alias("shard"),
+            n_tok.alias("n_tok"),
+        )
+        .filter(F.col("n_tok") > 0)
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    pos = base.select(
+        "doc_id",
+        "shard",
+        "n_tok",
+        (F.sum("n_tok").over(w) - F.col("n_tok")).alias("start"),
+    )
+    first = F.floor(F.col("start") / seq_len).cast("long")
+    last = F.floor((F.col("start") + F.col("n_tok") - 1) / seq_len).cast("long")
+    sliced = pos.select(
+        "doc_id",
+        "shard",
+        "n_tok",
+        "start",
+        F.explode(F.sequence(first, last)).alias("seq_id"),
+    )
+    tok_start = F.greatest(F.lit(0), F.col("seq_id") * seq_len - F.col("start"))
+    tok_end = F.least(
+        F.col("n_tok"), (F.col("seq_id") + 1) * seq_len - F.col("start")
+    )
+    return sliced.select(
+        "shard",
+        "seq_id",
+        "doc_id",
+        tok_start.cast("long").alias("tok_start"),
+        tok_end.cast("long").alias("tok_end"),
+        (F.col("start") + tok_start - F.col("seq_id") * seq_len)
+        .cast("long")
+        .alias("seq_off"),
+    )

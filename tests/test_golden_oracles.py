@@ -342,6 +342,7 @@ def test_query_registry_invariants():
         "dedup_substr",
         "extract_links",
         "dsir",
+        "pack_sequences",
         # redundantly-evidenced twins of stronger in-window siblings
         # (per-entry rationale in the queries() docComment)
         "user_mode_event",            # W2 also cited by docee_key_sentences

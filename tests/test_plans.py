@@ -289,6 +289,19 @@ class TestRound4CrawlOpPlans:
         assert _n_nodes(plan, "BroadcastHashJoin") >= 1
         assert _n_nodes(plan, "BroadcastNestedLoopJoin") >= 1
 
+    def test_pack_sequences_one_window_no_python(self, spark):
+        """Sequence packing: exactly ONE exchange (the per-shard window
+        partitioning — never a global sort) + a map-side explode; no
+        join, no Python."""
+        from docee_spark.operators.sampling import pack_sequences
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        plan = _plan(pack_sequences(docs, seq_len=64, n_shards=4))
+        assert "EvalPython" not in plan
+        assert _n_nodes(plan, "Exchange") == 1, plan
+        assert "Join" not in plan, plan
+        assert _n_nodes(plan, "Window") == 1, plan
+
     def test_dsir_scores_map_only_no_python(self, spark):
         """DSIR scoring is a pure map like quality_model: constant-folded
         weight array + one aggregate HOF — zero exchanges, no join, no
