@@ -56,6 +56,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--num-triggers", type=int, default=-1,
                    help="|R| pseudo-trigger tier for trigger modes "
                         "(-1 = guessing mode, reference default)")
+    p.add_argument("--emit-links", action="store_true",
+                   help="also extract <a href> links from the input html "
+                        "and write links/ + host_edges/ next to the KG "
+                        "tables (the crawl-frontier graph)")
     args = p.parse_args(argv)
 
     # absolute imports: spark-submit runs this file as a plain __main__
@@ -121,6 +125,14 @@ def main(argv: list[str] | None = None) -> int:
         num_triggers=args.num_triggers,
     )
     write_kg(result, args.output)
+    if args.emit_links:
+        from docee_spark.operators.linkgraph import extract_links, host_edges
+
+        links = extract_links(web.filter(web["html"].isNotNull()))
+        links.write.mode("overwrite").parquet(f"{args.output}/links")
+        host_edges(spark.read.parquet(f"{args.output}/links")).write.mode(
+            "overwrite"
+        ).parquet(f"{args.output}/host_edges")
     n = spark.read.parquet(f"{args.output}/triples").count()
     print(
         json.dumps(

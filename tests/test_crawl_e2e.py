@@ -221,3 +221,25 @@ def test_crawl_to_linkgraph(spark, link_warc):
         r["node"]: r["rank_e9"] for r in pagerank(clean, n_iter=4).collect()
     }
     assert ranks["hub.ok.org"] == max(ranks.values())
+
+
+def test_cli_emit_links(spark, link_warc, tmp_path):
+    """--emit-links writes the crawl link graph next to the KG tables."""
+    from docee_spark.cli import main
+
+    out = str(tmp_path / "kg")
+    rc = main([
+        "--input-warc", link_warc + "/*",
+        "--output", out,
+        "--fused",
+        "--emit-links",
+    ])
+    assert rc == 0
+    links = spark.read.parquet(out + "/links")
+    assert links.count() == 10  # 3×(hub+ring+about) + 1 spam
+    edges = {
+        (r["src"], r["dst"])
+        for r in spark.read.parquet(out + "/host_edges").collect()
+    }
+    assert ("feeder-0.ok.org", "hub.ok.org") in edges
+    assert len(edges) == 7  # 3 hub + 3 ring + 1 spam; /about self-loops away
