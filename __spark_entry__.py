@@ -1545,16 +1545,28 @@ def q_docee_key_sentences(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the r3 driver run recorded only the first
-    # 50 entries, so the registry is ordered by evidence priority —
-    # every survey row's PRIMARY oracle comes first, and the tail holds
-    # the queries whose survey rows are already covered by an earlier
-    # entry. The FULL registry (window + tail) is oracle-compared in
-    # pytest every round (tests/test_entry_queries.py) and by
-    # tools/check_oracles.py — the window only selects what the driver
-    # record shows. Tail rationale per entry:
+    # 50 entries, so the registry is ordered by evidence priority.
+    # Policy (r4): a slot in the recorded window goes first to queries
+    # with NO driver-green row yet; queries whose code is unchanged and
+    # whose oracle was rows+schema+hash green in TWO OR MORE prior
+    # driver rounds (CORRECTNESS_r0{1,2,3}.json) are evidence-saturated
+    # and yield their slot. The FULL registry (window + tail) is still
+    # oracle-compared in pytest every round (tests/test_entry_queries.py)
+    # and by tools/check_oracles.py — the window only selects what the
+    # driver record shows. Tail rationale per entry:
+    #   filter_isin/window_topk/events_cube/sessionize/token_stats
+    #                          — green r1+r2+r3; F1/J7/W3/F6/T4 rows
+    #                            also carry plan-assertion pytest
+    #   quality/fingerprint    — green r2+r3; pure-codegen textstats
+    #   doc_mentions           — green r2+r3; docee coverage rests on
+    #                            the 11 docee_triples_* + eval rows
+    #   dedup_exact            — green r1+r2+r3; the same hash-groupBy
+    #                            exact-dedup shape runs in-window as
+    #                            url_dedup
+    #   docee_eval_report      — green r2+r3; A2 shape, sibling
+    #                            docee_eval_rollup (A1) in window
     #   user_mode_event        — W2's row also cites docee_key_sentences
-    #                            (in window); generic window-fn shape is
-    #                            in-window via sessionize/window_topk
+    #                            (in window)
     #   docee_vertices_verified— precision variant; sibling
     #                            docee_vertices (same row) in window
     #   model_spans_spot       — spot-witness hardening docee_triples_
@@ -1575,21 +1587,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   join_region_revenue/events_hourly/props_extract/distinct_statuses
     #                          — generic relational demos, no survey row
     return {
-        "filter_isin": q_filter_isin,
-        "window_topk": q_window_topk,
-        "events_cube": q_events_cube,
-        "sessionize": q_sessionize,
-        "token_stats": q_token_stats,
-        "quality": q_quality,
+        "robots": q_robots,
+        "bpe_merges": q_bpe_merges,
+        "lm_surprisal": q_lm_surprisal,
+        "dsir": q_dsir,
+        "pack_sequences": q_pack_sequences,
+        "dedup_substr": q_dedup_substr,
         "langid": q_langid,
-        "fingerprint": q_fingerprint,
+        "extract_links": q_extract_links,
         "repetition": q_repetition,
         "c4_filters": q_c4_filters,
         "vocab_topk": q_vocab_topk,
         "docee_dataset_stats": q_docee_dataset_stats,
         "docee_trigger_importance": q_docee_trigger_importance,
         "docee_key_sentences": q_docee_key_sentences,
-        "dedup_exact": q_dedup_exact,
+        "host_filter": q_host_filter,
         "dedup_minhash_verified": q_dedup_minhash_verified,
         "dedup_clusters": q_dedup_clusters,
         "dedup_chunks": q_dedup_chunks,
@@ -1602,7 +1614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_topk": q_embed_topk,
         "embed_lsh_topk_mp": q_embed_lsh_topk_mp,
         "embed_ivf_topk": q_embed_ivf_topk,
-        "doc_mentions": q_doc_mentions,
+        "kg_path_2hop": q_kg_path_2hop,
         "ingest_html": q_ingest_html,
         "multimodal_features": q_multimodal_features,
         "docee_triples_gold": q_docee_triples_gold,
@@ -1620,24 +1632,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docee_edges": q_docee_edges,
         "docee_adj_metrics": q_docee_adj_metrics,
         "docee_eval_rollup": q_docee_eval_rollup,
-        "docee_eval_report": q_docee_eval_report,
+        "kg_khop": q_kg_khop,
         "url_dedup": q_url_dedup,
         "quality_model": q_quality_model,
         "pagerank": q_pagerank,
         "kg_incremental": q_kg_incremental,
         # ---- end of the 50-entry driver-recorded window ----
-        # kg_path_2hop / kg_khop: KG read-path demos over the edge shape;
-        # evidence = pytest + check_oracles (window full of primaries)
-        "kg_path_2hop": q_kg_path_2hop,
-        "kg_khop": q_kg_khop,
-        "host_filter": q_host_filter,
-        "bpe_merges": q_bpe_merges,
-        "robots": q_robots,
-        "lm_surprisal": q_lm_surprisal,
-        "dedup_substr": q_dedup_substr,
-        "extract_links": q_extract_links,
-        "dsir": q_dsir,
-        "pack_sequences": q_pack_sequences,
+        # evidence-saturated demotions (green >=2 prior driver rounds,
+        # code unchanged; see the policy comment above)
+        "filter_isin": q_filter_isin,
+        "window_topk": q_window_topk,
+        "events_cube": q_events_cube,
+        "sessionize": q_sessionize,
+        "token_stats": q_token_stats,
+        "quality": q_quality,
+        "fingerprint": q_fingerprint,
+        "doc_mentions": q_doc_mentions,
+        "dedup_exact": q_dedup_exact,
+        "docee_eval_report": q_docee_eval_report,
         "user_mode_event": q_user_mode_event,
         "docee_vertices_verified": q_docee_vertices_verified,
         "model_spans_spot": q_model_spans_spot,
