@@ -315,3 +315,140 @@ def expected_triples(docs_gold: list[dict]) -> list[dict]:
                         }
                     )
     return rows
+
+
+# --------------------------------------------------------------------------
+# Refinery fixtures: adversarial junk corpus + hygiene tables
+# --------------------------------------------------------------------------
+# Each junk KIND is constructed to die at exactly one refinery stage
+# (stages/refinery.py), so the staged run's per-stage drop counters are
+# assertable end-to-end. Index-pure like make_doc_indexed: doc j is a
+# function of (seed, j) only — executors synthesize their own slice.
+
+_JUNK_KINDS = 6
+_EVAL_SECRETS = 4  # distinct planted 13-grams shared with the eval set
+
+
+def eval_secret(k: int) -> str:
+    """The k-th planted benchmark 13-gram (decontamination bait)."""
+    return " ".join(f"bench{k}tok{i}" for i in range(13))
+
+
+def _en_filler(rng: random.Random, n: int, tag: str) -> str:
+    """~n EN-looking tokens that PASS the C4 gate: unique-ish short
+    words laced with stopwords, terminal period."""
+    stop = ("the", "and", "of", "to", "in", "is", "it", "that", "for", "a")
+    words = []
+    for i in range(n):
+        if i % 3 == 2:
+            words.append(stop[rng.randrange(len(stop))])
+        else:
+            words.append(f"{tag}w{rng.randrange(10_000)}")
+    return " ".join(words) + "."
+
+
+def make_junk_indexed(j: int, n_real: int, seed: int = 7) -> dict:
+    """Junk/adversarial web doc #j. kind = j % 6:
+
+    0 — host on the domain blocklist            (dies: hygiene/blocklist)
+    1 — host whose robots.txt disallows all     (dies: hygiene/robots)
+    2 — recrawl captures (2 per page, tracking-param variants) carrying
+        PII; freshest capture survives          (collapses: url_dedup;
+                                                 scrubbed: pii stage)
+    3 — EN spam: lorem-ipsum (C4 blocklist) or a repeated 2-gram ad
+        (Gopher repetition)                     (dies: quality gate)
+    4 — near-duplicate family of 4 (members 0,1 byte-identical → exact
+        dedup; 2,3 high-Jaccard variants → MinHash); min-id rep survives
+                                                (dies: dedup, 1 survivor)
+    5 — contains a planted eval-set 13-gram     (dies: decontaminate)
+    """
+    rng = random.Random((seed << 40) ^ (j * 0x9E3779B97F4A7C15))
+    kind = j % _JUNK_KINDS
+    m = j // _JUNK_KINDS
+    ts = _EPOCH + timedelta(seconds=(n_real + j) * 137)
+    if kind == 0:
+        url = f"https://cdn{m % 3}.blocked.junk.example/p/{j}"
+        text = "blocked host " + _en_filler(rng, 40, "blk")
+    elif kind == 1:
+        url = f"https://norobots.junk.example/private/{j}"
+        text = "disallowed " + _en_filler(rng, 40, "rob")
+    elif kind == 2:
+        page, capture = m // 2, m % 2
+        url = f"https://recrawl.ok.example/page/{page}?utm_source=u{capture}"
+        pr = random.Random((seed << 20) ^ page)  # page-stable filler
+        text = (
+            f"recrawl page {page} capture {capture} contact "
+            f"sales{page}@example-mail.com or 10.1.2.{page % 250} or "
+            f"+1555{page % 10}100200 " + _en_filler(pr, 36, f"pg{page}")
+        )
+    elif kind == 3:
+        if m % 2 == 0:
+            text = ("lorem ipsum dolor sit amet consectetur " * 9).strip() + "."
+        else:
+            text = ("buy cheap meds now " * 30).strip() + "."
+        url = f"https://spam{m % 5}.ok.example/offer/{j}"
+    elif kind == 4:
+        famid, member = m // 4, m % 4
+        fr = random.Random((seed << 16) ^ (famid * 0x1F123BB5))
+        base = _en_filler(fr, 48, f"fam{famid}")
+        tail = ("alpha", "alpha", "beta", "gamma")[member]
+        text = f"tale{famid} {base[:-1]} {tail}."
+        url = f"https://mirror{member}.ok.example/story/{famid}"
+    else:
+        k = m % _EVAL_SECRETS
+        text = (
+            _en_filler(rng, 16, "pre")[:-1]
+            + " "
+            + eval_secret(k)
+            + " "
+            + _en_filler(rng, 16, "post")
+        )
+        url = f"https://benchleak.ok.example/doc/{j}"
+    return {
+        "url": url,
+        "warc_ts": ts,
+        "html": None,
+        "text": text,
+        "lang": "en",
+    }
+
+
+def junk_corpus(spark, n_junk: int, n_real: int, seed: int = 7):
+    """Junk webtext frame generated on the executors (same shape and
+    protocol as distributed_corpus)."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [make_junk_indexed(int(i), n_real, seed) for i in pdf["id"]]
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    nparts = spark.sparkContext.defaultParallelism
+    return spark.range(0, n_junk, 1, nparts).mapInPandas(
+        gen,
+        schema="url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+
+
+def refinery_tables(spark, seed: int = 7):
+    """→ (robots_df, blocked_df, eval_df): the hygiene side-inputs of the
+    refinery. All tiny (they broadcast); deterministic in seed."""
+    rng = random.Random(seed ^ 0x5EED)
+    robots = spark.createDataFrame(
+        [
+            ("norobots.junk.example", "User-agent: *\nDisallow: /\n"),
+            ("recrawl.ok.example", "User-agent: *\nDisallow: /admin\n"),
+        ],
+        "host string, body string",
+    )
+    blocked = spark.createDataFrame(
+        [("blocked.junk.example",)], "domain string"
+    )
+    eval_rows = [
+        (f"eval{k}", eval_secret(k) + " " + _en_filler(rng, 10, f"ev{k}"))
+        for k in range(_EVAL_SECRETS)
+    ] + [(f"evalclean{k}", _en_filler(rng, 24, f"clean{k}")) for k in range(4)]
+    eval_df = spark.createDataFrame(eval_rows, "doc_id string, text string")
+    return robots, blocked, eval_df

@@ -262,6 +262,34 @@ PII_RULES: tuple[tuple[str, str, str], ...] = (
 )
 
 
+def pii_audit(col: Column) -> tuple[list[Column], Column]:
+    """(per-rule count columns, fully-redacted text) under ``PII_RULES``
+    — the shared core of ``pii_scrub`` (audit projection) and
+    ``pii_redact`` (text flow). Sequential semantics: each rule counts
+    on the text as redacted by the previous rules, so overlapping
+    matches resolve deterministically. NULL text counts as empty."""
+    red = F.coalesce(col, F.lit(""))  # size(null) is -1
+    counts = []
+    for kind, pat, repl in PII_RULES:
+        counts.append(
+            F.size(F.regexp_extract_all(red, F.lit(pat), 0))
+            .cast("long")
+            .alias(f"n_{kind}s")
+        )
+        red = F.regexp_replace(red, pat, repl)
+    return counts, red
+
+
+def pii_redact(col: Column) -> Column:
+    """The fully-scrubbed text column under ``PII_RULES`` — exactly the
+    text ``pii_scrub`` fingerprints (same sequential rule order), exposed
+    so pipelines can FLOW the redacted text downstream instead of only
+    auditing it. NULL text stays NULL (a sink must be able to tell
+    "empty document" from "no document"). Pure codegen, map-only."""
+    _, red = pii_audit(col)
+    return F.when(col.isNull(), col).otherwise(red)
+
+
 def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     """PII redaction (CCNet/C4-style pre-training hygiene): count and
     mask emails, IPv4 addresses and international phone numbers.
@@ -275,15 +303,7 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     ``redacted_fp`` = md5 of the fully-scrubbed text (the scrubbed text
     itself stays in the plan for sinks; the fingerprint keeps oracle
     rows narrow)."""
-    red = F.coalesce(F.col(text_col), F.lit(""))  # size(null) is -1
-    counts = []
-    for kind, pat, repl in PII_RULES:
-        counts.append(
-            F.size(F.regexp_extract_all(red, F.lit(pat), 0))
-            .cast("long")
-            .alias(f"n_{kind}s")
-        )
-        red = F.regexp_replace(red, pat, repl)
+    counts, red = pii_audit(F.col(text_col))
     return df.select("doc_id", *counts, F.md5(red).alias("redacted_fp"))
 
 

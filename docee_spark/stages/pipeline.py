@@ -18,6 +18,7 @@ from __future__ import annotations
 import json
 import os
 import time
+from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -69,10 +70,15 @@ class StageStore:
         name: str,
         df: DataFrame,
         input_fingerprint: str,
-        counters: dict[str, float] | None = None,
+        counters: dict[str, float] | Callable[[], dict] | None = None,
     ) -> DataFrame:
         data_path, manifest = self._paths(name)
         df.write.mode("overwrite").parquet(data_path)
+        if callable(counters):
+            # evaluated AFTER the write action so Observation-backed
+            # counters (collected during the commit scan itself — no
+            # second pass) are available
+            counters = counters()
         # per-partition lineage from the parquet footers (no extra Spark
         # action): file → rows/bytes, like an Iceberg snapshot's manifest
         # entries — a resumed run can verify exactly what each partition

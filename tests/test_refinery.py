@@ -1,0 +1,235 @@
+"""The crawl refinery (stages/refinery.py): hygiene → quality → pii →
+dedup → decontaminate → extraction → KG as ONE staged resumable job.
+
+The junk fixture plants one corpus slice per refinery stage
+(fixtures.make_junk_indexed) so every stage's drop counter is exactly
+predictable; the zh corpus must pass through untouched."""
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- units
+
+
+class TestQualityFlags:
+    def _flags(self, spark, rows):
+        from docee_spark.stages.refinery import quality_flags
+
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        return {r["doc_id"]: r.asDict() for r in quality_flags(df).collect()}
+
+    def test_rules(self, spark):
+        zh = "美国企业考虑到对公司自身的影响，决定停止对外投资。" * 3
+        en_ok = (
+            "the quick brown fox jumps over a lazy dog and it runs to "
+            "the hills for many days while the sun is high and winds "
+            "are calm in the valley of long shadows near the river."
+        )
+        out = self._flags(
+            spark,
+            [
+                ("zh", zh),
+                ("en_ok", en_ok),
+                ("lorem", "lorem ipsum dolor sit amet consectetur " * 9),
+                ("repeat", "buy cheap meds now " * 30),
+                ("tiny", "too few tokens here"),
+                ("empty", ""),
+            ],
+        )
+        assert out["zh"]["lang_guess"] == "zh" and out["zh"]["keep"] == 1
+        assert out["en_ok"]["lang_guess"] == "en" and out["en_ok"]["keep"] == 1
+        assert out["lorem"]["blocklist_hits"] > 0 and out["lorem"]["keep"] == 0
+        assert out["repeat"]["repetitive"] == 1 and out["repeat"]["keep"] == 0
+        # Gopher gate needs >= rep_min_grams 2-grams: short docs exempt
+        assert out["tiny"]["repetitive"] == 0 and out["tiny"]["keep"] == 0
+        assert out["empty"]["lang_guess"] == "unk" and out["empty"]["keep"] == 0
+
+    def test_zh_exempt_from_c4_but_not_impossible_rep(self, spark):
+        # whitespace-tokenized CJK never reaches 20 2-grams → rep gate off
+        out = self._flags(spark, [("zh1", "中国公司发布公告。")])
+        assert out["zh1"]["n_2grams"] < 20 and out["zh1"]["keep"] == 1
+
+    def test_payload_carries_columns(self, spark):
+        from docee_spark.stages.refinery import quality_flags
+
+        df = spark.createDataFrame(
+            [("d1", "x", "the a of to in is it that for and words here.")],
+            "doc_id string, extra string, text string",
+        )
+        out = quality_flags(df, payload=True)
+        assert {"extra", "text", "keep"} <= set(out.columns)
+        assert out.filter(F.col("extra") == "x").count() == 1
+
+    def test_matches_component_operators(self, spark):
+        """The fused projection must agree with the standalone
+        lang_id / c4_filters / repetition_scores operators."""
+        from docee_spark.fixtures import make_doc_indexed, make_junk_indexed
+        from docee_spark.operators.textstats import (
+            c4_filters,
+            lang_id,
+            repetition_scores,
+        )
+        from docee_spark.stages.refinery import quality_flags
+
+        rows = [
+            ("zh%d" % i, make_doc_indexed(i)[0]["text"]) for i in range(5)
+        ] + [
+            ("junk%d" % j, make_junk_indexed(j, 100)["text"])
+            for j in range(12)
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        fused = {
+            r["doc_id"]: r.asDict() for r in quality_flags(df).collect()
+        }
+        for r in lang_id(df).collect():
+            assert fused[r["doc_id"]]["lang_guess"] == r["lang_guess"]
+        for r in c4_filters(df).collect():
+            got = fused[r["doc_id"]]
+            assert got["n_tokens"] == r["n_tokens"]
+            assert got["avg_token_len_e2"] == r["avg_token_len_e2"]
+            assert got["blocklist_hits"] == r["blocklist_hits"]
+            assert got["c4_keep"] == r["keep"]
+        for r in repetition_scores(df).collect():
+            got = fused[r["doc_id"]]
+            assert got["n_2grams"] == r["n_2grams"]
+            assert got["top_2gram_frac_e4"] == r["top_2gram_frac_e4"]
+
+
+class TestPiiAudit:
+    def test_redact_flows_and_scrub_agrees(self, spark):
+        from docee_spark.operators.textstats import pii_redact, pii_scrub
+
+        df = spark.createDataFrame(
+            [
+                ("d1", "mail a@b.co or 1.2.3.4 or +1555123456789 end"),
+                ("d2", None),
+            ],
+            "doc_id string, text string",
+        )
+        red = {
+            r["doc_id"]: r["red"]
+            for r in df.select(
+                "doc_id", pii_redact(F.col("text")).alias("red")
+            ).collect()
+        }
+        assert red["d1"] == "mail <EMAIL> or <IP> or <PHONE> end"
+        assert red["d2"] is None  # NULL stays NULL
+        scrub = pii_scrub(df).filter(F.col("doc_id") == "d1").collect()[0]
+        assert (scrub["n_emails"], scrub["n_ips"], scrub["n_phones"]) == (1, 1, 1)
+        # fingerprint = md5 of the same redacted text
+        import hashlib
+
+        assert scrub["redacted_fp"] == hashlib.md5(red["d1"].encode()).hexdigest()
+
+
+# ------------------------------------------------------------------ e2e
+
+
+N_REAL, N_JUNK = 120, 120  # 20 junk docs per kind
+
+
+@pytest.fixture(scope="module")
+def refinery_run(spark, tmp_path_factory):
+    from docee_spark.fixtures import (
+        distributed_corpus,
+        heuristic_entity_dict,
+        junk_corpus,
+        refinery_tables,
+    )
+    from docee_spark.stages.pipeline import StageStore
+    from docee_spark.stages.refinery import run_refinery
+
+    base = str(tmp_path_factory.mktemp("refinery"))
+    web = distributed_corpus(spark, N_REAL).unionByName(
+        junk_corpus(spark, N_JUNK, N_REAL)
+    )
+    robots, blocked, eval_df = refinery_tables(spark)
+    store = StageStore(base)
+    kwargs = dict(
+        robots=robots,
+        blocked=blocked,
+        eval_df=eval_df,
+        entity_dict=heuristic_entity_dict(),
+        rank_iters=4,
+    )
+    cold = run_refinery(web, store, "t-1", **kwargs)
+    cold_triples = cold["triples"].count()
+    manifests_cold = {
+        m["stage"]: m["committed_at"] for m in store.counters()
+    }
+    resume = run_refinery(web, store, "t-1", **kwargs)
+    return {
+        "store": store,
+        "cold": cold,
+        "cold_triples": cold_triples,
+        "manifests_cold": manifests_cold,
+        "resume": resume,
+    }
+
+
+@pytest.mark.slow
+class TestRefineryE2E:
+    def test_per_stage_counters(self, refinery_run):
+        c = refinery_run["cold"]["counters"]
+        # hygiene: 240 in; -20 blocklist, -20 robots, 20 recrawl
+        # captures collapse to 10 freshest
+        assert c["clean"]["n_rows"] == N_REAL + N_JUNK - 20 - 20 - 10
+        # quality: -10 lorem (C4 blocklist) -10 repeated 2-gram ads
+        assert c["quality"]["n_in"] == 190.0
+        assert c["quality"]["n_blocklisted"] == 10.0
+        assert c["quality"]["n_repetitive"] == 10.0
+        assert c["quality"]["n_zh"] == float(N_REAL)
+        assert c["quality"]["n_rows"] == 170
+        # pii: each surviving recrawl page carries 1 email + 1 ip + 1 phone
+        assert c["pii"]["n_emails"] == 10.0
+        assert c["pii"]["n_ips"] == 10.0
+        assert c["pii"]["n_phones"] == 10.0
+        assert c["pii"]["n_rows"] == 170
+        # dedup: 5 near-dup families of 4 → exact kills the byte-identical
+        # twin (1/family), MinHash the 2 remaining variants (2/family)
+        assert c["dedup_exact"]["n_rows"] == 165
+        assert c["dedup_near"]["n_rows"] == 155
+        # decontamination: all 20 planted eval-13-gram docs die
+        assert c["decontam"]["n_contaminated"] == 20.0
+        assert c["decontam"]["n_rows"] == 135
+        # survivors: zh corpus + 10 recrawl pages + 5 family reps
+        assert c["decontam"]["n_rows"] == N_REAL + 10 + 5
+
+    def test_zh_corpus_untouched_and_scrubbed_pii(self, refinery_run, spark):
+        corpus = refinery_run["cold"]["corpus"]
+        zh = corpus.filter(F.col("lang") == "zh")
+        assert zh.count() == N_REAL
+        scrubbed = corpus.filter(F.col("text").contains("<EMAIL>"))
+        assert scrubbed.count() == 10
+        assert corpus.filter(
+            F.col("text").rlike("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")
+        ).count() == 0
+
+    def test_extraction_produces_kg(self, refinery_run):
+        cold = refinery_run["cold"]
+        assert refinery_run["cold_triples"] > 0
+        assert cold["vertices"].count() > 0
+        assert cold["ranks"].count() == cold["vertices"].count()
+
+    def test_resume_skips_every_stage(self, refinery_run):
+        store = refinery_run["store"]
+        after = {m["stage"]: m["committed_at"] for m in store.counters()}
+        assert after == refinery_run["manifests_cold"]  # nothing rewritten
+        assert (
+            refinery_run["resume"]["triples"].count()
+            == refinery_run["cold_triples"]
+        )
+        # counters survive the resume (read from manifests, not recomputed)
+        assert (
+            refinery_run["resume"]["counters"]["decontam"]["n_contaminated"]
+            == 20.0
+        )
+
+    def test_manifest_lineage(self, refinery_run):
+        # every stage manifest carries per-partition lineage rows
+        for m in refinery_run["store"].counters():
+            assert m["n_partitions"] >= 1
+            assert m["n_rows"] == sum(p["rows"] for p in m["partitions"])
