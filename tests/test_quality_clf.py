@@ -84,7 +84,13 @@ class TestPlan:
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
-        assert "Exchange" not in plan, plan
+        # the SCORER is exchange-free; the driver query wraps it in ONE
+        # round-robin repartition that un-serializes single-split test
+        # scans (a no-op at production split counts). Any exchange must
+        # be that round-robin — never a hash shuffle.
+        assert plan.count("+- Exchange") <= 1, plan  # tree node, once
+        assert "hashpartitioning" not in plan, plan
+        assert "RoundRobinPartitioning" in plan, plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
         # weight lookup must be a folded array literal, not a join
         assert "Join" not in plan, plan
