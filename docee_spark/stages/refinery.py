@@ -103,14 +103,26 @@ def quality_flags(
         )
     )
     carry = [c_ for c_ in docs.columns if c_ != "doc_id"] if payload else []
+    out_names = {
+        "lang_guess", "n_tokens", "avg_token_len_e2", "blocklist_hits",
+        "n_2grams", "top_2gram_frac_e4", "c4_keep", "repetitive", "keep",
+    }
+    clash = out_names & set(carry)
+    if clash:
+        raise ValueError(
+            f"payload=True: input columns {sorted(clash)} collide with "
+            "quality flag outputs — rename them upstream"
+        )
+    # internal columns carry a _qf_ prefix so payload columns (whatever
+    # the source schema holds) can never be ambiguous against them
     base = ensure_parallelism(docs).select(
         "doc_id",
         *carry,
-        n_chars.alias("n_chars"),
-        n_cjk.alias("n_cjk"),
-        packed.alias("q"),
+        n_chars.alias("_qf_n_chars"),
+        n_cjk.alias("_qf_n_cjk"),
+        packed.alias("_qf_q"),
     )
-    q = F.col("q")
+    q = F.col("_qf_q")
     n = q["n_tokens"]
     avg = (
         F.when(n > 0, F.floor(q["total_len"] * 100 / n))
@@ -123,9 +135,11 @@ def quality_flags(
         .otherwise(F.lit(0))
         .cast("long")
     )
-    is_zh = (F.col("n_chars") > 0) & (F.col("n_cjk") * 10 >= F.col("n_chars"))
+    is_zh = (F.col("_qf_n_chars") > 0) & (
+        F.col("_qf_n_cjk") * 10 >= F.col("_qf_n_chars")
+    )
     lang_guess = (
-        F.when(F.col("n_chars") == 0, F.lit("unk"))
+        F.when(F.col("_qf_n_chars") == 0, F.lit("unk"))
         .when(is_zh, F.lit("zh"))
         .when(q["stop_hits"] > 0, F.lit("en"))
         .otherwise(F.lit("unk"))

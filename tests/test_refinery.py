@@ -98,6 +98,35 @@ class TestQualityFlags:
             assert got["top_2gram_frac_e4"] == r["top_2gram_frac_e4"]
 
 
+class TestQualityPlan:
+    def test_map_only(self, spark):
+        """The quality gate (flags + keep filter, payload riding along)
+        must stay map-side: no join-back, no Python, no hash shuffle —
+        at most the one round-robin that un-serializes tiny scans."""
+        from docee_spark.stages.refinery import quality_flags
+
+        df = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).drop("n_chars")
+        q = quality_flags(df, payload=True).filter(F.col("keep") == 1)
+        plan = q._sc._jvm.PythonSQLUtils.explainString(
+            q._jdf.queryExecution(), "formatted"
+        )
+        assert "Join" not in plan, plan
+        assert "EvalPython" not in plan, plan
+        assert "hashpartitioning" not in plan, plan
+        assert plan.count("+- Exchange") <= 1, plan
+
+    def test_payload_collision_guard(self, spark):
+        from docee_spark.stages.refinery import quality_flags
+
+        df = spark.createDataFrame(
+            [("d", 1, "x")], "doc_id string, n_tokens int, text string"
+        )
+        with pytest.raises(ValueError, match="collide"):
+            quality_flags(df, payload=True)
+
+
 class TestPiiAudit:
     def test_redact_flows_and_scrub_agrees(self, spark):
         from docee_spark.operators.textstats import pii_redact, pii_scrub
