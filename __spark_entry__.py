@@ -1433,6 +1433,21 @@ def q_docee_vertices(spark, sf):
     ].select("entity_id", "surface", "n_mentions")
 
 
+def q_kg_ntriples(spark, sf):
+    """The canonicalized KG serialized as W3C N-Triples lines — edge
+    statements under the urn:docee: namespace plus one rdfs:label per
+    vertex (operators/kgformat.py; pure replace-chain codegen, map-only
+    over the vertex/edge tables). The oracle re-derives BOTH tables
+    independently (shared gold+canonicalizer CTEs) and re-applies the
+    same ordered escape chains with DuckDB replace()."""
+    from docee_spark.operators.kgformat import to_ntriples
+    from docee_spark.stages.pipeline import run_pipeline
+
+    web, gold = _fixture_webtext_and_gold(spark)
+    r = run_pipeline(web, gold=gold, mode="clique", adjacency="gold")
+    return to_ntriples(r["vertices"], r["edges"])
+
+
 def q_docee_vertices_verified(spark, sf):
     """Precision-controlled KG vertex table: LSH bands BLOCK, true
     character-shingle Jaccard ≥ 0.60 VERIFIES each candidate pair, and
@@ -1652,6 +1667,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docee_eval_report": q_docee_eval_report,
         "user_mode_event": q_user_mode_event,
         "docee_vertices_verified": q_docee_vertices_verified,
+        # kg_ntriples — pure formatting projection of docee_vertices +
+        # docee_edges (both in window); escape chains pytest-pinned
+        "kg_ntriples": q_kg_ntriples,
         "model_spans_spot": q_model_spans_spot,
         "docee_triples_trigger_inc": q_docee_triples_trigger_inc,
         "docee_triples_product": q_docee_triples_product,
@@ -4090,6 +4108,48 @@ join rep2 ro on ro.surface = t.obj
 """
 
 
+def _sql_replace_chain(expr: str, pairs) -> str:
+    """Nested DuckDB replace() calls mirroring kgformat's ordered escape
+    chains; single chars go through chr() so no SQL-literal escaping
+    ambiguity can creep in."""
+    for src, dst in pairs:
+        d = "'" + dst.replace("'", "''") + "'"
+        expr = f"replace({expr}, chr({ord(src)}), {d})"
+    return expr
+
+
+def _kg_ntriples_sql() -> str:
+    """Independent oracle for the N-Triples export: vertex/edge tables
+    re-derived via the shared gold+canonicalizer CTEs, the IRI
+    percent-encoding and literal ECHAR chains re-applied in the same
+    order with DuckDB replace()."""
+    from docee_spark.operators.kgformat import IRI_ESCAPES, LITERAL_ESCAPES
+
+    def enc(e: str) -> str:
+        return _sql_replace_chain(e, IRI_ESCAPES)
+
+    def lit(e: str) -> str:
+        return _sql_replace_chain(e, LITERAL_ESCAPES)
+
+    return f"""{_gold_canon_ctes()}
+select '<urn:docee:ent:' || {enc('rs.lsh_rep')} || '> <urn:docee:pred:'
+       || {enc('t.pred')} || '> <urn:docee:ent:' || {enc('ro.lsh_rep')}
+       || '> .' as line
+from gtrips t
+join rep2 rs on rs.surface = t.subj
+join rep2 ro on ro.surface = t.obj
+union all
+select '<urn:docee:ent:' || {enc('v.entity_id')}
+       || '> <http://www.w3.org/2000/01/rdf-schema#label> "'
+       || {lit('v.surface')} || '" .' as line
+from (
+  select r.lsh_rep as entity_id, min(s.surface) as surface
+  from surfaces s join rep2 r using (surface)
+  group by 1
+) v
+"""
+
+
 def _docee_adj_metrics_sql() -> str:
     """Fully independent oracle for the A5 adjacency/connection/trigger
     metrics: BOTH adjacency sides re-derived from the flat annotations —
@@ -4594,6 +4654,7 @@ def oracle_sql() -> dict[str, str]:
         "docee_vertices": _docee_vertices_sql(),
         "docee_vertices_verified": _docee_vertices_verified_sql(),
         "docee_edges": _docee_edges_sql(),
+        "kg_ntriples": _kg_ntriples_sql(),
         "docee_adj_metrics": _docee_adj_metrics_sql(),
         "docee_eval_rollup": _docee_eval_rollup_sql(),
         "docee_eval_report": _docee_eval_report_sql(),

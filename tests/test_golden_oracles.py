@@ -349,6 +349,8 @@ def test_query_registry_invariants():
         # (per-entry rationale in the queries() docComment)
         "user_mode_event",            # W2 also cited by docee_key_sentences
         "docee_vertices_verified",    # sibling docee_vertices in window
+        "kg_ntriples",                # formatting projection of in-window
+                                      # docee_vertices + docee_edges
         "model_spans_spot",           # spot-witness of docee_triples_model
         "docee_triples_trigger_inc",  # G7; sibling G6 trigger in window
         "docee_triples_product",      # M10 covered by docee_triples_greedy
