@@ -46,6 +46,11 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     expression work onto one core — round-robin repartition when the scan
     has too few partitions. At 100 TB the scan already yields thousands of
     splits and this is a no-op (no shuffle inserted)."""
+    if df.isStreaming:
+        # a streaming plan has no inspectable partitioning (toRdd raises
+        # on unresolved streaming sources); micro-batch parallelism is
+        # the source's knob (maxFilesPerTrigger etc.), not a repartition
+        return df
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
     try:
         # JVM-side physical-plan partition count: avoids df.rdd, which

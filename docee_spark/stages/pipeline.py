@@ -133,6 +133,33 @@ class StageStore:
                     out.append(json.load(f))
         return out
 
+    def metrics_df(self, spark: SparkSession) -> DataFrame:
+        """The committed manifests as a QUERYABLE metrics table — the
+        Iceberg-metrics-table analog of the north rule: one row per
+        (stage, counter) plus the row/partition totals, so operational
+        queries ("which stage dropped the most rows", "per-stage commit
+        times across snapshots") are plain DataFrame queries instead of
+        JSON spelunking."""
+        rows = []
+        for m in self.counters():
+            base = dict(
+                stage=m["stage"],
+                input_fingerprint=m.get("input_fingerprint", ""),
+                committed_at=float(m.get("committed_at") or 0.0),
+                n_rows=m.get("n_rows"),
+                n_partitions=m.get("n_partitions"),
+            )
+            cs = m.get("counters") or {}
+            if not cs:
+                rows.append(dict(base, counter=None, value=None))
+            for k, v in sorted(cs.items()):
+                rows.append(dict(base, counter=k, value=float(v)))
+        return spark.createDataFrame(
+            rows,
+            "stage string, input_fingerprint string, committed_at double, "
+            "n_rows bigint, n_partitions int, counter string, value double",
+        )
+
 
 def run_pipeline(
     webtext: DataFrame,

@@ -154,6 +154,35 @@ class TestPiiAudit:
         assert scrub["redacted_fp"] == hashlib.md5(red["d1"].encode()).hexdigest()
 
 
+class TestQualityStreaming:
+    def test_gate_is_streaming_compatible(self, spark, tmp_path):
+        """quality_flags is a stateless projection, so the SAME gate
+        runs unchanged under Structured Streaming (the refinery's
+        incremental-ingest shape)."""
+        from docee_spark.fixtures import make_doc_indexed
+        from docee_spark.stages.refinery import quality_flags
+
+        src = str(tmp_path / "src")
+        rows = [("zh0", make_doc_indexed(0)[0]["text"])] + [
+            ("spam", "lorem ipsum dolor sit amet consectetur " * 9)
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        df.write.parquet(src)
+        stream = spark.readStream.schema(df.schema).parquet(src)
+        q = (
+            quality_flags(stream, payload=True)
+            .filter(F.col("keep") == 1)
+            .writeStream.format("memory")
+            .queryName("qgate")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        got = spark.sql("select doc_id from qgate").collect()
+        assert [r["doc_id"] for r in got] == ["zh0"]
+
+
 # ------------------------------------------------------------------ e2e
 
 
@@ -262,3 +291,34 @@ class TestRefineryE2E:
         for m in refinery_run["store"].counters():
             assert m["n_partitions"] >= 1
             assert m["n_rows"] == sum(p["rows"] for p in m["partitions"])
+
+    def test_metrics_table(self, refinery_run, spark):
+        """StageStore.metrics_df: the committed manifests as a queryable
+        metrics table (the north rule's Iceberg-metrics analog)."""
+        mdf = refinery_run["store"].metrics_df(spark)
+        stages = {r["stage"] for r in mdf.select("stage").distinct().collect()}
+        assert {"clean", "quality", "pii", "dedup_near", "decontam",
+                "triples", "ranks"} <= stages
+        blocked = mdf.filter(
+            (F.col("stage") == "quality")
+            & (F.col("counter") == "n_blocklisted")
+        ).collect()
+        assert [r["value"] for r in blocked] == [10.0]
+        # "which stage dropped the most rows" as a plain window query
+        from pyspark.sql import Window
+
+        w = Window.orderBy("committed_at")
+        drops = (
+            mdf.select("stage", "committed_at", "n_rows")
+            .distinct()
+            .filter(F.col("stage").isin(
+                "clean", "quality", "pii", "dedup_exact", "dedup_near",
+                "decontam",
+            ))
+            .withColumn("dropped", F.lag("n_rows").over(w) - F.col("n_rows"))
+        )
+        worst = drops.orderBy(F.desc_nulls_last("dropped")).first()
+        # quality and decontam tie at -20 in this fixture
+        assert worst["dropped"] == 20 and worst["stage"] in (
+            "quality", "decontam",
+        )
