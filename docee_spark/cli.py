@@ -60,6 +60,25 @@ def main(argv: list[str] | None = None) -> int:
                    help="also extract <a href> links from the input html "
                         "and write links/ + host_edges/ next to the KG "
                         "tables (the crawl-frontier graph)")
+    p.add_argument("--refine", action="store_true",
+                   help="run the full crawl refinery ahead of extraction "
+                        "(robots/blocklist/url-dedup hygiene, quality "
+                        "gate, PII redaction, exact+MinHash dedup, "
+                        "decontamination — stages/refinery.py); every "
+                        "stage commits to --store (default: "
+                        "<output>/_stages)")
+    p.add_argument("--robots", default=None,
+                   help="parquet of (host, body) robots.txt captures "
+                        "(with --refine)")
+    p.add_argument("--blocklist", default=None,
+                   help="parquet of (domain) blocked suffixes "
+                        "(with --refine)")
+    p.add_argument("--decontam-eval", default=None,
+                   help="parquet of (doc_id, text) benchmark docs to "
+                        "decontaminate against (with --refine)")
+    p.add_argument("--ntriples", action="store_true",
+                   help="also serialize the KG as N-Triples lines "
+                        "(<output>/ntriples, one string column)")
     args = p.parse_args(argv)
 
     # absolute imports: spark-submit runs this file as a plain __main__
@@ -108,23 +127,55 @@ def main(argv: list[str] | None = None) -> int:
         event_types = get_event_template(args.template)
 
     t0 = time.time()
-    result = run_pipeline(
-        web,
-        entity_dict=entity_dict,
-        mode=args.mode,
-        fused="deep" if args.fused else False,
-        langs=tuple(args.langs.split(",")) if args.langs else None,
-        store=StageStore(args.store) if args.store else None,
-        input_fingerprint=args.fingerprint,
-        use_html=True,
-        model=model,
-        adj_scorer=scorer,
-        ent_fix_mode=args.ent_fix_mode,
-        rearrange_max_len=args.rearrange_max_len,
-        event_types=event_types,
-        num_triggers=args.num_triggers,
-    )
+    if args.refine:
+        if args.fused or model is not None or scorer is not None:
+            p.error("--refine composes the staged heuristic pipeline; "
+                    "it is incompatible with --fused/--tagger-model/"
+                    "--adj-scorer")
+        from docee_spark.stages.refinery import run_refinery
+
+        result = run_refinery(
+            web,
+            StageStore(args.store or f"{args.output}/_stages"),
+            args.fingerprint or "cli",
+            robots=spark.read.parquet(args.robots) if args.robots else None,
+            blocked=(
+                spark.read.parquet(args.blocklist) if args.blocklist else None
+            ),
+            eval_df=(
+                spark.read.parquet(args.decontam_eval)
+                if args.decontam_eval
+                else None
+            ),
+            entity_dict=entity_dict,
+            mode=args.mode,
+            use_html=True,
+        )
+    else:
+        result = run_pipeline(
+            web,
+            entity_dict=entity_dict,
+            mode=args.mode,
+            fused="deep" if args.fused else False,
+            langs=tuple(args.langs.split(",")) if args.langs else None,
+            store=StageStore(args.store) if args.store else None,
+            input_fingerprint=args.fingerprint,
+            use_html=True,
+            model=model,
+            adj_scorer=scorer,
+            ent_fix_mode=args.ent_fix_mode,
+            rearrange_max_len=args.rearrange_max_len,
+            event_types=event_types,
+            num_triggers=args.num_triggers,
+        )
     write_kg(result, args.output)
+    if args.ntriples:
+        from docee_spark.operators.kgformat import to_ntriples
+
+        to_ntriples(
+            spark.read.parquet(f"{args.output}/vertices"),
+            spark.read.parquet(f"{args.output}/edges"),
+        ).write.mode("overwrite").parquet(f"{args.output}/ntriples")
     if args.emit_links:
         from docee_spark.operators.linkgraph import extract_links, host_edges
 
@@ -134,16 +185,17 @@ def main(argv: list[str] | None = None) -> int:
             "overwrite"
         ).parquet(f"{args.output}/host_edges")
     n = spark.read.parquet(f"{args.output}/triples").count()
-    print(
-        json.dumps(
-            {
-                "triples": n,
-                "seconds": round(time.time() - t0, 1),
-                "mode": args.mode,
-                "output": args.output,
-            }
-        )
-    )
+    summary = {
+        "triples": n,
+        "seconds": round(time.time() - t0, 1),
+        "mode": args.mode,
+        "output": args.output,
+    }
+    if args.refine:
+        summary["stage_rows"] = {
+            k: v.get("n_rows") for k, v in result["counters"].items()
+        }
+    print(json.dumps(summary))
     return 0
 
 

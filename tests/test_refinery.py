@@ -229,6 +229,31 @@ def refinery_run(spark, tmp_path_factory):
 
 
 @pytest.mark.slow
+def test_cli_refine_ntriples(spark, tmp_path):
+    """--refine runs the refinery from the submission entrypoint (store
+    defaulting under the output dir) and --ntriples serializes the KG."""
+    import re
+
+    from docee_spark.cli import main
+    from docee_spark.fixtures import distributed_corpus, junk_corpus
+
+    src = str(tmp_path / "web")
+    distributed_corpus(spark, 60).unionByName(
+        junk_corpus(spark, 24, 60)
+    ).write.parquet(src)
+    out = str(tmp_path / "kg")
+    rc = main(["--input", src, "--output", out, "--refine", "--ntriples"])
+    assert rc == 0
+    assert spark.read.parquet(out + "/triples").count() > 0
+    lines = [r["line"] for r in spark.read.parquet(out + "/ntriples").collect()]
+    assert lines and all(
+        re.match(r"^<[^ ]+> <[^ ]+> (<[^ ]+>|\".*\") \.$", ln) for ln in lines
+    )
+    # the stage store landed under the output dir and is resumable
+    assert os.path.exists(out + "/_stages/quality.manifest.json")
+
+
+@pytest.mark.slow
 class TestRefineryE2E:
     def test_per_stage_counters(self, refinery_run):
         c = refinery_run["cold"]["counters"]
