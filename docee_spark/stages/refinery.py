@@ -174,6 +174,17 @@ def _manifest_rows(store: StageStore, name: str) -> int | None:
     return None
 
 
+def _observe(df: DataFrame, obs: Observation | None, *exprs) -> DataFrame:
+    """Attach observed metrics only when the stage actually commits —
+    a lazily-fused stage has no single action to observe."""
+    return df if obs is None else df.observe(obs, *exprs)
+
+
+#: checkpoint-granularity preset: the minimal commit set that keeps the
+#: plan recompute-free (see run_refinery docstring)
+SPARSE_COMMIT = frozenset({"pii", "decontam"})
+
+
 def run_refinery(
     web: DataFrame,
     store: StageStore,
@@ -190,19 +201,36 @@ def run_refinery(
     jaccard_threshold_e4: int = 5000,
     agent: str = "*",
     rank_iters: int = 8,
+    commit_stages: frozenset[str] | None = None,
 ) -> dict:
     """webtext → {triples, vertices, edges, ranks, corpus, counters,
     stage_walls}. Every stage commits to ``store`` under
     ``input_fingerprint``; reruns resume (stage skipped ⇒ wall ≈ 0).
 
     ``counters`` reports per-stage row counts and drop reasons pulled
-    from the committed manifests — no extra Spark actions on resume."""
+    from the committed manifests — no extra Spark actions on resume.
+
+    ``commit_stages`` is the CHECKPOINT-GRANULARITY knob: stages not in
+    the set stay LAZY views fused into their consumer (no parquet
+    write, no manifest, no Observation counters — and no resume point).
+    ``None`` commits everything (maximal resumability).
+    ``SPARSE_COMMIT`` keeps exactly the two materializations a correct,
+    recompute-free plan needs — the pre-dedup corpus (``pii``: consumed
+    by BOTH dedup passes and the pair graph) and the final corpus
+    (``decontam``) — turning the hygiene chain map-side-fused and
+    compute-bound: the full-vs-sparse delta isolates stage-commit I/O
+    (BENCH.md §refinery)."""
     walls: dict[str, float] = {}
     counters: dict[str, dict] = {}
 
     def staged(name: str, build, observed: bool = False) -> DataFrame:
         t0 = time.perf_counter()
-        if store.is_committed(name, input_fingerprint):
+        if commit_stages is not None and name not in commit_stages:
+            # lazy: fuse into the consumer, skip counters (an Observation
+            # node consumed by several downstream actions would be
+            # ambiguous) — this stage has no resume point by choice
+            out = build(None) if observed else build()
+        elif store.is_committed(name, input_fingerprint):
             out = store.load(name)
         else:
             if observed:
@@ -235,8 +263,9 @@ def run_refinery(
     # collected DURING the commit scan via Observation (no second pass)
     docs = ingest(clean, use_html=use_html)
 
-    def build_quality(obs: Observation) -> DataFrame:
-        flagged = quality_flags(docs, payload=True).observe(
+    def build_quality(obs: Observation | None) -> DataFrame:
+        flagged = _observe(
+            quality_flags(docs, payload=True),
             obs,
             F.count(F.lit(1)).alias("n_in"),
             F.sum("keep").alias("n_keep"),
@@ -253,7 +282,7 @@ def run_refinery(
     # 3. PII redaction: scrubbed text FLOWS downstream in the same
     # map-only projection that counts residues (pii_audit's sequential
     # rules); counters observed on the commit scan itself
-    def build_pii(obs: Observation) -> DataFrame:
+    def build_pii(obs: Observation | None) -> DataFrame:
         counts, red = pii_audit(F.col("text"))
         out_text = (
             F.when(F.col("text").isNull(), F.col("text"))
@@ -264,7 +293,8 @@ def run_refinery(
             out_text if name == "text" else F.col(name)
             for name in quality.columns
         ]
-        audited = quality.select(*cols, *counts).observe(
+        audited = _observe(
+            quality.select(*cols, *counts),
             obs,
             F.sum("n_emails").alias("n_emails"),
             F.sum("n_ips").alias("n_ips"),
@@ -296,12 +326,13 @@ def run_refinery(
     # contaminated ids; the observed count rides the same scan
     if eval_df is not None:
 
-        def build_decontam(obs: Observation) -> DataFrame:
-            contaminated = (
+        def build_decontam(obs: Observation | None) -> DataFrame:
+            contaminated = _observe(
                 decontaminate(near, eval_df, n=decontam_n)
                 .filter(F.col("contaminated") == 1)
-                .select("doc_id")
-                .observe(obs, F.count(F.lit(1)).alias("n_contaminated"))
+                .select("doc_id"),
+                obs,
+                F.count(F.lit(1)).alias("n_contaminated"),
             )
             return near.join(contaminated, "doc_id", "left_anti")
 
@@ -323,7 +354,11 @@ def run_refinery(
         refined,
         entity_dict=entity_dict,
         mode=mode,
-        store=store,
+        store=(
+            store
+            if commit_stages is None or "extraction" in commit_stages
+            else None
+        ),
         input_fingerprint=input_fingerprint,
         use_html=False,
         n_partitions=n_partitions,

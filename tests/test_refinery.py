@@ -229,6 +229,41 @@ def refinery_run(spark, tmp_path_factory):
 
 
 @pytest.mark.slow
+def test_sparse_commit_same_output(spark, tmp_path):
+    """commit_stages=SPARSE_COMMIT must produce the identical corpus and
+    triples with only the two corpus materializations on disk."""
+    from docee_spark.fixtures import (
+        distributed_corpus,
+        heuristic_entity_dict,
+        junk_corpus,
+        refinery_tables,
+    )
+    from docee_spark.stages.pipeline import StageStore
+    from docee_spark.stages.refinery import SPARSE_COMMIT, run_refinery
+
+    web = distributed_corpus(spark, 60).unionByName(junk_corpus(spark, 24, 60))
+    robots, blocked, eval_df = refinery_tables(spark)
+    kwargs = dict(
+        robots=robots, blocked=blocked, eval_df=eval_df,
+        entity_dict=heuristic_entity_dict(), rank_iters=2,
+    )
+    full_store = StageStore(str(tmp_path / "full"))
+    sparse_store = StageStore(str(tmp_path / "sparse"))
+    full = run_refinery(web, full_store, "s-1", **kwargs)
+    sparse = run_refinery(
+        web, sparse_store, "s-1", commit_stages=SPARSE_COMMIT, **kwargs
+    )
+    assert sparse["corpus"].count() == full["corpus"].count()
+    a = {tuple(r) for r in full["triples"].collect()}
+    b = {tuple(r) for r in sparse["triples"].collect()}
+    assert a == b
+    committed = {m["stage"] for m in sparse_store.counters()}
+    assert committed == {"pii", "decontam"}
+    # sparse still audits what it commits
+    assert sparse["counters"]["pii"]["n_emails"] == 2.0  # 2 surviving pages
+
+
+@pytest.mark.slow
 def test_cli_refine_ntriples(spark, tmp_path):
     """--refine runs the refinery from the submission entrypoint (store
     defaulting under the output dir) and --ntriples serializes the KG."""

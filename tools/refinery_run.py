@@ -38,6 +38,11 @@ def main() -> int:
     )
     p.add_argument("--base", default="/tmp/docee_refinery")
     p.add_argument("--mode", default="clique")
+    p.add_argument("--commit", default="full", choices=["full", "sparse"],
+                   help="checkpoint granularity: full = every stage "
+                        "commits (max resumability); sparse = only the "
+                        "pre-dedup and final corpora materialize "
+                        "(compute-bound, isolates stage-commit I/O)")
     p.add_argument("--keep", action="store_true", help="keep store dir")
     args = p.parse_args()
 
@@ -50,7 +55,7 @@ def main() -> int:
     )
     from docee_spark.session import get_spark
     from docee_spark.stages.pipeline import StageStore
-    from docee_spark.stages.refinery import run_refinery
+    from docee_spark.stages.refinery import SPARSE_COMMIT, run_refinery
 
     spark = get_spark(
         "refinery",
@@ -90,6 +95,7 @@ def main() -> int:
             entity_dict=heuristic_entity_dict(),
             mode=args.mode,
             n_partitions=2 * args.cpus,
+            commit_stages=SPARSE_COMMIT if args.commit == "sparse" else None,
         )
         # one count() to force the last (uncommitted-view) frame; all
         # stages are already materialized by their commits
@@ -108,6 +114,7 @@ def main() -> int:
                 "docs": args.docs,
                 "junk": n_junk,
                 "mode": args.mode,
+                "commit": args.commit,
                 "cpus": args.cpus,
                 "cold_sec": cold_sec,
                 "docs_per_sec": round((args.docs + n_junk) / cold_sec, 0),
