@@ -180,9 +180,14 @@ def _observe(df: DataFrame, obs: Observation | None, *exprs) -> DataFrame:
     return df if obs is None else df.observe(obs, *exprs)
 
 
-#: checkpoint-granularity preset: the minimal commit set that keeps the
-#: plan recompute-free (see run_refinery docstring)
-SPARSE_COMMIT = frozenset({"pii", "decontam"})
+#: checkpoint-granularity preset: skip the HYGIENE-CHAIN intermediates
+#: (clean/quality/dedup stay lazy, fused into their consumer) but keep
+#: the corpus checkpoints AND the KG materialization — the KG tables are
+#: consumed by several downstream actions (ranks, sinks, counts), so
+#: leaving extraction lazy recomputes the whole pipeline per consumer
+#: (measured: a corpus-only sparse run spent 329 s re-deriving the KG
+#: inside the ranks stage at 8 cores — slower than full commit)
+SPARSE_COMMIT = frozenset({"pii", "decontam", "extraction"})
 
 
 def run_refinery(
@@ -214,12 +219,13 @@ def run_refinery(
     the set stay LAZY views fused into their consumer (no parquet
     write, no manifest, no Observation counters — and no resume point).
     ``None`` commits everything (maximal resumability).
-    ``SPARSE_COMMIT`` keeps exactly the two materializations a correct,
+    ``SPARSE_COMMIT`` keeps the materializations a correct,
     recompute-free plan needs — the pre-dedup corpus (``pii``: consumed
-    by BOTH dedup passes and the pair graph) and the final corpus
-    (``decontam``) — turning the hygiene chain map-side-fused and
-    compute-bound: the full-vs-sparse delta isolates stage-commit I/O
-    (BENCH.md §refinery)."""
+    by BOTH dedup passes and the pair graph), the final corpus
+    (``decontam``) and the KG tables (``extraction``: consumed by
+    ranks + every sink) — while the hygiene chain fuses map-side into
+    the pii commit scan: the full-vs-sparse delta isolates the
+    intermediate-stage commit I/O (BENCH.md §refinery)."""
     walls: dict[str, float] = {}
     counters: dict[str, dict] = {}
 

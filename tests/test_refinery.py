@@ -258,7 +258,11 @@ def test_sparse_commit_same_output(spark, tmp_path):
     b = {tuple(r) for r in sparse["triples"].collect()}
     assert a == b
     committed = {m["stage"] for m in sparse_store.counters()}
-    assert committed == {"pii", "decontam"}
+    # hygiene-chain intermediates lazy; corpus checkpoints + the
+    # extraction pipeline's own KG materializations commit
+    assert committed == {
+        "pii", "decontam", "segment", "tag", "decode", "triples",
+    }
     # sparse still audits what it commits
     assert sparse["counters"]["pii"]["n_emails"] == 2.0  # 2 surviving pages
 
