@@ -167,13 +167,6 @@ def quality_flags(
     )
 
 
-def _manifest_rows(store: StageStore, name: str) -> int | None:
-    for m in store.counters():
-        if m.get("stage") == name:
-            return m.get("n_rows")
-    return None
-
-
 def _observe(df: DataFrame, obs: Observation | None, *exprs) -> DataFrame:
     """Attach observed metrics only when the stage actually commits —
     a lazily-fused stage has no single action to observe."""
