@@ -64,6 +64,7 @@ def quality_flags(
     rep_min_grams: int = 20,
     rep_top_e4: int = 2000,
     payload: bool = False,
+    ensure_split: bool = True,
 ) -> DataFrame:
     """Per-doc quality verdict in ONE codegen projection (no joins):
     language guess (lang_id's rule), C4 keep rules (c4_filters'
@@ -78,7 +79,13 @@ def quality_flags(
     the extraction pipeline itself). All flags are ints and every rule's
     input is also emitted, so drops are observable AND auditable.
     ``payload=True`` carries the input columns through, so a keep-filter
-    is a map-side projection of the SAME frame — never a join back."""
+    is a map-side projection of the SAME frame — never a join back.
+    ``ensure_split=False`` skips the small-scan round-robin probe: on a
+    LAZY mid-pipeline frame the probe's physical-plan inspection
+    materializes upstream AQE stages at build time (measured ~18 s of
+    un-parallelized work in the sparse refinery) and post-shuffle
+    frames are already split — only pass True for committed/file
+    inputs."""
     c = F.col(text_col)
     n_chars = F.length(c)
     n_cjk = n_chars - F.length(
@@ -115,7 +122,7 @@ def quality_flags(
         )
     # internal columns carry a _qf_ prefix so payload columns (whatever
     # the source schema holds) can never be ambiguous against them
-    base = ensure_parallelism(docs).select(
+    base = (ensure_parallelism(docs) if ensure_split else docs).select(
         "doc_id",
         *carry,
         n_chars.alias("_qf_n_chars"),
@@ -261,10 +268,13 @@ def run_refinery(
     # payload rides the flags frame: no join back), drop-reason counters
     # collected DURING the commit scan via Observation (no second pass)
     docs = ingest(clean, use_html=use_html)
+    # the split probe is for committed/file scans; on a lazy clean frame
+    # it would materialize the hygiene shuffle at plan-build time
+    clean_is_scan = commit_stages is None or "clean" in commit_stages
 
     def build_quality(obs: Observation | None) -> DataFrame:
         flagged = _observe(
-            quality_flags(docs, payload=True),
+            quality_flags(docs, payload=True, ensure_split=clean_is_scan),
             obs,
             F.count(F.lit(1)).alias("n_in"),
             F.sum("keep").alias("n_keep"),
