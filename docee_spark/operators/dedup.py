@@ -51,6 +51,27 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
         # on unresolved streaming sources); micro-batch parallelism is
         # the source's knob (maxFilesPerTrigger etc.), not a repartition
         return df
+    try:
+        # the physical plan STRING: pure planning, no job execution
+        # (sparkPlan() predates EnsureRequirements and never shows
+        # exchanges; explainString renders the adaptive plan without
+        # running it). If a shuffle already sits upstream, the frame's
+        # parallelism is spark.sql.shuffle.partitions — and the toRdd
+        # probe below would MATERIALIZE the upstream AQE stages at
+        # plan-build time (measured ~18 s of serialized work probing a
+        # lazy mid-pipeline frame in the refinery). Broadcast exchanges
+        # don't split the scan, so they don't short-circuit.
+        splan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        )
+        if (
+            "Exchange hashpartitioning" in splan
+            or "Exchange rangepartitioning" in splan
+            or "Exchange RoundRobinPartitioning" in splan
+        ):
+            return df
+    except Exception:  # pragma: no cover - private-API fallback
+        pass
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
     try:
         # JVM-side physical-plan partition count: avoids df.rdd, which
