@@ -76,6 +76,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--decontam-eval", default=None,
                    help="parquet of (doc_id, text) benchmark docs to "
                         "decontaminate against (with --refine)")
+    p.add_argument("--compact-mb", type=int, default=None,
+                   help="after the run, compact every committed stage "
+                        "table to ~this many MB per file (Iceberg "
+                        "rewrite_data_files analog; requires --store "
+                        "or --refine)")
     p.add_argument("--ntriples", action="store_true",
                    help="also serialize the KG as N-Triples lines "
                         "(<output>/ntriples, one string column)")
@@ -134,9 +139,10 @@ def main(argv: list[str] | None = None) -> int:
                     "--adj-scorer")
         from docee_spark.stages.refinery import run_refinery
 
+        store = StageStore(args.store or f"{args.output}/_stages")
         result = run_refinery(
             web,
-            StageStore(args.store or f"{args.output}/_stages"),
+            store,
             args.fingerprint or "cli",
             robots=spark.read.parquet(args.robots) if args.robots else None,
             blocked=(
@@ -152,13 +158,14 @@ def main(argv: list[str] | None = None) -> int:
             use_html=True,
         )
     else:
+        store = StageStore(args.store) if args.store else None
         result = run_pipeline(
             web,
             entity_dict=entity_dict,
             mode=args.mode,
             fused="deep" if args.fused else False,
             langs=tuple(args.langs.split(",")) if args.langs else None,
-            store=StageStore(args.store) if args.store else None,
+            store=store,
             input_fingerprint=args.fingerprint,
             use_html=True,
             model=model,
@@ -184,6 +191,15 @@ def main(argv: list[str] | None = None) -> int:
         host_edges(spark.read.parquet(f"{args.output}/links")).write.mode(
             "overwrite"
         ).parquet(f"{args.output}/host_edges")
+    compacted = None
+    if args.compact_mb:
+        if store is None:
+            p.error("--compact-mb requires a stage store (--store/--refine)")
+        target = args.compact_mb * 1024 * 1024
+        compacted = {
+            m["stage"]: store.compact(m["stage"], target)
+            for m in store.counters()
+        }
     n = spark.read.parquet(f"{args.output}/triples").count()
     summary = {
         "triples": n,
@@ -194,6 +210,10 @@ def main(argv: list[str] | None = None) -> int:
     if args.refine:
         summary["stage_rows"] = {
             k: v.get("n_rows") for k, v in result["counters"].items()
+        }
+    if compacted is not None:
+        summary["compacted_files"] = {
+            k: [v["files_before"], v["files_after"]] for k, v in compacted.items()
         }
     print(json.dumps(summary))
     return 0

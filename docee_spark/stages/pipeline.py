@@ -44,6 +44,35 @@ from .tag import (
 from .triples import triples
 
 
+def _scan_partitions(data_path: str) -> list[dict]:
+    """Per-partition lineage from the parquet footers (no Spark action):
+    file → rows/bytes, like an Iceberg snapshot's manifest entries — a
+    resumed run can verify exactly what each partition contributed."""
+    partitions = []
+    for fn in sorted(os.listdir(data_path)):
+        if fn.endswith(".parquet"):
+            fp = os.path.join(data_path, fn)
+            try:
+                import pyarrow.parquet as pq
+
+                n_rows = pq.ParquetFile(fp).metadata.num_rows
+            except Exception:  # footer unreadable → record bytes only
+                n_rows = None
+            partitions.append(
+                {"file": fn, "rows": n_rows, "bytes": os.path.getsize(fp)}
+            )
+    return partitions
+
+
+def _total_rows(partitions: list[dict]) -> int | None:
+    # an unreadable footer (rows=None) makes the total UNKNOWN, not
+    # smaller — a resume audit must be able to tell corruption from an
+    # undercount
+    if any(p["rows"] is None for p in partitions):
+        return None
+    return sum(p["rows"] for p in partitions)
+
+
 class StageStore:
     """Parquet + manifest emulation of Iceberg snapshot-resumable tables."""
 
@@ -79,23 +108,7 @@ class StageStore:
             # counters (collected during the commit scan itself — no
             # second pass) are available
             counters = counters()
-        # per-partition lineage from the parquet footers (no extra Spark
-        # action): file → rows/bytes, like an Iceberg snapshot's manifest
-        # entries — a resumed run can verify exactly what each partition
-        # contributed
-        partitions = []
-        for fn in sorted(os.listdir(data_path)):
-            if fn.endswith(".parquet"):
-                fp = os.path.join(data_path, fn)
-                try:
-                    import pyarrow.parquet as pq
-
-                    n_rows = pq.ParquetFile(fp).metadata.num_rows
-                except Exception:  # footer unreadable → record bytes only
-                    n_rows = None
-                partitions.append(
-                    {"file": fn, "rows": n_rows, "bytes": os.path.getsize(fp)}
-                )
+        partitions = _scan_partitions(data_path)
         tmp = manifest + ".tmp"
         with open(tmp, "w") as f:
             json.dump(
@@ -105,20 +118,54 @@ class StageStore:
                     "committed_at": time.time(),
                     "counters": counters or {},
                     "partitions": partitions,
-                    # an unreadable footer (rows=None) makes the total
-                    # UNKNOWN, not smaller — a resume audit must be able
-                    # to tell corruption from an undercount
-                    "n_rows": (
-                        None
-                        if any(p["rows"] is None for p in partitions)
-                        else sum(p["rows"] for p in partitions)
-                    ),
+                    "n_rows": _total_rows(partitions),
                     "n_partitions": len(partitions),
                 },
                 f,
             )
         os.replace(tmp, manifest)  # atomic commit point
         return df.sparkSession.read.parquet(data_path)
+
+    def compact(
+        self, name: str, target_bytes: int = 128 * 1024 * 1024
+    ) -> dict:
+        """Rewrite a committed stage's data files to ~``target_bytes``
+        each (the Iceberg rewrite_data_files maintenance action) and
+        patch the manifest's per-partition lineage in place. The input
+        fingerprint, counters, and committed_at are PRESERVED — a
+        compaction changes layout, not content, so resume still skips
+        the stage; ``compacted_at`` records the rewrite. Refuses to
+        touch an uncommitted stage, and verifies the rewrite was
+        row-preserving against the manifest before swapping it."""
+        from .layout import compact_parquet
+
+        data_path, manifest = self._paths(name)
+        if not os.path.exists(manifest):
+            raise ValueError(f"stage {name!r} has no committed manifest")
+        with open(manifest) as f:
+            meta = json.load(f)
+        spark = SparkSession.getActiveSession()
+        stats = compact_parquet(spark, data_path, target_bytes)
+        if not stats["compacted"]:
+            return stats
+        partitions = _scan_partitions(data_path)
+        n_rows = _total_rows(partitions)
+        if meta.get("n_rows") is not None and n_rows != meta["n_rows"]:
+            raise RuntimeError(
+                f"compaction of stage {name!r} changed the row count: "
+                f"{meta['n_rows']} → {n_rows}"
+            )
+        meta.update(
+            partitions=partitions,
+            n_rows=n_rows,
+            n_partitions=len(partitions),
+            compacted_at=time.time(),
+        )
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, manifest)
+        return stats
 
     def load(self, name: str) -> DataFrame:
         data_path, _ = self._paths(name)
