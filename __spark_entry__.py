@@ -289,6 +289,38 @@ def q_quality_model(spark, sf):
     )
 
 
+def _load_link_scorer():
+    import os
+
+    from docee_spark.golden import GOLDEN_DIR
+    from docee_spark.model.link_scorer import load_scorer
+
+    return load_scorer(os.path.join(GOLDEN_DIR, "link_scorer.npz"))
+
+
+def q_entity_link(spark, sf):
+    """Trained entity-link scoring (the north star's "entity-link
+    scoring" clause; stages/linker.py): a deterministic mention universe
+    (exact aliases + corruptions + affix noise) linked against the
+    fixture entity dictionary — exact-norm ∪ capped LSH-banded candidate
+    blocking, pure-integer codegen pair scoring (model/link_scorer.py,
+    frozen e6 weights), top-1 window with a pinned total order. The
+    oracle re-derives blocking, all four features, the score and the
+    window in DuckDB from the same inlined inputs + integers."""
+    from docee_spark.fixtures import heuristic_entity_dict
+    from docee_spark.model.link_scorer import mention_universe
+    from docee_spark.stages.linker import link_entities
+
+    aliases = spark.createDataFrame(
+        [(f"E{i:03d}", s) for i, s in enumerate(sorted(heuristic_entity_dict()))],
+        "entity_id string, alias string",
+    )
+    mentions = spark.createDataFrame(
+        [(m,) for m in mention_universe()], "mention string"
+    )
+    return link_entities(mentions, aliases, _load_link_scorer())
+
+
 def _load_dsir():
     import os
 
@@ -1572,6 +1604,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   filter_isin/window_topk/events_cube/sessionize/token_stats
     #                          — green r1+r2+r3; F1/J7/W3/F6/T4 rows
     #                            also carry plan-assertion pytest
+    #   langid                 — green r1+r2+r3 (evidence-saturated);
+    #                            yielded its slot to entity_link (new
+    #                            r4, never recorded) per this policy
     #   quality/fingerprint    — green r2+r3; pure-codegen textstats
     #   doc_mentions           — green r2+r3; docee coverage rests on
     #                            the 11 docee_triples_* + eval rows
@@ -1608,7 +1643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir": q_dsir,
         "pack_sequences": q_pack_sequences,
         "dedup_substr": q_dedup_substr,
-        "langid": q_langid,
+        "entity_link": q_entity_link,
         "extract_links": q_extract_links,
         "repetition": q_repetition,
         "c4_filters": q_c4_filters,
@@ -1655,6 +1690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- end of the 50-entry driver-recorded window ----
         # evidence-saturated demotions (green >=2 prior driver rounds,
         # code unchanged; see the policy comment above)
+        "langid": q_langid,
         "filter_isin": q_filter_isin,
         "window_topk": q_window_topk,
         "events_cube": q_events_cube,
@@ -2254,6 +2290,142 @@ select doc_id,
   cast(case when len(ltoks) > 0 then floor(len(list_filter(ltoks, x -> x in {stop})) * 10000 / len(ltoks)) else 0 end as bigint) as stopword_ratio_e4,
   cast(case when len(text) > 0 then floor((len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g'))) * 10000 / len(text)) else 0 end as bigint) as punct_ratio_e4
 from t
+"""
+
+
+def _entity_link_sql() -> str:
+    """Independent DuckDB re-derivation of the entity-link query: the
+    same inlined inputs (mention universe + alias dictionary) and the
+    same frozen e6 integers, but blocking (md5-minhash bands, per-band
+    cap), all four pair features, the e12 score and the top-1 window are
+    restated in SQL — no linker/scorer code in the chain. Band grammar
+    matches stages/canonicalize exactly ('b:' || m_{2b} || ':' ||
+    m_{2b+1}, conditional shingle pad); the 256-alias band cap is
+    restated as a HAVING even though the 25-alias dictionary can never
+    trip it."""
+    from docee_spark.fixtures import heuristic_entity_dict
+    from docee_spark.model.link_scorer import mention_universe
+
+    sc = _load_link_scorer()
+    w = [int(v) for v in sc.w_e6]
+    b = int(sc.b_e12)
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    mvals = ", ".join(f"({q(m)})" for m in mention_universe())
+    avals = ", ".join(
+        f"('E{i:03d}', {q(s)})"
+        for i, s in enumerate(sorted(heuristic_entity_dict()))
+    )
+    norm = (
+        "case when regexp_matches({c}, '^[\\x00-\\x7f]*$') "
+        "then lower(trim({c})) else trim({c}) end"
+    )
+    sh = (
+        "list_distinct(list_transform(range(1, len(p) - 1), "
+        "i -> substring(p, cast(i as int), 3)))"
+    )
+    m_cols = ",\n      ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}|' || s))) as m{i}"
+        for i in range(8)
+    )
+    mbands = "\n    union all ".join(
+        f"select mention, norm, '{bb}:' || m{2 * bb} || ':' || m{2 * bb + 1} "
+        f"as band from msig"
+        for bb in range(4)
+    )
+    abands = "\n    union all ".join(
+        f"select entity_id, alias_norm, '{bb}:' || m{2 * bb} || ':' || "
+        f"m{2 * bb + 1} as band from asig"
+        for bb in range(4)
+    )
+    return f"""
+with mentions(mention) as (values {mvals}),
+al(entity_id, alias) as (values {avals}),
+mn as (
+  select mention, {norm.format(c="mention")} as norm
+  from mentions where mention is not null and len(mention) > 0
+),
+an as (
+  select distinct entity_id, {norm.format(c="alias")} as alias_norm from al
+),
+msh as (
+  select mention, norm, {sh} as sh
+  from (select *, case when len(norm) >= 3 then norm
+                       else rpad(norm, 3, '_') end as p from mn)
+),
+ash as (
+  select entity_id, alias_norm, {sh} as sh
+  from (select *, case when len(alias_norm) >= 3 then alias_norm
+                       else rpad(alias_norm, 3, '_') end as p from an)
+),
+msig as (
+  select mention, norm,
+      {m_cols}
+  from msh
+),
+asig as (
+  select entity_id, alias_norm,
+      {m_cols}
+  from ash
+),
+mband as (
+    {mbands}
+),
+aband as (
+    {abands}
+),
+acap as (
+  select band from aband group by band having count(*) <= 256
+),
+cand as (
+  select distinct mention, norm, entity_id, alias_norm from (
+    select mb.mention, mb.norm, ab.entity_id, ab.alias_norm
+    from mband mb join acap using (band) join aband ab using (band)
+    union all
+    select mn.mention, mn.norm, an.entity_id, an.alias_norm
+    from mn join an on mn.norm = an.alias_norm
+  )
+),
+feat as (
+  select c.mention, c.entity_id, c.alias_norm,
+    cast(len(list_intersect(ms.sh, asx.sh)) as bigint) as inter,
+    cast(len(ms.sh) + len(asx.sh)
+         - len(list_intersect(ms.sh, asx.sh)) as bigint) as un,
+    cast(len(c.norm) as bigint) as lm,
+    cast(len(c.alias_norm) as bigint) as la,
+    case when c.norm = c.alias_norm then 1000000 else 0 end as exact_e6,
+    case when len(c.norm) > 0 and len(c.alias_norm) > 0
+          and (contains(c.alias_norm, c.norm)
+               or contains(c.norm, c.alias_norm))
+         then 1000000 else 0 end as contain_e6
+  from cand c
+  join msh ms on c.mention = ms.mention
+  join ash asx on c.entity_id = asx.entity_id
+             and c.alias_norm = asx.alias_norm
+),
+scored as (
+  select mention, entity_id, alias_norm,
+    cast({b} as bigint)
+    + cast({w[0]} as bigint)
+      * (case when un > 0 then (inter * 1000000) // un else 0 end)
+    + cast({w[1]} as bigint) * exact_e6
+    + cast({w[2]} as bigint) * contain_e6
+    + cast({w[3]} as bigint)
+      * ((abs(lm - la) * 1000000) // greatest(lm, la, 1))
+    as score_e12
+  from feat
+),
+top1 as (
+  select *, row_number() over (
+    partition by mention
+    order by score_e12 desc, entity_id asc, alias_norm asc) as rk
+  from scored
+)
+select mention, entity_id, alias_norm, score_e12,
+       cast(case when score_e12 > 0 then 1 else 0 end as bigint) as linked
+from top1 where rk = 1
 """
 
 
@@ -4786,6 +4958,7 @@ from documents group by 1
         "source_stats": _source_stats_sql(),
         "url_dedup": _url_dedup_sql(),
         "quality_model": _quality_model_sql(),
+        "entity_link": _entity_link_sql(),
         "pagerank": _pagerank_sql(),
         "kg_incremental": _kg_incremental_sql(),
         "kg_path_2hop": _kg_path_2hop_sql(),

@@ -335,6 +335,7 @@ def test_query_registry_invariants():
         # evidence-saturated demotions: green in >=2 prior driver
         # rounds (CORRECTNESS_r0{1,2,3}.json), code unchanged — their
         # slots went to never-driver-recorded r4 primaries
+        "langid",  # green r1+r2+r3; slot went to entity_link (new r4)
         "filter_isin",
         "window_topk",
         "events_cube",
