@@ -76,6 +76,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--decontam-eval", default=None,
                    help="parquet of (doc_id, text) benchmark docs to "
                         "decontaminate against (with --refine)")
+    p.add_argument("--link-aliases", default=None,
+                   help="parquet of (entity_id, alias) — enable trained "
+                        "entity-link scoring: fuzzy triple surfaces "
+                        "resolve to these ids before the LSH fallback")
     p.add_argument("--compact-mb", type=int, default=None,
                    help="after the run, compact every committed stage "
                         "table to ~this many MB per file (Iceberg "
@@ -174,6 +178,11 @@ def main(argv: list[str] | None = None) -> int:
             rearrange_max_len=args.rearrange_max_len,
             event_types=event_types,
             num_triggers=args.num_triggers,
+            link_aliases=(
+                spark.read.parquet(args.link_aliases)
+                if args.link_aliases
+                else None
+            ),
         )
     write_kg(result, args.output)
     if args.ntriples:

@@ -229,6 +229,9 @@ def run_pipeline(
     type_keywords: dict[str, tuple[str, ...]] | None = None,
     label2id: dict[str, int] | None = None,
     num_triggers: int = -1,
+    link_aliases: DataFrame | None = None,
+    link_scorer=None,
+    link_threshold_e12: int = 0,
 ) -> dict[str, DataFrame]:
     """webtext (+optional gold) → {docs, tagged, decoded, triples,
     vertices, edges[, stats]}.
@@ -404,6 +407,35 @@ def run_pipeline(
     if entity_dict:
         dict_df = spark.createDataFrame(
             [(s, s) for s in entity_dict], "surface string, entity_id string"
+        )
+    if link_aliases is not None:
+        # trained entity-link scoring (north-rule canonicalization): fuzzy
+        # triple surfaces resolve to curated alias ids before the LSH
+        # fallback. Explicit entity_dict entries keep precedence — a
+        # curated mapping is ground truth, a link is a model verdict.
+        from ..model.link_scorer import LinkScorer
+        from .linker import linked_entity_dict
+
+        scorer = link_scorer
+        if scorer is None:
+            import os
+
+            from ..golden import GOLDEN_DIR
+            from ..model.link_scorer import load_scorer
+
+            scorer = load_scorer(os.path.join(GOLDEN_DIR, "link_scorer.npz"))
+        elif not isinstance(scorer, LinkScorer):
+            scorer = LinkScorer.from_arrays(scorer)
+        mentions = trip.select(F.col("subj").alias("mention")).unionByName(
+            trip.select(F.col("obj").alias("mention"))
+        )
+        linked = linked_entity_dict(
+            mentions, link_aliases, scorer, link_threshold_e12
+        )
+        dict_df = (
+            linked
+            if dict_df is None
+            else dict_df.unionByName(linked.join(dict_df, "surface", "left_anti"))
         )
     vertices, edges = canonicalize(trip, entity_dict=dict_df)
 

@@ -164,3 +164,31 @@ class TestLinking:
         vertices, _ = canonicalize(triples, entity_dict=linked)
         ids = {r["entity_id"] for r in vertices.collect()}
         assert dict_linked["华夏科技股份"] in ids
+
+
+@pytest.mark.slow
+def test_pipeline_link_aliases_e2e(spark, web_df, gold_df, scorer):
+    """run_pipeline(link_aliases=...) resolves exact gold surfaces to
+    curated alias ids in the emitted KG (frozen scorer loaded by
+    default), and the LSH fallback still covers unlinked surfaces."""
+    from docee_spark.fixtures import heuristic_entity_dict
+    from docee_spark.stages.pipeline import run_pipeline
+
+    aliases = spark.createDataFrame(
+        [
+            (f"K{i:03d}", s)
+            for i, s in enumerate(sorted(heuristic_entity_dict()))
+        ],
+        "entity_id string, alias string",
+    )
+    out = run_pipeline(
+        web_df, gold=gold_df, adjacency="gold",
+        link_aliases=aliases, use_html=False,
+    )
+    ids = {r["entity_id"] for r in out["vertices"].collect()}
+    k_ids = {i for i in ids if i.startswith("K")}
+    # the fixture corpus mentions dictionary entities verbatim → many
+    # surfaces must resolve to curated K-ids; non-dictionary surfaces
+    # (dates, amounts) stay on LSH reps
+    assert len(k_ids) >= 5
+    assert ids - k_ids
