@@ -1661,7 +1661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash64": q_dedup_simhash64,
         "dedup_embed": q_dedup_embed,
         "dedup_semantic": q_dedup_semantic,
-        "embed_topk": q_embed_topk,
+        "kg_ntriples": q_kg_ntriples,
         "embed_lsh_topk_mp": q_embed_lsh_topk_mp,
         "embed_ivf_topk": q_embed_ivf_topk,
         "kg_path_2hop": q_kg_path_2hop,
@@ -1703,9 +1703,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docee_eval_report": q_docee_eval_report,
         "user_mode_event": q_user_mode_event,
         "docee_vertices_verified": q_docee_vertices_verified,
-        # kg_ntriples — pure formatting projection of docee_vertices +
-        # docee_edges (both in window); escape chains pytest-pinned
-        "kg_ntriples": q_kg_ntriples,
+        # embed_topk — green r1+r2+r3 (evidence-saturated); yielded its
+        # slot to kg_ntriples (new r4, escaping-sensitive serializer,
+        # never driver-recorded); ANN coverage stays in-window via
+        # embed_lsh_topk_mp + embed_ivf_topk, both of which rank
+        # candidates with the identical cosine ordering
+        "embed_topk": q_embed_topk,
         "model_spans_spot": q_model_spans_spot,
         "docee_triples_trigger_inc": q_docee_triples_trigger_inc,
         "docee_triples_product": q_docee_triples_product,
