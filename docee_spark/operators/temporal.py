@@ -1,0 +1,137 @@
+"""Point-in-time (as-of) join.
+
+The classic temporal operator Spark's DataFrame API lacks natively: for
+every left row, attach the single most recent right row of the same key
+whose timestamp is at or before the left timestamp (``backward``
+direction — attribution, slowly-changing-dimension lookup, "state as of
+event time").
+
+The scalable formulation is NOT a range join (``l.key = r.key AND r.ts
+<= l.ts`` explodes to O(|matches|) intermediate rows before the per-row
+top-1 is taken — at web scale a hot key with a long history makes that
+quadratic). Instead both sides are unioned into one stream and a single
+window pass carries the latest right payload forward:
+
+    union(left tagged side=1, right tagged side=0)
+    -> one shuffle on key
+    -> window last(payload, ignorenulls) over
+         (partition by key order by ts, side, seq
+          rows unbounded preceding .. current row)
+    -> keep side=1 rows
+
+One shuffle, one sort, O(n log n) per key, never materializes a
+left-x-history pair. Skewed keys: the shuffle key is the join key, so a
+pathological hot key (one user with 10^8 events) is bounded by the
+window sort on one partition; split such keys by time range and
+replicate the boundary right-row per split if that ever binds — the
+union/window shape composes with that salting unchanged.
+
+Determinism: ties are total-ordered. At equal timestamps the right row
+wins over the left row (``<=`` inclusive semantics, side 0 sorts before
+side 1), and among right rows with an equal (key, ts) the greatest
+``right_seq`` wins — callers pass a unique sequence column so reruns
+are bit-identical (same discipline as the dedup keep-rules in
+operators/dedup.py).
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
+from pyspark.sql.window import Window
+
+__all__ = ["join_as_of"]
+
+#: internal column names; double-underscore-prefixed so they cannot
+#: collide with payload columns (validated below anyway).
+_K, _T, _SEQ, _PAY, _SIDE, _ROW = (
+    "__k", "__t", "__seq", "__pay", "__side", "__row",
+)
+#: matched right timestamp, carried inside the payload struct so the
+#: tolerance predicate can see it after the window pass.
+_MT = "__mt"
+
+
+def join_as_of(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    right_seq: str,
+    payload: list[str] | None = None,
+    tolerance: Column | None = None,
+) -> DataFrame:
+    """left LEFT-ASOF-JOIN right: most recent right row per key at or
+    before each left row's timestamp.
+
+    Returns all ``left`` columns plus the ``payload`` columns of the
+    matched right row (NULL when the key has no right row at or before
+    the left timestamp). ``payload`` defaults to every right column
+    except ``right_key``. ``right_seq`` must totally order right rows
+    within a (key, ts) tie (any unique orderable column).
+
+    ``tolerance``: optional expression; a match older than
+    ``left_ts - tolerance`` is discarded (row kept, payload NULL). For
+    timestamp columns pass an INTERVAL expression
+    (``F.expr("interval 30 minutes")``); for numeric ts, a number.
+    """
+    if payload is None:
+        payload = [c for c in right.columns if c != right_key]
+    clash = set(payload) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"payload columns collide with left columns: {sorted(clash)}; "
+            "rename before joining"
+        )
+    if _MT in payload:
+        raise ValueError(f"{_MT!r} is reserved")
+
+    pay_type = StructType(
+        [StructField(_MT, right.schema[right_ts].dataType)]
+        + [StructField(c, right.schema[c].dataType) for c in payload]
+    )
+    row_type = StructType(list(left.schema.fields))
+
+    lf = left.select(
+        F.col(left_key).alias(_K),
+        F.col(left_ts).alias(_T),
+        F.lit(None).cast(right.schema[right_seq].dataType).alias(_SEQ),
+        F.lit(None).cast(pay_type).alias(_PAY),
+        F.lit(1).alias(_SIDE),
+        F.struct(*[F.col(c) for c in left.columns]).alias(_ROW),
+    )
+    rf = right.select(
+        F.col(right_key).alias(_K),
+        F.col(right_ts).alias(_T),
+        F.col(right_seq).alias(_SEQ),
+        F.struct(
+            F.col(right_ts).alias(_MT),
+            *[F.col(c) for c in payload],
+        ).alias(_PAY),
+        F.lit(0).alias(_SIDE),
+        F.lit(None).cast(row_type).alias(_ROW),
+    )
+
+    w = (
+        Window.partitionBy(_K)
+        .orderBy(F.asc(_T), F.asc(_SIDE), F.asc_nulls_first(_SEQ))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        lf.unionByName(rf)
+        .withColumn("__m", F.last(_PAY, ignorenulls=True).over(w))
+        .where(F.col(_SIDE) == 1)
+    )
+    if tolerance is not None:
+        matched = matched.withColumn(
+            "__m",
+            F.when(
+                F.col(f"__m.{_MT}") >= F.col(_T) - tolerance, F.col("__m")
+            ),
+        )
+    return matched.select(
+        *[F.col(f"{_ROW}.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__m.{c}").alias(c) for c in payload],
+    )
