@@ -9,6 +9,8 @@ canonicalizer emits:
   ``(a)-[p1]->(x)-[p2]->(b)``, with optional terminal bindings.
 * ``k_hop`` — the seed-expansion subgraph (entity neighborhood pages,
   local-context extraction for RAG).
+* ``bgp_match`` — the general basic-graph-pattern bind (any connected
+  conjunction of ``(s, p, o)`` patterns with shared variables).
 
 Scale shape: predicate selections are plain filters (pushed into the
 edge-table scan at the source); the hop join hash-partitions both sides
@@ -102,3 +104,76 @@ def k_hop(
         ).localCheckpoint()
         frontier = nxt
     return visited
+
+
+def bgp_match(
+    edges: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    distinct: bool = True,
+) -> DataFrame:
+    """Basic-graph-pattern match (the SPARQL ``WHERE`` core): bind each
+    ``(s, p, o)`` pattern against the edge table and join the legs on
+    their shared variables.
+
+    A term starting with ``?`` is a variable; anything else is a
+    constant (equality filter). Returns one column per variable, sorted
+    by name. Generalizes ``path_query`` to any connected pattern shape
+    (stars, chains, triangles).
+
+    Scale shape: every constant becomes a plain filter on that leg's
+    scan — predicate constants prune BEFORE any join (with the edge
+    table laid out partition-by-pred, stages/layout.py, each leg scans
+    only its predicate's files). Legs then left-deep hash-join on shared
+    variable names; Catalyst/AQE pick build sides and handle skewed
+    join variables. Guards (raise, never silently explode):
+
+    * a pattern with no variables is an ASK, not a bind — rejected;
+    * a leg sharing NO variable with the preceding legs would be a
+      cartesian product — rejected (reorder the pattern list so every
+      leg connects; at web scale a cross join of two legs IS the whole
+      graph squared).
+    """
+    if not patterns:
+        raise ValueError("empty basic graph pattern")
+    legs: list[tuple[set, DataFrame]] = []
+    for i, (s, p, o) in enumerate(patterns):
+        leg = edges
+        var_col: dict[str, str] = {}
+        for col, term in (("src", s), ("pred", p), ("dst", o)):
+            if term.startswith("?"):
+                v = term[1:]
+                if not v:
+                    raise ValueError(f"pattern {i}: bare '?' variable")
+                if v in var_col:
+                    # repeated variable inside one pattern = equality
+                    leg = leg.filter(F.col(col) == F.col(var_col[v]))
+                else:
+                    var_col[v] = col
+            else:
+                leg = leg.filter(F.col(col) == F.lit(term))
+        if not var_col:
+            raise ValueError(
+                f"pattern {i} binds no variable (pure existence check); "
+                "use a filter, not a pattern"
+            )
+        legs.append(
+            (
+                set(var_col),
+                leg.select(
+                    *[F.col(c).alias(v) for v, c in sorted(var_col.items())]
+                ),
+            )
+        )
+    bound, out = legs[0]
+    for i, (vs, leg) in enumerate(legs[1:], start=1):
+        shared = bound & vs
+        if not shared:
+            raise ValueError(
+                f"disconnected basic graph pattern: pattern {i} shares no "
+                f"variable with the preceding legs (bound: {sorted(bound)}); "
+                "reorder the patterns so every leg connects"
+            )
+        out = out.join(leg, on=sorted(shared), how="inner")
+        bound |= vs
+    out = out.select(*sorted(bound))
+    return out.distinct() if distinct else out

@@ -87,3 +87,111 @@ class TestKHop:
     def test_frontier_guard_raises(self, spark, kg):
         with pytest.raises(RuntimeError, match="frontier exploded"):
             k_hop(kg, self._seeds(spark, "alice"), hops=1, max_frontier=1)
+
+
+def brute_bgp(edges, patterns):
+    """Reference: backtracking bind of each pattern over the edge list."""
+    results = []
+
+    def bind(i, env):
+        if i == len(patterns):
+            results.append(dict(env))
+            return
+        for e in edges:
+            cand = dict(env)
+            ok = True
+            for term, val in zip(patterns[i], e):
+                if term.startswith("?"):
+                    v = term[1:]
+                    if cand.get(v, val) != val:
+                        ok = False
+                        break
+                    cand[v] = val
+                elif term != val:
+                    ok = False
+                    break
+            if ok:
+                bind(i + 1, cand)
+
+    bind(0, {})
+    cols = sorted({t[1:] for p in patterns for t in p if t.startswith("?")})
+    return {tuple(r[c] for c in cols) for r in results}
+
+
+class TestBgpMatch:
+    def test_chain_equals_path_query(self, kg):
+        from docee_spark.operators.kgquery import bgp_match
+
+        got = bgp_match(
+            kg, [("?a", "works_at", "?x"), ("?x", "located_in", "?b")]
+        )
+        assert got.columns == ["a", "b", "x"]
+        assert {tuple(r) for r in got.collect()} == {
+            ("alice", "berlin", "acme"),
+            ("bob", "berlin", "acme"),
+            ("carol", "paris", "zenith"),
+        }
+
+    def test_star_and_constant_object(self, kg):
+        from docee_spark.operators.kgquery import bgp_match
+
+        # who works at a berlin-located org AND knows carol?
+        got = bgp_match(
+            kg,
+            [
+                ("?p", "works_at", "?org"),
+                ("?org", "located_in", "berlin"),
+                ("?p", "knows", "carol"),
+            ],
+        )
+        assert {tuple(r) for r in got.collect()} == {("acme", "alice")}
+
+    def test_matches_bruteforce_on_random_graph(self, spark):
+        import random
+
+        from docee_spark.operators.kgquery import bgp_match
+
+        rng = random.Random(13)
+        nodes = [f"n{i}" for i in range(12)]
+        preds = ["p", "q", "r"]
+        edges = sorted(
+            {
+                (rng.choice(nodes), rng.choice(preds), rng.choice(nodes))
+                for _ in range(120)
+            }
+        )
+        df = spark.createDataFrame(edges, E_COLS)
+        for pats in [
+            [("?a", "p", "?b"), ("?b", "q", "?c")],
+            [("?a", "p", "?b"), ("?b", "q", "?c"), ("?c", "r", "?a")],
+            [("?a", "p", "?a")],
+            [("?a", "?p", "n3"), ("?a", "p", "?b")],
+        ]:
+            got = {tuple(r) for r in bgp_match(df, pats).collect()}
+            assert got == brute_bgp(edges, pats), pats
+
+    def test_guards(self, kg):
+        from docee_spark.operators.kgquery import bgp_match
+
+        with pytest.raises(ValueError, match="disconnected"):
+            bgp_match(
+                kg, [("?a", "works_at", "?x"), ("?b", "knows", "?c")]
+            )
+        with pytest.raises(ValueError, match="no variable"):
+            bgp_match(kg, [("alice", "works_at", "acme")])
+        with pytest.raises(ValueError, match="empty"):
+            bgp_match(kg, [])
+
+    def test_constant_filters_prejoin(self, kg):
+        from docee_spark.operators.kgquery import bgp_match
+
+        plan = (
+            bgp_match(
+                kg, [("?a", "works_at", "?x"), ("?x", "located_in", "?b")]
+            )._jdf.queryExecution().optimizedPlan().toString()
+        )
+        # each leg's predicate constant is a Filter under the join, not
+        # a post-join condition
+        assert plan.count("works_at") >= 1 and plan.count("located_in") >= 1
+        join_line = [ln for ln in plan.splitlines() if "Join" in ln]
+        assert join_line and "works_at" not in join_line[0]
