@@ -798,6 +798,93 @@ def q_kg_khop(spark, sf):
     return k_hop(edges, seeds, hops=2, directed=False)
 
 
+def q_kg_bgp(spark, sf):
+    """General basic-graph-pattern match (operators/kgquery.py:
+    bgp_match): the 3-leg star-and-chain pattern
+    { (?c, placed, ?o), (?o, status, 'F'), (?c, in_nation, ?n) } over an
+    edge table derived from orders + customer. Constants filter each leg
+    pre-join; legs hash-join on the shared variables."""
+    from docee_spark.operators.kgquery import bgp_match
+
+    o = _read(spark, sf, "orders")
+    c = _read(spark, sf, "customer")
+    k = F.col("o_orderkey").cast("string")
+    ck = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+    edges = (
+        o.select(
+            ck.alias("src"),
+            F.lit("placed").alias("pred"),
+            F.concat(F.lit("o"), k).alias("dst"),
+        )
+        .unionByName(
+            o.select(
+                F.concat(F.lit("o"), k).alias("src"),
+                F.lit("status").alias("pred"),
+                F.col("o_orderstatus").alias("dst"),
+            )
+        )
+        .unionByName(
+            c.select(
+                F.concat(
+                    F.lit("c"), F.col("c_custkey").cast("string")
+                ).alias("src"),
+                F.lit("in_nation").alias("pred"),
+                F.concat(
+                    F.lit("n"), F.col("c_nationkey").cast("string")
+                ).alias("dst"),
+            )
+        )
+    )
+    return bgp_match(
+        edges,
+        [
+            ("?c", "placed", "?o"),
+            ("?o", "status", "F"),
+            ("?c", "in_nation", "?n"),
+        ],
+    )
+
+
+def q_join_asof(spark, sf):
+    """Point-in-time attribution (operators/temporal.py:join_as_of):
+    each purchase event joined to the same user's most recent view at or
+    before the purchase time. Single-shuffle union+window formulation —
+    no range-join pair explosion; ties broken by (ts, max event_id).
+    Microsecond-epoch integers on both sides keep the hash exact."""
+    from docee_spark.operators.temporal import join_as_of
+
+    ev = _read(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id"),
+        F.col("user_id"),
+        # ts is TIMESTAMP_NTZ in the parquet; session tz is pinned UTC so
+        # the cast is the identity wall-time -> epoch mapping DuckDB's
+        # epoch_us applies to the naive value
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_event_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("view_ts_us"),
+    )
+    out = join_as_of(
+        purchases,
+        views,
+        left_key="user_id",
+        right_key="v_user",
+        left_ts="ts_us",
+        right_ts="view_ts_us",
+        right_seq="view_event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "view_event_id",
+        (F.col("ts_us") - F.col("view_ts_us")).alias("gap_us"),
+    )
+
+
 def q_pagerank(spark, sf):
     """Crawl-frontier PageRank (operators/linkgraph.py) over a
     deterministic synthetic web-link graph on documents.doc_id: three
@@ -1655,11 +1742,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_verified": q_dedup_minhash_verified,
         "dedup_clusters": q_dedup_clusters,
         "dedup_chunks": q_dedup_chunks,
-        "dedup_ngram": q_dedup_ngram,
+        "kg_bgp": q_kg_bgp,
         "decontaminate": q_decontaminate,
         "pii_scrub": q_pii_scrub,
         "dedup_simhash64": q_dedup_simhash64,
-        "dedup_embed": q_dedup_embed,
+        "join_asof": q_join_asof,
         "dedup_semantic": q_dedup_semantic,
         "kg_ntriples": q_kg_ntriples,
         "embed_lsh_topk_mp": q_embed_lsh_topk_mp,
@@ -1709,6 +1796,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # embed_lsh_topk_mp + embed_ivf_topk, both of which rank
         # candidates with the identical cosine ordering
         "embed_topk": q_embed_topk,
+        # dedup_ngram — green r1+r2+r3 (evidence-saturated); yielded to
+        # kg_bgp (new r4, never recorded); inverted-index Jaccard shape
+        # stays in-window via dedup_minhash_verified
+        "dedup_ngram": q_dedup_ngram,
+        # dedup_embed — green r2+r3; yielded to join_asof (new r4);
+        # embedding-space near-dup stays in-window via dedup_semantic
+        "dedup_embed": q_dedup_embed,
         "model_spans_spot": q_model_spans_spot,
         "docee_triples_trigger_inc": q_docee_triples_trigger_inc,
         "docee_triples_product": q_docee_triples_product,
@@ -2767,6 +2861,58 @@ h2 as (
 select node, cast(0 as int) as hop from h0
 union all select node, cast(1 as int) from h1
 union all select node, cast(2 as int) from h2
+"""
+
+
+def _kg_bgp_sql() -> str:
+    """The 3-leg BGP restated as constant-filtered scans + two
+    equi-joins on the shared variables (c and o)."""
+    return """
+with e as (
+  select 'c' || o_custkey as src, 'placed' as pred,
+         'o' || o_orderkey as dst from orders
+  union all
+  select 'o' || o_orderkey, 'status', o_orderstatus from orders
+  union all
+  select 'c' || c_custkey, 'in_nation', 'n' || c_nationkey from customer
+)
+select distinct e1.src as c, e3.dst as n, e1.dst as o
+from e e1
+join e e2 on e2.src = e1.dst and e2.pred = 'status' and e2.dst = 'F'
+join e e3 on e3.src = e1.src and e3.pred = 'in_nation'
+where e1.pred = 'placed'
+"""
+
+
+def _join_asof_sql() -> str:
+    """As-of restated as the O(matches) range join + per-left-row top-1
+    (row_number over (ts desc, seq desc)) — deliberately the OTHER
+    formulation, so the oracle shares no shape with the engine's
+    union+window plan. event_id is unique (verified), so partitioning
+    the rank by it is exact; left rows with no match keep rn = 1 on the
+    NULL row."""
+    return """
+with p as (
+  select event_id, user_id, epoch_us(ts) as ts_us
+  from events where event_type = 'purchase'
+),
+v as (
+  select user_id as v_user, event_id as view_event_id,
+         epoch_us(ts) as view_ts_us
+  from events where event_type = 'view'
+),
+ranked as (
+  select p.event_id, p.user_id, p.ts_us, v.view_event_id, v.view_ts_us,
+         row_number() over (
+           partition by p.event_id
+           order by v.view_ts_us desc, v.view_event_id desc
+         ) as rn
+  from p left join v
+    on v.v_user = p.user_id and v.view_ts_us <= p.ts_us
+)
+select event_id, user_id, ts_us, view_event_id,
+       ts_us - view_ts_us as gap_us
+from ranked where rn = 1
 """
 
 
@@ -4965,6 +5111,8 @@ from documents group by 1
         "pagerank": _pagerank_sql(),
         "kg_incremental": _kg_incremental_sql(),
         "kg_path_2hop": _kg_path_2hop_sql(),
+        "kg_bgp": _kg_bgp_sql(),
+        "join_asof": _join_asof_sql(),
         "kg_khop": _kg_khop_sql(),
         "host_filter": _host_filter_sql(),
         "bpe_merges": _bpe_merges_sql(),

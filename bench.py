@@ -42,6 +42,8 @@ HEADLINE = [
     "url_dedup",
     "pagerank",
     "kg_incremental",
+    "kg_bgp",
+    "join_asof",
     "dedup_exact",
     "dedup_clusters",
     "dedup_minhash",
