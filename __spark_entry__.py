@@ -908,6 +908,80 @@ def q_pagerank(spark, sf):
     return pagerank(edges, n_iter=8)
 
 
+def q_triangles(spark, sf):
+    """Host-graph triangle counting + local clustering coefficient
+    (operators/graphstats.py:triangles — degree-ordered orientation) over
+    a deterministic synthetic graph on documents.doc_id: ring edges
+    (i, i+1 mod N) and (i, i+2 mod N) make one triangle per vertex
+    {i, i+1, i+2}; every 11th page also links the hub page 0, giving it
+    the skewed degree the orientation exists to survive. All-integer
+    output (clustering is e6 fixed point) for exact DuckDB comparison."""
+    from docee_spark.operators.graphstats import triangles
+
+    d = _read(spark, sf, "documents").select("doc_id")
+    n = F.broadcast(d.agg(F.count("*").alias("n")))
+    b = d.crossJoin(n)
+    i = F.col("doc_id")
+    ring1 = b.select(
+        i.alias("src"), ((i + 1) % F.col("n")).alias("dst")
+    )
+    ring2 = b.select(
+        i.alias("src"), ((i + 2) % F.col("n")).alias("dst")
+    )
+    hub = b.filter((i % 11 == 0) & (i != 0)).select(
+        i.alias("src"), F.lit(0).cast("long").alias("dst")
+    )
+    return triangles(ring1.unionByName(ring2).unionByName(hub))
+
+
+def q_collocations(spark, sf):
+    """Collocation/PMI phrase mining (operators/textstats.py:
+    collocations) over the documents corpus: adjacent-token bigrams
+    seen >= 5 times, scored by e6-frozen PMI (per-count floored logs —
+    the lm.py cross-engine contract), counts carried alongside."""
+    from docee_spark.operators.textstats import collocations
+
+    return collocations(
+        _read(spark, sf, "documents"), min_pair_count=5
+    )
+
+
+def q_recrawl_churn(spark, sf):
+    """Recrawl change detection (stages/ingest.py:recrawl_churn) over a
+    deterministic synthetic 3-capture recrawl table on documents: capture
+    B rewrites pages with doc_id%3==0, capture C pages with doc_id%2==0,
+    so per-page change counts sweep 0..2. Timestamps are epoch longs and
+    the churn rate is e4 fixed point — all-integer output; the oracle
+    re-derives changes from scratch with DuckDB's md5 + lag window."""
+    from docee_spark.stages.ingest import recrawl_churn
+
+    d = _read(spark, sf, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    url = F.concat(F.lit("u"), i.cast("string")).alias("url")
+
+    def cap(k, txt):
+        return d.select(
+            url, (i * 10 + k).alias("warc_ts"), txt.alias("text")
+        )
+
+    a = cap(1, F.col("text"))
+    b = cap(
+        2,
+        F.when(i % 3 == 0, F.concat(F.col("text"), F.lit(" vB"))).otherwise(
+            F.col("text")
+        ),
+    )
+    c = cap(
+        3,
+        F.when(i % 2 == 0, F.concat(F.col("text"), F.lit(" vC"))).otherwise(
+            F.col("text")
+        ),
+    )
+    return recrawl_churn(
+        a.unionByName(b).unionByName(c), canonicalize=False
+    )
+
+
 def q_dedup_exact(spark, sf):
     from docee_spark.operators.dedup import exact_duplicates
 
@@ -1739,13 +1813,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docee_trigger_importance": q_docee_trigger_importance,
         "docee_key_sentences": q_docee_key_sentences,
         "host_filter": q_host_filter,
-        "dedup_minhash_verified": q_dedup_minhash_verified,
+        "triangles": q_triangles,
         "dedup_clusters": q_dedup_clusters,
         "dedup_chunks": q_dedup_chunks,
         "kg_bgp": q_kg_bgp,
         "decontaminate": q_decontaminate,
         "pii_scrub": q_pii_scrub,
-        "dedup_simhash64": q_dedup_simhash64,
+        "collocations": q_collocations,
         "join_asof": q_join_asof,
         "dedup_semantic": q_dedup_semantic,
         "kg_ntriples": q_kg_ntriples,
@@ -1761,7 +1835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docee_triples_trigger": q_docee_triples_trigger,
         "docee_triples_model": q_docee_triples_model,
         "docee_triples_model_edag": q_docee_triples_model_edag,
-        "docee_triples_scored": q_docee_triples_scored,
+        "recrawl_churn": q_recrawl_churn,
         "docee_triples_biaffine": q_docee_triples_biaffine,
         "docee_triples_doc_ctx": q_docee_triples_doc_ctx,
         "docee_triples_git_rgcn": q_docee_triples_git_rgcn,
@@ -1803,6 +1877,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup_embed — green r2+r3; yielded to join_asof (new r4);
         # embedding-space near-dup stays in-window via dedup_semantic
         "dedup_embed": q_dedup_embed,
+        # dedup_minhash_verified — green r2+r3; yielded to triangles
+        # (new r4, never recorded); the MinHash candidate+verify shape
+        # stays in-window via dedup_clusters, which runs it verbatim
+        # before clustering
+        "dedup_minhash_verified": q_dedup_minhash_verified,
+        # dedup_simhash64 — green r2+r3; yielded to collocations (new
+        # r4); the banded-bitwise near-dup family keeps pytest + plan
+        # assertions, and dedup_simhash (16-bit, same single-pass code
+        # path) remains in the registry tail
+        "dedup_simhash64": q_dedup_simhash64,
+        # docee_triples_scored — green r2+r3; yielded to recrawl_churn
+        # (new r4); the scored-adjacency→clique decode shape stays
+        # in-window three ways (docee_triples_biaffine / _doc_ctx /
+        # _git_rgcn all decode scorer-produced adjacency)
+        "docee_triples_scored": q_docee_triples_scored,
         "model_spans_spot": q_model_spans_spot,
         "docee_triples_trigger_inc": q_docee_triples_trigger_inc,
         "docee_triples_product": q_docee_triples_product,
@@ -2913,6 +3002,106 @@ ranked as (
 select event_id, user_id, ts_us, view_event_id,
        ts_us - view_ts_us as gap_us
 from ranked where rn = 1
+"""
+
+
+def _triangles_sql() -> str:
+    """Same synthetic edge set; counting re-derived by graphstats.
+    triangles_sql — the plain id-ordered u<v<w three-way self-join, no
+    degree orientation (deliberately the other classic formulation)."""
+    from docee_spark.operators.graphstats import triangles_sql
+
+    edge_cte = """
+  select doc_id as src, (doc_id + 1) % n as dst
+  from documents, (select count(*) as n from documents)
+  union all
+  select doc_id, (doc_id + 2) % n
+  from documents, (select count(*) as n from documents)
+  union all
+  select doc_id, 0 from documents where doc_id % 11 = 0 and doc_id <> 0
+"""
+    return triangles_sql(edge_cte)
+
+
+def _collocations_sql() -> str:
+    """PMI restated from scratch: DuckDB list lambdas build the bigrams,
+    every count is re-aggregated, and the freeze is floor(1e6*ln(c)) per
+    count — the identical cross-engine contract lm_surprisal pinned."""
+    return f"""
+with toks as (
+  select {_TOKENS.format(c="text")} as t from documents
+),
+bg as (
+  select u.w1 as w1, u.w2 as w2
+  from toks,
+       unnest(list_transform(range(1, len(t)),
+                             i -> {{'w1': t[i], 'w2': t[i + 1]}})) as s(u)
+  where len(t) >= 2
+),
+uni as (
+  select w, count(*) as wn
+  from (select unnest(t) as w from toks) group by w
+),
+totals as (
+  select (select sum(wn) from uni) as n_tok,
+         (select count(*) from bg) as n_bg
+),
+pair as (
+  select w1, w2, count(*) as pair_n from bg
+  group by w1, w2 having count(*) >= 5
+)
+select p.w1, p.w2, p.pair_n, u1.wn as w1_n, u2.wn as w2_n,
+       cast(floor(1000000 * ln(p.pair_n))
+            + 2 * floor(1000000 * ln(t.n_tok))
+            - floor(1000000 * ln(t.n_bg))
+            - floor(1000000 * ln(u1.wn))
+            - floor(1000000 * ln(u2.wn)) as bigint) as pmi_e6
+from pair p
+join uni u1 on u1.w = p.w1
+join uni u2 on u2.w = p.w2
+cross join totals t
+"""
+
+
+def _recrawl_churn_sql() -> str:
+    """Churn re-derived from first principles: the same 3-capture table,
+    md5 fingerprints, lag window per url ordered by (ts, fp), integer
+    floor division for the e4 rate."""
+    return """
+with caps as (
+  select 'u' || doc_id as url, doc_id * 10 + 1 as warc_ts, text
+  from documents
+  union all
+  select 'u' || doc_id, doc_id * 10 + 2,
+         case when doc_id % 3 = 0 then text || ' vB' else text end
+  from documents
+  union all
+  select 'u' || doc_id, doc_id * 10 + 3,
+         case when doc_id % 2 = 0 then text || ' vC' else text end
+  from documents
+),
+lagged as (
+  select url, warc_ts, md5(text) as fp,
+         lag(md5(text)) over (
+           partition by url order by warc_ts, md5(text)
+         ) as prev
+  from caps
+),
+agg as (
+  select url as canonical_url,
+         count(*) as n_captures,
+         cast(coalesce(sum(case when fp <> prev then 1 end), 0)
+              as bigint) as n_changes,
+         min(warc_ts) as first_ts,
+         max(warc_ts) as last_ts
+  from lagged group by url
+)
+select canonical_url, n_captures, n_changes,
+       cast(case when n_captures >= 2
+                 then (10000 * n_changes) // (n_captures - 1)
+                 else 0 end as bigint) as churn_e4,
+       first_ts, last_ts
+from agg
 """
 
 
@@ -5110,6 +5299,9 @@ from documents group by 1
         "entity_link": _entity_link_sql(),
         "pagerank": _pagerank_sql(),
         "kg_incremental": _kg_incremental_sql(),
+        "triangles": _triangles_sql(),
+        "collocations": _collocations_sql(),
+        "recrawl_churn": _recrawl_churn_sql(),
         "kg_path_2hop": _kg_path_2hop_sql(),
         "kg_bgp": _kg_bgp_sql(),
         "join_asof": _join_asof_sql(),

@@ -44,6 +44,9 @@ HEADLINE = [
     "kg_incremental",
     "kg_bgp",
     "join_asof",
+    "triangles",
+    "collocations",
+    "recrawl_churn",
     "dedup_exact",
     "dedup_clusters",
     "dedup_minhash",

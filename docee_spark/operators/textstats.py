@@ -343,3 +343,78 @@ def source_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.sum("n_toks").cast("long").alias("n_tokens"),
         (F.count("*") - F.countDistinct("fp")).cast("long").alias("n_exact_dups"),
     )
+
+
+def collocations(
+    df: DataFrame, text_col: str = "text", min_pair_count: int = 3
+) -> DataFrame:
+    """Corpus-level collocation mining: adjacent token bigrams scored by
+    pointwise mutual information → ``(w1, w2, pair_n, w1_n, w2_n,
+    pmi_e6)``.
+
+    The phrase-mining primitive (word2phrase / "New York"-style
+    multi-word-entity discovery) a KG pipeline runs before entity
+    linking: high-PMI adjacent pairs are candidate multi-word surfaces.
+
+    Cross-engine contract (same freezing discipline as lm.py): PMI is
+    composed from per-count frozen logs —
+        pmi_e6 = lnE6(pair_n) + 2·lnE6(N) − lnE6(B) − lnE6(w1_n)
+                 − lnE6(w2_n),
+    where lnE6(c) = floor(10⁶·ln c), N = total tokens, B = total
+    bigrams. Every ln is of an integer and floored at e6, so DuckDB
+    reproduces the value bit-for-bit; no float ever crosses the oracle
+    boundary. (The additive freeze deviates from float PMI by < 5e-6 —
+    irrelevant for ranking, decisive for verifiability.)
+
+    Scale shape: one explode of per-doc bigram arrays → ONE groupBy for
+    pair counts (map-side combine), one explode → ONE groupBy for
+    unigram counts, two shuffle equi-joins of the (min_pair_count-
+    filtered, hence small) pair table against the unigram table, and a
+    broadcast of the two scalar totals. ``min_pair_count`` prunes the
+    pair table BEFORE the joins — the long tail of hapax bigrams (the
+    bulk at web scale) never reaches a shuffle.
+    """
+    from .lm import _ln_e6
+
+    toks = df.select(tokens(F.col(text_col)).alias("t")).filter(
+        F.size("t") >= 2
+    )
+    bigrams = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("t"), 1, F.size("t") - 1),
+                F.slice(F.col("t"), 2, F.size("t") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    pair = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count("*").alias("pair_n"))
+        .filter(F.col("pair_n") >= min_pair_count)
+    )
+    uni = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("wn"))
+    )
+    totals = F.broadcast(
+        uni.agg(
+            F.sum("wn").cast("long").alias("n_tok"),
+        ).crossJoin(bigrams.agg(F.count("*").cast("long").alias("n_bg")))
+    )
+    out = (
+        pair.join(uni.withColumnsRenamed({"w": "w1", "wn": "w1_n"}), "w1")
+        .join(uni.withColumnsRenamed({"w": "w2", "wn": "w2_n"}), "w2")
+        .crossJoin(totals)
+    )
+    pmi = (
+        _ln_e6(F.col("pair_n"))
+        + F.lit(2) * _ln_e6(F.col("n_tok"))
+        - _ln_e6(F.col("n_bg"))
+        - _ln_e6(F.col("w1_n"))
+        - _ln_e6(F.col("w2_n"))
+    )
+    return out.select(
+        "w1", "w2", "pair_n", "w1_n", "w2_n", pmi.alias("pmi_e6")
+    )

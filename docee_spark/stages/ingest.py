@@ -329,6 +329,76 @@ def url_dedup(webtext: DataFrame) -> DataFrame:
     )
 
 
+def recrawl_churn(
+    webtext: DataFrame,
+    canonicalize: bool = True,
+) -> DataFrame:
+    """Recrawl change detection over the crawl shape (url, warc_ts,
+    text): for each page, how many recrawls actually changed the
+    content? → ``(canonical_url, n_captures, n_changes, churn_e4,
+    first_ts, last_ts)``.
+
+    The crawl-scheduling signal: pages with churn ~0 are wasted
+    recrawls (back off), churn ~1 are hot pages (fetch more often) —
+    the rate a Common-Crawl-style operator feeds back into the
+    frontier. A change is a capture whose content fingerprint differs
+    from the PREVIOUS capture of the same page (captures ordered by
+    (warc_ts, fingerprint); the fingerprint tiebreak makes equal-
+    timestamp reruns deterministic, and equal-fingerprint ties are
+    changeless under any order). ``churn_e4`` =
+    floor(10⁴·n_changes/(n_captures−1)); 0 for single-capture pages.
+
+    Scale shape: the text column collapses to a 32-char md5 BEFORE the
+    shuffle (a map-side projection — page bodies never move), then ONE
+    hash exchange on canonical_url feeds both the lag window and the
+    final groupBy (same key → AQE reuses the exchange; no second
+    shuffle). ``canonicalize=False`` skips url normalization when the
+    caller already dedup'd/canonicalized (composes after
+    :func:`url_dedup`'s output or any curated url column).
+    """
+    from pyspark.sql import Window
+
+    from ..operators.textstats import fingerprint_md5
+
+    key = (
+        canonical_url(F.col("url")) if canonicalize else F.col("url")
+    ).alias("canonical_url")
+    per = webtext.select(
+        key,
+        F.col("warc_ts"),
+        fingerprint_md5(F.col("text")).alias("fp"),
+    )
+    w = Window.partitionBy("canonical_url").orderBy("warc_ts", "fp")
+    lagged = per.select(
+        "canonical_url",
+        "warc_ts",
+        (F.col("fp") != F.lag("fp").over(w))
+        .cast("long")
+        .alias("changed"),  # NULL lag (first capture) -> NULL -> sum skips
+    )
+    agg = lagged.groupBy("canonical_url").agg(
+        F.count("*").cast("long").alias("n_captures"),
+        F.coalesce(F.sum("changed"), F.lit(0)).cast("long").alias(
+            "n_changes"
+        ),
+        F.min("warc_ts").alias("first_ts"),
+        F.max("warc_ts").alias("last_ts"),
+    )
+    n, c = F.col("n_captures"), F.col("n_changes")
+    num, den = c * F.lit(10_000), n - F.lit(1)
+    churn = F.when(
+        n >= 2, ((num - F.pmod(num, den)) / den).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    return agg.select(
+        "canonical_url",
+        "n_captures",
+        "n_changes",
+        churn.alias("churn_e4"),
+        "first_ts",
+        "last_ts",
+    )
+
+
 def ingest(
     webtext: DataFrame,
     langs: tuple[str, ...] | None = None,
