@@ -88,6 +88,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--ntriples", action="store_true",
                    help="also serialize the KG as N-Triples lines "
                         "(<output>/ntriples, one string column)")
+    p.add_argument("--rollback", default=None, metavar="STAGE:ID",
+                   help="maintenance action: point the stage's current "
+                        "snapshot back to ID (Iceberg rollback_to_"
+                        "snapshot) and exit — no pipeline run; requires "
+                        "--store. Use --synth 0 as the input placeholder")
+    p.add_argument("--expire-snapshots", type=int, default=None,
+                   metavar="KEEP",
+                   help="after the run (or standalone with --synth 0), "
+                        "expire all but the newest KEEP snapshots of "
+                        "every committed stage (the current snapshot is "
+                        "always retained); requires a stage store")
     args = p.parse_args(argv)
 
     # absolute imports: spark-submit runs this file as a plain __main__
@@ -97,6 +108,32 @@ def main(argv: list[str] | None = None) -> int:
     from docee_spark.session import get_spark
     from docee_spark.stages.pipeline import StageStore, run_pipeline
     from docee_spark.stages.sinks import write_kg
+
+    # snapshot maintenance short-circuits: pure manifest operations, no
+    # Spark session, no pipeline run (--synth 0 is the input placeholder)
+    if args.rollback is not None:
+        if not args.store:
+            p.error("--rollback requires --store")
+        stage, _, sid = args.rollback.rpartition(":")
+        if not stage or not sid.isdigit():
+            p.error("--rollback takes STAGE:ID (e.g. triples:3)")
+        rec = StageStore(args.store).rollback(stage, int(sid))
+        print(json.dumps({"rolled_back": stage,
+                          "current_snapshot_id": rec["snapshot_id"],
+                          "input_fingerprint": rec["input_fingerprint"]}))
+        return 0
+    if args.expire_snapshots is not None and args.synth == 0:
+        if not args.store:
+            p.error("--expire-snapshots requires --store")
+        store = StageStore(args.store)
+        expired = {
+            m["stage"]: store.expire_snapshots(
+                m["stage"], args.expire_snapshots
+            )
+            for m in store.counters()
+        }
+        print(json.dumps({"expired": expired}))
+        return 0
 
     spark = get_spark("docee_kg")
     if args.input:
@@ -209,6 +246,17 @@ def main(argv: list[str] | None = None) -> int:
             m["stage"]: store.compact(m["stage"], target)
             for m in store.counters()
         }
+    expired = None
+    if args.expire_snapshots is not None:
+        if store is None:
+            p.error("--expire-snapshots requires a stage store "
+                    "(--store/--refine)")
+        expired = {
+            m["stage"]: store.expire_snapshots(
+                m["stage"], args.expire_snapshots
+            )
+            for m in store.counters()
+        }
     n = spark.read.parquet(f"{args.output}/triples").count()
     summary = {
         "triples": n,
@@ -224,6 +272,8 @@ def main(argv: list[str] | None = None) -> int:
         summary["compacted_files"] = {
             k: [v["files_before"], v["files_after"]] for k, v in compacted.items()
         }
+    if expired is not None:
+        summary["expired_snapshots"] = expired
     print(json.dumps(summary))
     return 0
 

@@ -74,7 +74,26 @@ def _total_rows(partitions: list[dict]) -> int | None:
 
 
 class StageStore:
-    """Parquet + manifest emulation of Iceberg snapshot-resumable tables."""
+    """Parquet + manifest emulation of Iceberg snapshot-resumable tables.
+
+    Snapshot semantics (the Iceberg contract, emulated faithfully):
+    every :meth:`commit` creates a NEW immutable snapshot — data lands in
+    a fresh ``<stage>@v<id>`` directory and the manifest's snapshot log
+    grows by one entry; earlier snapshots stay readable until explicitly
+    expired. That gives the three operations a production table needs
+    beyond resume: :meth:`load` with ``snapshot_id=`` (time travel, e.g.
+    "re-run evaluation against the KG as the last crawl saw it"),
+    :meth:`rollback` (a bad recrawl merge is undone by POINTING current
+    back, no data rewrite), and :meth:`expire_snapshots` (retention — the
+    only operation that deletes bytes). The manifest file is the single
+    commit point: its top level always MIRRORS the current snapshot's
+    record, so resume checks (:meth:`is_committed`), the metrics table,
+    and pre-snapshot readers of the manifest are unchanged, and the
+    write-then-``os.replace`` protocol keeps every transition atomic —
+    a crash between the data write and the manifest swap leaves the
+    previous snapshot current and the orphan ``@v`` directory is
+    overwritten by the retried commit (same id, manifest unchanged).
+    """
 
     def __init__(self, root: str):
         self.root = root
@@ -86,12 +105,53 @@ class StageStore:
             os.path.join(self.root, f"{name}.manifest.json"),
         )
 
-    def is_committed(self, name: str, input_fingerprint: str) -> bool:
+    def _meta(self, name: str) -> dict | None:
         _, manifest = self._paths(name)
         if not os.path.exists(manifest):
-            return False
+            return None
         with open(manifest) as f:
-            meta = json.load(f)
+            return json.load(f)
+
+    def _snapshots(self, meta: dict, name: str) -> list[dict]:
+        """Snapshot log; a legacy (pre-snapshot) manifest is lifted into
+        a single-entry log pointing at the bare <stage> directory."""
+        if "snapshots" in meta:
+            return meta["snapshots"]
+        legacy = {
+            k: meta.get(k)
+            for k in (
+                "input_fingerprint",
+                "committed_at",
+                "counters",
+                "partitions",
+                "n_rows",
+                "n_partitions",
+            )
+        }
+        legacy.update(snapshot_id=1, parent_id=None, data_dir=name)
+        return [legacy]
+
+    def _current(self, meta: dict, name: str) -> dict:
+        snaps = self._snapshots(meta, name)
+        cur = meta.get("current_snapshot_id", snaps[-1]["snapshot_id"])
+        for rec in snaps:
+            if rec["snapshot_id"] == cur:
+                return rec
+        raise ValueError(
+            f"stage {name!r}: current snapshot {cur} not in the log"
+        )
+
+    def _write_manifest(self, name: str, meta: dict) -> None:
+        _, manifest = self._paths(name)
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, manifest)  # atomic commit point
+
+    def is_committed(self, name: str, input_fingerprint: str) -> bool:
+        meta = self._meta(name)
+        if meta is None:
+            return False
         return meta.get("input_fingerprint") == input_fingerprint
 
     def commit(
@@ -101,7 +161,20 @@ class StageStore:
         input_fingerprint: str,
         counters: dict[str, float] | Callable[[], dict] | None = None,
     ) -> DataFrame:
-        data_path, manifest = self._paths(name)
+        meta_old = self._meta(name)
+        snaps = (
+            self._snapshots(meta_old, name) if meta_old is not None else []
+        )
+        next_id = (
+            max(r["snapshot_id"] for r in snaps) + 1 if snaps else 1
+        )
+        parent_id = (
+            self._current(meta_old, name)["snapshot_id"]
+            if meta_old is not None
+            else None
+        )
+        data_dir = f"{name}@v{next_id}"
+        data_path = os.path.join(self.root, data_dir)
         df.write.mode("overwrite").parquet(data_path)
         if callable(counters):
             # evaluated AFTER the write action so Observation-backed
@@ -109,22 +182,96 @@ class StageStore:
             # second pass) are available
             counters = counters()
         partitions = _scan_partitions(data_path)
-        tmp = manifest + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(
-                {
-                    "stage": name,
-                    "input_fingerprint": input_fingerprint,
-                    "committed_at": time.time(),
-                    "counters": counters or {},
-                    "partitions": partitions,
-                    "n_rows": _total_rows(partitions),
-                    "n_partitions": len(partitions),
-                },
-                f,
-            )
-        os.replace(tmp, manifest)  # atomic commit point
+        rec = {
+            "snapshot_id": next_id,
+            "parent_id": parent_id,
+            "data_dir": data_dir,
+            "input_fingerprint": input_fingerprint,
+            "committed_at": time.time(),
+            "counters": counters or {},
+            "partitions": partitions,
+            "n_rows": _total_rows(partitions),
+            "n_partitions": len(partitions),
+        }
+        meta = {
+            "stage": name,
+            "current_snapshot_id": next_id,
+            "snapshots": snaps + [rec],
+            # top-level mirror of the current snapshot (resume checks,
+            # metrics table, pre-snapshot manifest readers)
+            **{k: rec[k] for k in rec if k not in ("snapshot_id",)},
+        }
+        self._write_manifest(name, meta)
         return df.sparkSession.read.parquet(data_path)
+
+    def snapshots(self, name: str) -> list[dict]:
+        """The snapshot log (Iceberg's ``table.snapshots()``): one dict
+        per retained snapshot, oldest first."""
+        meta = self._meta(name)
+        if meta is None:
+            raise ValueError(f"stage {name!r} has no committed manifest")
+        return self._snapshots(meta, name)
+
+    def rollback(self, name: str, snapshot_id: int) -> dict:
+        """Point the stage's CURRENT back to ``snapshot_id`` (Iceberg's
+        ``rollback_to_snapshot``): no data moves, resume and load now see
+        that snapshot; the rolled-past snapshots stay in the log until
+        expired. Returns the now-current snapshot record."""
+        meta = self._meta(name)
+        if meta is None:
+            raise ValueError(f"stage {name!r} has no committed manifest")
+        snaps = self._snapshots(meta, name)
+        for rec in snaps:
+            if rec["snapshot_id"] == snapshot_id:
+                meta.update(
+                    current_snapshot_id=snapshot_id,
+                    snapshots=snaps,
+                    **{
+                        k: rec[k]
+                        for k in rec
+                        if k not in ("snapshot_id",)
+                    },
+                )
+                self._write_manifest(name, meta)
+                return rec
+        raise ValueError(
+            f"stage {name!r} has no snapshot {snapshot_id} "
+            f"(retained: {[r['snapshot_id'] for r in snaps]})"
+        )
+
+    def expire_snapshots(self, name: str, keep_last: int = 2) -> list[int]:
+        """Retention (Iceberg's ``expire_snapshots``): keep the newest
+        ``keep_last`` snapshots plus — always — the current one; delete
+        the data directories of the rest. The manifest is swapped BEFORE
+        any bytes are deleted, so a crash mid-expiry leaves orphan
+        directories (harmless, re-expired next call), never a manifest
+        pointing at deleted data. Returns the expired snapshot ids."""
+        import shutil
+
+        meta = self._meta(name)
+        if meta is None:
+            raise ValueError(f"stage {name!r} has no committed manifest")
+        snaps = self._snapshots(meta, name)
+        cur = self._current(meta, name)["snapshot_id"]
+        keep_ids = {
+            r["snapshot_id"]
+            for r in sorted(snaps, key=lambda r: r["snapshot_id"])[
+                -max(1, keep_last):
+            ]
+        }
+        keep_ids.add(cur)
+        expired = [r for r in snaps if r["snapshot_id"] not in keep_ids]
+        if not expired:
+            return []
+        meta.update(
+            snapshots=[r for r in snaps if r["snapshot_id"] in keep_ids]
+        )
+        self._write_manifest(name, meta)
+        for r in expired:
+            shutil.rmtree(
+                os.path.join(self.root, r["data_dir"]), ignore_errors=True
+            )
+        return [r["snapshot_id"] for r in expired]
 
     def compact(
         self, name: str, target_bytes: int = 128 * 1024 * 1024
@@ -139,38 +286,62 @@ class StageStore:
         row-preserving against the manifest before swapping it."""
         from .layout import compact_parquet
 
-        data_path, manifest = self._paths(name)
-        if not os.path.exists(manifest):
+        meta = self._meta(name)
+        if meta is None:
             raise ValueError(f"stage {name!r} has no committed manifest")
-        with open(manifest) as f:
-            meta = json.load(f)
+        snaps = self._snapshots(meta, name)
+        cur_id = meta.get("current_snapshot_id", snaps[-1]["snapshot_id"])
+        rec = next(r for r in snaps if r["snapshot_id"] == cur_id)
+        data_path = os.path.join(self.root, rec["data_dir"])
         spark = SparkSession.getActiveSession()
         stats = compact_parquet(spark, data_path, target_bytes)
         if not stats["compacted"]:
             return stats
         partitions = _scan_partitions(data_path)
         n_rows = _total_rows(partitions)
-        if meta.get("n_rows") is not None and n_rows != meta["n_rows"]:
+        if rec.get("n_rows") is not None and n_rows != rec["n_rows"]:
             raise RuntimeError(
                 f"compaction of stage {name!r} changed the row count: "
-                f"{meta['n_rows']} → {n_rows}"
+                f"{rec['n_rows']} → {n_rows}"
             )
-        meta.update(
+        patch = dict(
             partitions=partitions,
             n_rows=n_rows,
             n_partitions=len(partitions),
             compacted_at=time.time(),
         )
-        tmp = manifest + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, manifest)
+        rec.update(patch)  # rec aliases into snaps
+        meta.update(
+            current_snapshot_id=cur_id,
+            snapshots=snaps,
+            **patch,  # top-level mirror follows the current snapshot
+        )
+        self._write_manifest(name, meta)
         return stats
 
-    def load(self, name: str) -> DataFrame:
-        data_path, _ = self._paths(name)
+    def load(self, name: str, snapshot_id: int | None = None) -> DataFrame:
+        """Read a stage table — the current snapshot by default, or any
+        retained one via ``snapshot_id`` (Iceberg time travel)."""
         spark = SparkSession.getActiveSession()
-        return spark.read.parquet(data_path)
+        meta = self._meta(name)
+        if meta is None:
+            # pre-commit / externally-written stage dir: legacy path
+            return spark.read.parquet(self._paths(name)[0])
+        if snapshot_id is None:
+            rec = self._current(meta, name)
+        else:
+            recs = [
+                r
+                for r in self._snapshots(meta, name)
+                if r["snapshot_id"] == snapshot_id
+            ]
+            if not recs:
+                raise ValueError(
+                    f"stage {name!r} has no snapshot {snapshot_id} "
+                    "(expired or never committed)"
+                )
+            rec = recs[0]
+        return spark.read.parquet(os.path.join(self.root, rec["data_dir"]))
 
     def counters(self) -> list[dict]:
         out = []
