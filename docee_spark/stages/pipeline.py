@@ -73,6 +73,12 @@ def _total_rows(partitions: list[dict]) -> int | None:
     return sum(p["rows"] for p in partitions)
 
 
+def _dirs_of(rec: dict) -> list[str]:
+    """A snapshot's full file set as data directories. Pre-append
+    records (and lifted legacy manifests) carry only ``data_dir``."""
+    return list(rec.get("data_dirs") or [rec["data_dir"]])
+
+
 class StageStore:
     """Parquet + manifest emulation of Iceberg snapshot-resumable tables.
 
@@ -160,7 +166,23 @@ class StageStore:
         df: DataFrame,
         input_fingerprint: str,
         counters: dict[str, float] | Callable[[], dict] | None = None,
+        mode: str = "overwrite",
     ) -> DataFrame:
+        """Write ``df`` as a new snapshot of the stage table.
+
+        ``mode="overwrite"`` (default): the snapshot's file set is
+        exactly this commit's files — the full-rewrite semantics every
+        stage uses today. ``mode="append"`` (Iceberg's append
+        operation): the new files are ADDED to the parent snapshot's
+        file set — the snapshot reads as parent ∪ delta, and the delta
+        alone is recoverable later via :meth:`incremental_scan`. Either
+        way data lands in a fresh immutable ``<stage>@v<id>`` directory
+        and the manifest swap is the single atomic commit point. The
+        returned DataFrame reads the full new snapshot (for ``append``
+        that is the whole table, not just the delta).
+        """
+        if mode not in ("overwrite", "append"):
+            raise ValueError(f"commit mode {mode!r}: overwrite or append")
         meta_old = self._meta(name)
         snaps = (
             self._snapshots(meta_old, name) if meta_old is not None else []
@@ -168,11 +190,10 @@ class StageStore:
         next_id = (
             max(r["snapshot_id"] for r in snaps) + 1 if snaps else 1
         )
-        parent_id = (
-            self._current(meta_old, name)["snapshot_id"]
-            if meta_old is not None
-            else None
+        parent = (
+            self._current(meta_old, name) if meta_old is not None else None
         )
+        parent_id = parent["snapshot_id"] if parent is not None else None
         data_dir = f"{name}@v{next_id}"
         data_path = os.path.join(self.root, data_dir)
         df.write.mode("overwrite").parquet(data_path)
@@ -181,16 +202,34 @@ class StageStore:
             # counters (collected during the commit scan itself — no
             # second pass) are available
             counters = counters()
+        # partitions = the ADDED files (an Iceberg snapshot manifest
+        # records the files the operation added; for overwrite that is
+        # the whole file set)
         partitions = _scan_partitions(data_path)
+        added_rows = _total_rows(partitions)
+        if mode == "append" and parent is not None:
+            data_dirs = _dirs_of(parent) + [data_dir]
+            parent_rows = parent.get("n_rows")
+            n_rows = (
+                parent_rows + added_rows
+                if parent_rows is not None and added_rows is not None
+                else None
+            )
+        else:
+            data_dirs = [data_dir]
+            n_rows = added_rows
         rec = {
             "snapshot_id": next_id,
             "parent_id": parent_id,
+            "operation": mode if parent is not None else "overwrite",
             "data_dir": data_dir,
+            "data_dirs": data_dirs,
             "input_fingerprint": input_fingerprint,
             "committed_at": time.time(),
             "counters": counters or {},
             "partitions": partitions,
-            "n_rows": _total_rows(partitions),
+            "n_rows": n_rows,
+            "n_rows_added": added_rows,
             "n_partitions": len(partitions),
         }
         meta = {
@@ -202,7 +241,9 @@ class StageStore:
             **{k: rec[k] for k in rec if k not in ("snapshot_id",)},
         }
         self._write_manifest(name, meta)
-        return df.sparkSession.read.parquet(data_path)
+        return df.sparkSession.read.parquet(
+            *(os.path.join(self.root, d) for d in data_dirs)
+        )
 
     def snapshots(self, name: str) -> list[dict]:
         """The snapshot log (Iceberg's ``table.snapshots()``): one dict
@@ -263,14 +304,14 @@ class StageStore:
         expired = [r for r in snaps if r["snapshot_id"] not in keep_ids]
         if not expired:
             return []
-        meta.update(
-            snapshots=[r for r in snaps if r["snapshot_id"] in keep_ids]
-        )
+        kept = [r for r in snaps if r["snapshot_id"] in keep_ids]
+        meta.update(snapshots=kept)
         self._write_manifest(name, meta)
-        for r in expired:
-            shutil.rmtree(
-                os.path.join(self.root, r["data_dir"]), ignore_errors=True
-            )
+        # append snapshots SHARE directories with their ancestors: only
+        # delete a directory no retained snapshot still references
+        referenced = {d for r in kept for d in _dirs_of(r)}
+        for d in {d for r in expired for d in _dirs_of(r)} - referenced:
+            shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
         return [r["snapshot_id"] for r in expired]
 
     def compact(
@@ -292,6 +333,14 @@ class StageStore:
         snaps = self._snapshots(meta, name)
         cur_id = meta.get("current_snapshot_id", snaps[-1]["snapshot_id"])
         rec = next(r for r in snaps if r["snapshot_id"] == cur_id)
+        if len(_dirs_of(rec)) > 1:
+            # an append chain's file set spans several directories: the
+            # in-place rewrite below can't merge across them, so this is
+            # the Iceberg rewrite_data_files-as-REPLACE-snapshot path —
+            # the union is rewritten into one fresh directory and
+            # committed as a new snapshot (operation "replace") that
+            # keeps the fingerprint/counters, so resume still skips
+            return self._compact_multi(name, meta, snaps, rec, target_bytes)
         data_path = os.path.join(self.root, rec["data_dir"])
         spark = SparkSession.getActiveSession()
         stats = compact_parquet(spark, data_path, target_bytes)
@@ -319,6 +368,76 @@ class StageStore:
         self._write_manifest(name, meta)
         return stats
 
+    def _compact_multi(
+        self,
+        name: str,
+        meta: dict,
+        snaps: list[dict],
+        rec: dict,
+        target_bytes: int,
+    ) -> dict:
+        """Compact a multi-directory (append-chain) snapshot by rewriting
+        the union into ONE fresh directory committed as a new REPLACE
+        snapshot. Content-preserving: fingerprint and counters carry
+        over (resume still skips), row count is verified, and the old
+        directories stay owned by the prior snapshots until expired."""
+        import math
+
+        from .layout import _parquet_files
+
+        spark = SparkSession.getActiveSession()
+        dirs = _dirs_of(rec)
+        paths = [os.path.join(self.root, d) for d in dirs]
+        files = [f for p in paths for f in _parquet_files(p)]
+        total = sum(b for _, b in files)
+        n_out = max(1, math.ceil(total / target_bytes))
+        if n_out >= len(files):
+            return {
+                "files_before": len(files),
+                "files_after": len(files),
+                "bytes": total,
+                "compacted": False,
+            }
+        next_id = max(r["snapshot_id"] for r in snaps) + 1
+        data_dir = f"{name}@v{next_id}"
+        data_path = os.path.join(self.root, data_dir)
+        spark.read.parquet(*paths).coalesce(n_out).write.mode(
+            "overwrite"
+        ).parquet(data_path)
+        partitions = _scan_partitions(data_path)
+        n_rows = _total_rows(partitions)
+        if rec.get("n_rows") is not None and n_rows != rec["n_rows"]:
+            raise RuntimeError(
+                f"compaction of stage {name!r} changed the row count: "
+                f"{rec['n_rows']} → {n_rows}"
+            )
+        new_rec = {
+            **rec,
+            "snapshot_id": next_id,
+            "parent_id": rec["snapshot_id"],
+            "operation": "replace",
+            "data_dir": data_dir,
+            "data_dirs": [data_dir],
+            "partitions": partitions,
+            "n_rows": n_rows,
+            "n_rows_added": n_rows,
+            "n_partitions": len(partitions),
+            "compacted_at": time.time(),
+        }
+        meta = {
+            "stage": name,
+            "current_snapshot_id": next_id,
+            "snapshots": snaps + [new_rec],
+            **{k: new_rec[k] for k in new_rec if k not in ("snapshot_id",)},
+        }
+        self._write_manifest(name, meta)
+        return {
+            "files_before": len(files),
+            "files_after": len(partitions),
+            "bytes": total,
+            "compacted": True,
+        }
+
     def load(self, name: str, snapshot_id: int | None = None) -> DataFrame:
         """Read a stage table — the current snapshot by default, or any
         retained one via ``snapshot_id`` (Iceberg time travel)."""
@@ -341,7 +460,83 @@ class StageStore:
                     "(expired or never committed)"
                 )
             rec = recs[0]
-        return spark.read.parquet(os.path.join(self.root, rec["data_dir"]))
+        return spark.read.parquet(
+            *(os.path.join(self.root, d) for d in _dirs_of(rec))
+        )
+
+    def incremental_scan(
+        self,
+        name: str,
+        from_snapshot_id: int,
+        to_snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Read ONLY the rows appended after ``from_snapshot_id``
+        (exclusive) up to ``to_snapshot_id`` (inclusive; default the
+        current snapshot) — Iceberg's incremental append scan. The
+        downstream incremental consumer (re-extract only the new crawl
+        batch, then :func:`canonicalize.merge_triples` into the KG)
+        processes the delta instead of the table. Every snapshot on the
+        parent chain between the two must be an append; an overwrite in
+        between means the delta is not defined and this raises — fall
+        back to a full recompute, exactly like Iceberg."""
+        meta = self._meta(name)
+        if meta is None:
+            raise ValueError(f"stage {name!r} has no committed manifest")
+        snaps = {
+            r["snapshot_id"]: r for r in self._snapshots(meta, name)
+        }
+        if to_snapshot_id is None:
+            to_snapshot_id = self._current(meta, name)["snapshot_id"]
+        for sid in (from_snapshot_id, to_snapshot_id):
+            if sid not in snaps:
+                raise ValueError(
+                    f"stage {name!r} has no snapshot {sid} "
+                    f"(retained: {sorted(snaps)})"
+                )
+        spark = SparkSession.getActiveSession()
+        if to_snapshot_id == from_snapshot_id:
+            # no new snapshots: an empty delta with the table's schema
+            return self.load(name, to_snapshot_id).limit(0)
+        added: list[str] = []
+        sid = to_snapshot_id
+        while sid != from_snapshot_id:
+            rec = snaps.get(sid)
+            if rec is None or rec.get("parent_id") is None:
+                raise ValueError(
+                    f"stage {name!r}: snapshot {from_snapshot_id} is not "
+                    f"an ancestor of {to_snapshot_id}"
+                )
+            if rec.get("operation", "overwrite") != "append":
+                raise ValueError(
+                    f"stage {name!r}: snapshot {sid} is "
+                    f"{rec.get('operation', 'overwrite')!r}, not append — "
+                    "the incremental delta is undefined; recompute from "
+                    "the full table"
+                )
+            added.append(rec["data_dir"])
+            sid = rec["parent_id"]
+        return spark.read.parquet(
+            *(os.path.join(self.root, d) for d in reversed(added))
+        )
+
+    def fingerprint_in_history(self, name: str, input_fingerprint: str) -> bool:
+        """True if any snapshot on the CURRENT snapshot's ancestor chain
+        carries ``input_fingerprint`` — the append-mode resume check: a
+        crawl batch already appended (even if later batches followed) is
+        skipped, but a batch rolled back out of the current lineage is
+        re-ingestable."""
+        meta = self._meta(name)
+        if meta is None:
+            return False
+        snaps = {
+            r["snapshot_id"]: r for r in self._snapshots(meta, name)
+        }
+        rec = self._current(meta, name)
+        while rec is not None:
+            if rec.get("input_fingerprint") == input_fingerprint:
+                return True
+            rec = snaps.get(rec.get("parent_id"))
+        return False
 
     def counters(self) -> list[dict]:
         out = []

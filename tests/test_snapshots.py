@@ -137,6 +137,114 @@ class TestSnapshots:
         assert store.is_committed("t", "fp1")
 
 
+class TestAppendAndIncrementalScan:
+    def test_append_reads_as_union(self, spark, tmp_path):
+        store = StageStore(str(tmp_path))
+        store.commit("t", df_of(spark, [1, 2]), "b1")
+        store.commit("t", df_of(spark, [3]), "b2", mode="append")
+        store.commit("t", df_of(spark, [4, 5]), "b3", mode="append")
+        assert rows(store.load("t")) == [1, 2, 3, 4, 5]
+        # time travel still sees each snapshot's full file set
+        assert rows(store.load("t", snapshot_id=2)) == [1, 2, 3]
+        log = store.snapshots("t")
+        assert [r.get("operation") for r in log] == [
+            "overwrite", "append", "append",
+        ]
+        assert log[-1]["n_rows"] == 5 and log[-1]["n_rows_added"] == 2
+
+    def test_incremental_scan_returns_only_the_delta(self, spark, tmp_path):
+        store = StageStore(str(tmp_path))
+        store.commit("t", df_of(spark, [1, 2]), "b1")
+        store.commit("t", df_of(spark, [3]), "b2", mode="append")
+        store.commit("t", df_of(spark, [4, 5]), "b3", mode="append")
+        assert rows(store.incremental_scan("t", 1)) == [3, 4, 5]
+        assert rows(store.incremental_scan("t", 2)) == [4, 5]
+        assert rows(store.incremental_scan("t", 1, to_snapshot_id=2)) == [3]
+        # from == to → empty delta with the table's schema
+        empty = store.incremental_scan("t", 3)
+        assert empty.count() == 0 and empty.columns == ["x"]
+
+    def test_incremental_scan_rejects_overwrite_in_between(
+        self, spark, tmp_path
+    ):
+        store = StageStore(str(tmp_path))
+        store.commit("t", df_of(spark, [1]), "b1")
+        store.commit("t", df_of(spark, [2]), "b2", mode="append")
+        store.commit("t", df_of(spark, [9]), "rewrite")  # overwrite
+        store.commit("t", df_of(spark, [10]), "b4", mode="append")
+        with pytest.raises(ValueError, match="not append"):
+            store.incremental_scan("t", 1)
+        # but the post-overwrite append chain is scannable
+        assert rows(store.incremental_scan("t", 3)) == [10]
+        with pytest.raises(ValueError, match="no snapshot 99"):
+            store.incremental_scan("t", 99)
+
+    def test_incremental_scan_requires_ancestry(self, spark, tmp_path):
+        store = StageStore(str(tmp_path))
+        store.commit("t", df_of(spark, [1]), "b1")
+        store.commit("t", df_of(spark, [2]), "b2", mode="append")
+        store.rollback("t", 1)
+        store.commit("t", df_of(spark, [3]), "b3", mode="append")
+        # snapshot 2 is a sibling branch, not an ancestor of 3's chain
+        with pytest.raises(ValueError, match="not an ancestor"):
+            store.incremental_scan("t", 2, to_snapshot_id=3)
+        assert rows(store.incremental_scan("t", 1, to_snapshot_id=3)) == [3]
+
+    def test_expire_keeps_directories_shared_with_retained(
+        self, spark, tmp_path
+    ):
+        store = StageStore(str(tmp_path))
+        store.commit("t", df_of(spark, [1]), "b1")
+        store.commit("t", df_of(spark, [2]), "b2", mode="append")
+        store.commit("t", df_of(spark, [3]), "b3", mode="append")
+        expired = store.expire_snapshots("t", keep_last=1)
+        assert expired == [1, 2]
+        # v1/v2 dirs are still REFERENCED by snapshot 3's file set:
+        # expiry must not delete them
+        assert rows(store.load("t")) == [1, 2, 3]
+        assert os.path.exists(str(tmp_path / "t@v1"))
+
+    def test_append_resume_via_fingerprint_history(self, spark, tmp_path):
+        store = StageStore(str(tmp_path))
+        store.commit("t", df_of(spark, [1]), "b1")
+        store.commit("t", df_of(spark, [2]), "b2", mode="append")
+        store.commit("t", df_of(spark, [3]), "b3", mode="append")
+        # a batch already appended (even if not latest) is skippable
+        assert store.fingerprint_in_history("t", "b2")
+        assert store.fingerprint_in_history("t", "b3")
+        assert not store.fingerprint_in_history("t", "b9")
+        # rollback drops later batches out of the current lineage
+        store.rollback("t", 2)
+        assert store.fingerprint_in_history("t", "b2")
+        assert not store.fingerprint_in_history("t", "b3")
+        assert not store.fingerprint_in_history("nope", "b1")
+
+    def test_compact_append_chain_creates_replace_snapshot(
+        self, spark, tmp_path
+    ):
+        store = StageStore(str(tmp_path))
+        store.commit("t", df_of(spark, list(range(50))).repartition(4), "b1")
+        store.commit(
+            "t",
+            df_of(spark, list(range(50, 100))).repartition(4),
+            "b2",
+            mode="append",
+        )
+        stats = store.compact("t", target_bytes=64 * 1024 * 1024)
+        assert stats["compacted"] and stats["files_after"] < stats["files_before"]
+        assert rows(store.load("t")) == list(range(100))
+        rec = store.snapshots("t")[-1]
+        assert rec["operation"] == "replace"
+        assert len(rec["data_dirs"]) == 1 and rec["n_rows"] == 100
+        # resume identity carries over (fingerprint preserved)
+        assert store.is_committed("t", "b2")
+        # a replace breaks the append delta chain, like Iceberg
+        with pytest.raises(ValueError, match="not append"):
+            store.incremental_scan("t", 1)
+        # prior snapshots still time-travel until expired
+        assert rows(store.load("t", snapshot_id=1)) == list(range(50))
+
+
 class TestSnapshotCli:
     def test_rollback_and_expire_maintenance(self, spark, tmp_path, capsys):
         """--rollback / --expire-snapshots are manifest-only maintenance
