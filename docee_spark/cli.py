@@ -14,6 +14,12 @@ Local smoke::
 Resumability: pass ``--store`` + ``--fingerprint`` (the input table's
 snapshot id) — stages whose manifest records the same fingerprint are
 skipped on rerun (stages/pipeline.py::StageStore).
+
+Incremental recrawl: ``--append`` treats the input as ONE crawl batch —
+appended to the store's webtext stage as an Iceberg-style append
+snapshot, extracted via the incremental scan's delta only, and folded
+into the existing KG with replacement-per-document merge semantics.
+Idempotent per batch fingerprint.
 """
 
 from __future__ import annotations
@@ -88,6 +94,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--ntriples", action="store_true",
                    help="also serialize the KG as N-Triples lines "
                         "(<output>/ntriples, one string column)")
+    p.add_argument("--append", action="store_true",
+                   help="incremental recrawl ingestion: the input is ONE "
+                        "crawl batch — append it to the store's webtext "
+                        "stage (Iceberg append snapshot), run extraction "
+                        "ONLY on the incremental scan's delta, and fold "
+                        "the result into the existing KG with "
+                        "merge_triples (replacement semantics per doc). "
+                        "Requires --store and --fingerprint (the batch "
+                        "id); idempotent — re-submitting an already-"
+                        "merged batch is a no-op resume")
     p.add_argument("--rollback", default=None, metavar="STAGE:ID",
                    help="maintenance action: point the stage's current "
                         "snapshot back to ID (Iceberg rollback_to_"
@@ -173,6 +189,78 @@ def main(argv: list[str] | None = None) -> int:
         event_types = get_event_template(args.template)
 
     t0 = time.time()
+    if args.append:
+        if not args.store or not args.fingerprint:
+            p.error("--append requires --store and --fingerprint "
+                    "(the crawl batch id)")
+        if args.refine or args.fused:
+            p.error("--append is the staged incremental path; it is "
+                    "incompatible with --refine/--fused")
+        from docee_spark.stages.canonicalize import merge_triples
+
+        store = StageStore(args.store)
+        fp = args.fingerprint
+        if store.exists("triples") and store.is_committed("triples", fp):
+            # the whole batch (ingest + merge) already landed: resume
+            result = {
+                "triples": store.load("triples"),
+                "vertices": store.load("vertices"),
+                "edges": store.load("edges"),
+            }
+            batch_rows = 0
+        else:
+            if store.fingerprint_in_history("webtext", fp):
+                # ingested but merge didn't commit (crash between the
+                # two): recover the batch's snapshot, recompute its delta
+                rec = next(
+                    r
+                    for r in reversed(store.snapshots("webtext"))
+                    if r.get("input_fingerprint") == fp
+                )
+            else:
+                store.commit("webtext", web, fp, mode="append")
+                rec = store.snapshots("webtext")[-1]
+            if rec.get("parent_id") is None:
+                delta = store.load("webtext", rec["snapshot_id"])
+            else:
+                delta = store.incremental_scan(
+                    "webtext", rec["parent_id"], rec["snapshot_id"]
+                )
+            batch_rows = rec.get("n_rows_added") or delta.count()
+            # extraction runs ONLY on the delta (∝ batch, not corpus);
+            # no inner store — the merged KG is the committed artifact
+            out = run_pipeline(
+                delta,
+                entity_dict=entity_dict,
+                mode=args.mode,
+                model=model,
+                adj_scorer=scorer,
+                ent_fix_mode=args.ent_fix_mode,
+                rearrange_max_len=args.rearrange_max_len,
+                event_types=event_types,
+                num_triggers=args.num_triggers,
+            )
+            if store.exists("triples"):
+                old = store.load("triples")
+                merged, vertices, edges = merge_triples(old, out["triples"])
+            else:
+                merged, vertices, edges = (
+                    out["triples"], out["vertices"], out["edges"],
+                )
+            result = {
+                "triples": store.commit("triples", merged, fp),
+                "vertices": store.commit("vertices", vertices, fp),
+                "edges": store.commit("edges", edges, fp),
+            }
+        write_kg(result, args.output)
+        print(json.dumps({
+            "triples": result["triples"].count(),
+            "batch_docs": int(batch_rows),
+            "seconds": round(time.time() - t0, 1),
+            "mode": f"{args.mode}+append",
+            "output": args.output,
+        }))
+        return 0
     if args.refine:
         if args.fused or model is not None or scorer is not None:
             p.error("--refine composes the staged heuristic pipeline; "

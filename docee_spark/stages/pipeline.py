@@ -154,6 +154,10 @@ class StageStore:
             json.dump(meta, f)
         os.replace(tmp, manifest)  # atomic commit point
 
+    def exists(self, name: str) -> bool:
+        """True if the stage has a committed manifest."""
+        return self._meta(name) is not None
+
     def is_committed(self, name: str, input_fingerprint: str) -> bool:
         meta = self._meta(name)
         if meta is None:

@@ -128,3 +128,47 @@ class TestIncrementalCrawlE2E:
         assert _sorted_rows(merged) == _sorted_rows(full["triples"])
         assert _sorted_rows(vertices) == _sorted_rows(full["vertices"])
         assert _sorted_rows(edges) == _sorted_rows(full["edges"])
+
+
+class TestAppendCli:
+    """--append: the spark-submit surface for recrawl batches."""
+
+    def test_two_batches_equal_one_shot(self, spark, tmp_path):
+        from docee_spark.cli import main
+        from docee_spark.fixtures import generate_corpus
+        from docee_spark.schema import WEBTEXT
+
+        web_rows, _ = generate_corpus(60, seed=7)
+        web = spark.createDataFrame(web_rows, WEBTEXT)
+        half = F.crc32(F.col("url")) % 2
+        b1, b2 = str(tmp_path / "b1"), str(tmp_path / "b2")
+        full = str(tmp_path / "full")
+        web.filter(half == 0).write.parquet(b1)
+        web.filter(half == 1).write.parquet(b2)
+        web.write.parquet(full)
+        store, out = str(tmp_path / "store"), str(tmp_path / "out")
+
+        for batch, fp in ((b1, "crawl-b1"), (b2, "crawl-b2")):
+            rc = main(["--input", batch, "--output", out,
+                       "--store", store, "--fingerprint", fp, "--append"])
+            assert rc == 0
+        got = _sorted_rows(spark.read.parquet(f"{out}/triples"))
+
+        rc = main(["--input", full, "--output", str(tmp_path / "out_full")])
+        assert rc == 0
+        want = _sorted_rows(
+            spark.read.parquet(str(tmp_path / "out_full/triples"))
+        )
+        assert got == want
+        assert _sorted_rows(spark.read.parquet(f"{out}/edges")) == \
+            _sorted_rows(spark.read.parquet(str(tmp_path / "out_full/edges")))
+
+        # idempotent resume: re-submitting batch 2 is a no-op
+        rc = main(["--input", b2, "--output", out,
+                   "--store", store, "--fingerprint", "crawl-b2", "--append"])
+        assert rc == 0
+        assert _sorted_rows(spark.read.parquet(f"{out}/triples")) == want
+        # and the webtext stage gained no snapshot from the retry
+        from docee_spark.stages.pipeline import StageStore
+
+        assert len(StageStore(store).snapshots("webtext")) == 2
