@@ -798,6 +798,30 @@ def q_kg_khop(spark, sf):
     return k_hop(edges, seeds, hops=2, directed=False)
 
 
+def q_kg_components(spark, sf):
+    """Weakly connected components over the canonicalized KG edge table:
+    duplicate_clusters (operators/dedup.py — min-label propagation with
+    per-pass pointer jumping, the SoCC'14 MapReduce-CC shape, O(log
+    diameter) passes of two hash joins each) reused as generic graph CC.
+    Answers "which entities are transitively connected through shared
+    events"; component = the component's lexicographically-minimal
+    entity id. The oracle re-derives the edge table through the
+    independent gold+canonicalizer CTE chain and computes components by
+    recursive transitive closure — a different algorithm on an
+    independently-built graph."""
+    from docee_spark.operators.dedup import duplicate_clusters
+    from docee_spark.stages.pipeline import run_pipeline
+
+    web, gold = _fixture_webtext_and_gold(spark)
+    edges = run_pipeline(web, gold=gold, mode="clique", adjacency="gold")[
+        "edges"
+    ]
+    comp = duplicate_clusters(edges, a_col="src", b_col="dst")
+    return comp.select(
+        F.col("doc_id").alias("node"), F.col("cluster_id").alias("component")
+    )
+
+
 def q_kg_bgp(spark, sf):
     """General basic-graph-pattern match (operators/kgquery.py:
     bgp_match): the 3-leg star-and-chain pattern
@@ -1892,6 +1916,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window three ways (docee_triples_biaffine / _doc_ctx /
         # _git_rgcn all decode scorer-produced adjacency)
         "docee_triples_scored": q_docee_triples_scored,
+        # kg_components — new r4 tail entry (no free window slot this
+        # round: every in-window entry is either never-driver-recorded
+        # or a survey row's primary oracle); the CC engine code itself
+        # runs in-window via dedup_clusters, this re-checks it as
+        # generic KG analytics against a recursive-closure oracle
+        "kg_components": q_kg_components,
         "model_spans_spot": q_model_spans_spot,
         "docee_triples_trigger_inc": q_docee_triples_trigger_inc,
         "docee_triples_product": q_docee_triples_product,
@@ -4768,6 +4798,32 @@ group by 1
 """
 
 
+def _kg_components_sql() -> str:
+    """Independent oracle for KG connected components: the shared
+    gold+canonicalizer CTE chain rebuilds the edge table, then a
+    recursive transitive-closure CTE (node reaches r) with min-label
+    aggregation — vs the engine's min-label propagation + pointer
+    jumping over the pipeline-built graph."""
+    base = _gold_canon_ctes()
+    assert base.lstrip().startswith("with ")
+    base = base.replace("with ", "with recursive ", 1)
+    return f"""{base},
+ce as (
+  select distinct rs.lsh_rep as src, ro.lsh_rep as dst
+  from gtrips t
+  join rep2 rs on rs.surface = t.subj
+  join rep2 ro on ro.surface = t.obj
+),
+u as (select src, dst from ce union select dst, src from ce),
+reach(node, r) as (
+  select src, src from u
+  union
+  select u.dst, reach.r from u join reach on reach.node = u.src
+)
+select node, min(r) as component from reach group by node
+"""
+
+
 def _docee_vertices_verified_sql() -> str:
     """Independent oracle for the verified canonicalizer: the shared
     gold-derivation chain for surfaces/signatures, then band blocking
@@ -5164,6 +5220,7 @@ def oracle_sql() -> dict[str, str]:
         "docee_vertices": _docee_vertices_sql(),
         "docee_vertices_verified": _docee_vertices_verified_sql(),
         "docee_edges": _docee_edges_sql(),
+        "kg_components": _kg_components_sql(),
         "kg_ntriples": _kg_ntriples_sql(),
         "docee_adj_metrics": _docee_adj_metrics_sql(),
         "docee_eval_rollup": _docee_eval_rollup_sql(),
