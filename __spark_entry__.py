@@ -822,6 +822,47 @@ def q_kg_components(spark, sf):
     )
 
 
+def q_kg_scd2(spark, sf):
+    """Temporal KG: SCD Type-2 validity intervals
+    (operators/temporal.py:scd2_history) over the same deterministic
+    3-capture recrawl table as recrawl_churn, tracking the content
+    fingerprint. One key-hash shuffle; every later window reuses the
+    exchange (plan-asserted in tests/test_scd2.py). The oracle derives
+    the identical intervals with the gaps-and-islands max-carry-forward
+    grouping — a different construction than the engine's running-sum
+    version counter."""
+    from docee_spark.operators.temporal import scd2_history
+
+    d = _read(spark, sf, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    url = F.concat(F.lit("u"), i.cast("string")).alias("url")
+
+    def cap(k, txt):
+        return d.select(url, (i * 10 + k).alias("warc_ts"), txt.alias("text"))
+
+    caps = (
+        cap(1, F.col("text"))
+        .unionByName(
+            cap(
+                2,
+                F.when(
+                    i % 3 == 0, F.concat(F.col("text"), F.lit(" vB"))
+                ).otherwise(F.col("text")),
+            )
+        )
+        .unionByName(
+            cap(
+                3,
+                F.when(
+                    i % 2 == 0, F.concat(F.col("text"), F.lit(" vC"))
+                ).otherwise(F.col("text")),
+            )
+        )
+        .select("url", "warc_ts", F.md5("text").alias("fp"))
+    )
+    return scd2_history(caps, "url", "warc_ts", ["fp"])
+
+
 def q_kg_bgp(spark, sf):
     """General basic-graph-pattern match (operators/kgquery.py:
     bgp_match): the 3-leg star-and-chain pattern
@@ -1922,6 +1963,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # runs in-window via dedup_clusters, this re-checks it as
         # generic KG analytics against a recursive-closure oracle
         "kg_components": q_kg_components,
+        # kg_scd2 — new r4 tail entry: temporal-KG SCD2 validity
+        # intervals; recrawl temporal coverage stays in-window via
+        # recrawl_churn (same capture table, different operator)
+        "kg_scd2": q_kg_scd2,
         "model_spans_spot": q_model_spans_spot,
         "docee_triples_trigger_inc": q_docee_triples_trigger_inc,
         "docee_triples_product": q_docee_triples_product,
@@ -4798,6 +4843,53 @@ group by 1
 """
 
 
+def _kg_scd2_sql() -> str:
+    """Independent oracle for SCD2 history: identical 3-capture table,
+    then gaps-and-islands — change timestamps carried forward with a
+    running max define the island key, grouped, then chained with lead.
+    The engine instead counts changes with a running sum and filters
+    version-start rows."""
+    return """
+with caps as (
+  select 'u' || doc_id as url, doc_id * 10 + 1 as warc_ts, text
+  from documents
+  union all
+  select 'u' || doc_id, doc_id * 10 + 2,
+         case when doc_id % 3 = 0 then text || ' vB' else text end
+  from documents
+  union all
+  select 'u' || doc_id, doc_id * 10 + 3,
+         case when doc_id % 2 = 0 then text || ' vC' else text end
+  from documents
+),
+f as (select url, warc_ts, md5(text) as fp from caps),
+marked as (
+  select url, warc_ts, fp,
+         case when lag(fp) over (partition by url order by warc_ts)
+                   is distinct from fp
+              then warc_ts end as chg
+  from f
+),
+grp as (
+  select url, warc_ts, fp,
+         max(chg) over (partition by url order by warc_ts
+                        rows unbounded preceding) as g
+  from marked
+),
+ver as (
+  select url, fp, g as valid_from, count(*) as n_captures
+  from grp group by url, fp, g
+)
+select url, fp, valid_from,
+       lead(valid_from) over (partition by url order by valid_from)
+         as valid_to,
+       lead(valid_from) over (partition by url order by valid_from)
+         is null as is_current,
+       n_captures
+from ver
+"""
+
+
 def _kg_components_sql() -> str:
     """Independent oracle for KG connected components: the shared
     gold+canonicalizer CTE chain rebuilds the edge table, then a
@@ -5221,6 +5313,7 @@ def oracle_sql() -> dict[str, str]:
         "docee_vertices_verified": _docee_vertices_verified_sql(),
         "docee_edges": _docee_edges_sql(),
         "kg_components": _kg_components_sql(),
+        "kg_scd2": _kg_scd2_sql(),
         "kg_ntriples": _kg_ntriples_sql(),
         "docee_adj_metrics": _docee_adj_metrics_sql(),
         "docee_eval_rollup": _docee_eval_rollup_sql(),
