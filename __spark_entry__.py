@@ -419,6 +419,47 @@ def q_dedup_clusters(spark, sf):
     )
 
 
+def q_dedup_quality(spark, sf):
+    """Clustering-quality scoring (operators/ereval.py) of the MinHash
+    dedup clusterer against planted ground truth: every doc_id%3==0 doc
+    gets an exact copy and every doc_id%5==0 doc a drifted near-copy
+    (gold group = the base doc); naturally-similar corpus docs the
+    clusterer links count against pairwise/B-cubed precision. All
+    metrics are integer fixed-point (per-cell e8 quantization) so the
+    oracle — recursive-closure components over independently re-derived
+    MinHash pairs, metrics restated in SQL — matches bit-for-bit."""
+    from docee_spark.operators.dedup import (
+        duplicate_clusters,
+        minhash_verified_pairs,
+    )
+    from docee_spark.operators.ereval import clustering_quality
+
+    d = _read(spark, sf, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    base = d.select(i.alias("doc_id"), i.alias("gold_id"), F.col("text"))
+    copies = d.where(i % 3 == 0).select(
+        (i + 1000000).alias("doc_id"), i.alias("gold_id"), F.col("text")
+    )
+    near = d.where(i % 5 == 0).select(
+        (i + 2000000).alias("doc_id"),
+        i.alias("gold_id"),
+        F.concat(F.col("text"), F.lit(" near dup drift tail")).alias("text"),
+    )
+    planted = base.unionByName(copies).unionByName(near)
+    pairs = minhash_verified_pairs(planted, threshold_e4=5000)
+    cl = duplicate_clusters(pairs)
+    assign = (
+        planted.select("doc_id", "gold_id")
+        .join(cl.select("doc_id", "cluster_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            "gold_id",
+        )
+    )
+    return clustering_quality(assign)
+
+
 def q_dedup_chunks(spark, sf):
     """C4-style cross-corpus span dedup at 16-token windows: first
     occurrence of each distinct chunk wins, documents reassembled from
@@ -1967,6 +2008,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # intervals; recrawl temporal coverage stays in-window via
         # recrawl_churn (same capture table, different operator)
         "kg_scd2": q_kg_scd2,
+        # dedup_quality — new r4 tail entry: pairwise + B-cubed ER
+        # metrics of the MinHash clusterer vs planted ground truth
+        "dedup_quality": q_dedup_quality,
         "model_spans_spot": q_model_spans_spot,
         "docee_triples_trigger_inc": q_docee_triples_trigger_inc,
         "docee_triples_product": q_docee_triples_product,
@@ -2456,6 +2500,97 @@ walk(doc_id, reach) as (
 select doc_id, min(reach) as cluster_id,
   cast(case when doc_id = min(reach) then 1 else 0 end as int) as keep
 from walk group by doc_id
+"""
+
+
+def _dedup_quality_sql() -> str:
+    """Independent oracle for clustering-quality metrics: the planted
+    corpus restated in SQL, MinHash pairs re-derived over it (the
+    generated-verify SQL retargeted from `documents` to the planted
+    CTE), components by recursive reachability (vs the engine's label
+    propagation), and the pairwise/B-cubed formulas restated as integer
+    contingency-table arithmetic (same e8 per-cell quantization)."""
+    mh = _minhash_verified_sql()
+    assert mh.count("from documents") == 1
+    mh = mh.replace("from documents", "from planted")
+    return f"""
+with recursive planted as (
+  select doc_id, doc_id as gold_id, text from documents
+  union all
+  select doc_id + 1000000, doc_id, text
+  from documents where doc_id % 3 = 0
+  union all
+  select doc_id + 2000000, doc_id, text || ' near dup drift tail'
+  from documents where doc_id % 5 = 0
+),
+prs as (select doc_a, doc_b from ({mh})),
+edges as (
+  select doc_a as src, doc_b as dst from prs
+  union
+  select doc_b as src, doc_a as dst from prs
+),
+walk(doc_id, reach) as (
+  select src, src from edges
+  union
+  select w.doc_id, e.dst from walk w join edges e on e.src = w.reach
+),
+comp as (select doc_id, min(reach) as cluster_id from walk group by doc_id),
+assign as (
+  select p.doc_id, coalesce(c.cluster_id, p.doc_id) as cluster_id, p.gold_id
+  from planted p left join comp c on c.doc_id = p.doc_id
+),
+cells as (
+  select cluster_id, gold_id, count(*) as n from assign group by 1, 2
+),
+psz as (select cluster_id, cast(sum(n) as bigint) as pn
+        from cells group by 1),
+gsz as (select gold_id, cast(sum(n) as bigint) as gn from cells group by 1),
+j as (
+  select c.n, p.pn, g.gn
+  from cells c
+  join psz p on p.cluster_id = c.cluster_id
+  join gsz g on g.gold_id = c.gold_id
+),
+m as (
+  select cast(sum(n) as bigint) as n_items,
+         cast(sum(n * (n - 1)) // 2 as bigint) as pairs_tp,
+         cast(sum((100000000 * n * n) // pn) as bigint) as b3p_sum,
+         cast(sum((100000000 * n * n) // gn) as bigint) as b3r_sum
+  from j
+),
+pm as (
+  select cast(count(*) as bigint) as n_pred_clusters,
+         cast(sum(pn * (pn - 1)) // 2 as bigint) as pairs_pred
+  from psz
+),
+gm as (
+  select cast(count(*) as bigint) as n_gold_clusters,
+         cast(sum(gn * (gn - 1)) // 2 as bigint) as pairs_gold
+  from gsz
+),
+r as (select * from m, pm, gm),
+e4 as (
+  select *,
+    cast(case when pairs_pred > 0
+              then (10000 * pairs_tp) // pairs_pred else 0 end
+         as bigint) as pair_p_e4,
+    cast(case when pairs_gold > 0
+              then (10000 * pairs_tp) // pairs_gold else 0 end
+         as bigint) as pair_r_e4,
+    cast(case when pairs_pred + pairs_gold > 0
+              then (20000 * pairs_tp) // (pairs_pred + pairs_gold)
+              else 0 end as bigint) as pair_f1_e4,
+    cast(b3p_sum // (10000 * n_items) as bigint) as b3_p_e4,
+    cast(b3r_sum // (10000 * n_items) as bigint) as b3_r_e4
+  from r
+)
+select n_items, n_pred_clusters, n_gold_clusters,
+       pairs_tp, pairs_pred, pairs_gold,
+       pair_p_e4, pair_r_e4, pair_f1_e4, b3_p_e4, b3_r_e4,
+       cast(case when b3_p_e4 + b3_r_e4 > 0
+                 then (2 * b3_p_e4 * b3_r_e4) // (b3_p_e4 + b3_r_e4)
+                 else 0 end as bigint) as b3_f1_e4
+from e4
 """
 
 
@@ -5314,6 +5449,7 @@ def oracle_sql() -> dict[str, str]:
         "docee_edges": _docee_edges_sql(),
         "kg_components": _kg_components_sql(),
         "kg_scd2": _kg_scd2_sql(),
+        "dedup_quality": _dedup_quality_sql(),
         "kg_ntriples": _kg_ntriples_sql(),
         "docee_adj_metrics": _docee_adj_metrics_sql(),
         "docee_eval_rollup": _docee_eval_rollup_sql(),
