@@ -419,6 +419,67 @@ def q_dedup_clusters(spark, sf):
     )
 
 
+def q_url_keys(spark, sf):
+    """Crawl-index keys as one scan-side projection
+    (stages/ingest.py): SURT key (CDX range-partition key), bare host,
+    public suffix, and registered domain (eTLD+1) over a deterministic
+    synthetic url table covering mixed case, www/port stripping,
+    tracking params, 2-level public suffixes (co.uk), user-content
+    suffixes (github.io), PSL default-rule fallback (unknown TLD), and
+    scheme-less garbage passthrough. Oracle re-derives the whole
+    grammar — canonicalization, host reversal, longest-suffix PSL match
+    — in DuckDB string/list functions."""
+    from docee_spark.stages.ingest import (
+        public_suffix,
+        registered_domain,
+        surt_key,
+        url_host,
+    )
+
+    i = F.col("doc_id")
+
+    def s(c):
+        return c.cast("string")
+
+    d = _read(spark, sf, "documents").select("doc_id")
+    url = (
+        F.when(i % 97 == 0, F.concat(F.lit("garbage url "), s(i)))
+        .when(
+            i % 4 == 0,
+            F.concat(
+                F.lit("HTTPS://WWW.Shop"), s(i % 13),
+                F.lit(".Example.CO.UK:443/p/"), s(i),
+                F.lit("?utm_campaign=x&q="), s(i % 5),
+            ),
+        )
+        .when(
+            i % 4 == 1,
+            F.concat(
+                F.lit("http://blog"), s(i % 7), F.lit(".github.io:80/pg"),
+                s(i), F.lit("#top"),
+            ),
+        )
+        .when(
+            i % 4 == 2,
+            F.concat(
+                F.lit("https://cdn"), s(i % 11), F.lit(".host"), s(i % 3),
+                F.lit(".unknowntld/x"), s(i), F.lit("?b=2&a=1"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("ftp://Files.Example.com/"), s(i)))
+    )
+    w = d.select("doc_id", url.alias("url"))
+    h = url_host(F.col("url"))
+    return w.select(
+        "doc_id",
+        "url",
+        surt_key(F.col("url")).alias("surt"),
+        h.alias("host"),
+        public_suffix(h).alias("suffix"),
+        registered_domain(h).alias("regdom"),
+    )
+
+
 def q_dedup_quality(spark, sf):
     """Clustering-quality scoring (operators/ereval.py) of the MinHash
     dedup clusterer against planted ground truth: every doc_id%3==0 doc
@@ -2011,6 +2072,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup_quality — new r4 tail entry: pairwise + B-cubed ER
         # metrics of the MinHash clusterer vs planted ground truth
         "dedup_quality": q_dedup_quality,
+        # url_keys — new r4 tail entry: SURT / public-suffix /
+        # registered-domain crawl-index keys
+        "url_keys": q_url_keys,
         "model_spans_spot": q_model_spans_spot,
         "docee_triples_trigger_inc": q_docee_triples_trigger_inc,
         "docee_triples_product": q_docee_triples_product,
@@ -2500,6 +2564,101 @@ walk(doc_id, reach) as (
 select doc_id, min(reach) as cluster_id,
   cast(case when doc_id = min(reach) then 1 else 0 end as int) as keep
 from walk group by doc_id
+"""
+
+
+def _url_keys_sql() -> str:
+    """Independent oracle for the crawl-index keys: the same synthetic
+    url table, then the full grammar re-derived in DuckDB — scheme /
+    authority / path / query splitting, www+default-port stripping,
+    tracking-param filter + sort, host-label reversal for SURT, suffix
+    enumeration + longest-PSL-match for registered domain. The suffix
+    LIST is imported (it is frozen config data); every derivation step
+    is restated."""
+    from docee_spark.stages.ingest import PUBLIC_SUFFIXES
+
+    psl = ", ".join(f"'{s}'" for s in PUBLIC_SUFFIXES)
+    return rf"""
+with d as (select doc_id from documents),
+base as (
+  select doc_id,
+    case
+      when doc_id % 97 = 0 then 'garbage url ' || doc_id
+      when doc_id % 4 = 0 then
+        'HTTPS://WWW.Shop' || (doc_id % 13) || '.Example.CO.UK:443/p/'
+        || doc_id || '?utm_campaign=x&q=' || (doc_id % 5)
+      when doc_id % 4 = 1 then
+        'http://blog' || (doc_id % 7) || '.github.io:80/pg' || doc_id
+        || '#top'
+      when doc_id % 4 = 2 then
+        'https://cdn' || (doc_id % 11) || '.host' || (doc_id % 3)
+        || '.unknowntld/x' || doc_id || '?b=2&a=1'
+      else 'ftp://Files.Example.com/' || doc_id
+    end as url
+  from d
+),
+parts as (
+  select doc_id, url,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+      as scheme,
+    lower(regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) as auth,
+    regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) as rawpath,
+    regexp_extract(url, '^[^#?]*\?([^#]*)', 1) as q
+  from base
+),
+canonparts as (
+  select *,
+    (case when scheme = 'http'
+          then regexp_replace(regexp_replace(auth, '^(www\.)+', ''),
+                              ':80$', '')
+          when scheme = 'https'
+          then regexp_replace(regexp_replace(auth, '^(www\.)+', ''),
+                              ':443$', '')
+          else regexp_replace(auth, '^(www\.)+', '') end) as chost,
+    -- coalesce: array_to_string of a FILTERED empty list is NULL in
+    -- duckdb (type-inference quirk); a url with no query must give ''
+    coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'),
+      x -> x <> '' and not regexp_matches(x,
+        '^(utm_[a-z0-9]+|gclid|fbclid|msclkid|mc_cid|mc_eid|igshid|ref|ref_src)='
+      ))), '&'), '') as qs
+  from parts
+),
+keys as (
+  select doc_id, url,
+    case when scheme = '' then url else
+      array_to_string(list_reverse(string_split(chost, '.')), ',')
+      || ')'
+      || (case when rawpath = '' then '/' else rawpath end)
+      || (case when qs = '' then '' else '?' || qs end)
+    end as surt,
+    regexp_replace(auth, ':[0-9]+$', '') as host
+  from canonparts
+),
+psl as (
+  select *,
+    string_split(host, '.') as labels,
+    list_transform(range(1, len(string_split(host, '.')) + 1),
+      i -> array_to_string(string_split(host, '.')[i:], '.')) as cands
+  from keys
+),
+matched as (
+  select *,
+    list_filter(cands, s -> list_contains([{psl}], s)) as hits
+  from psl
+),
+final as (
+  select *,
+    hits[1] as suffix,
+    coalesce(list_position(cands, hits[1]), 0) as pos
+  from matched
+)
+select doc_id, url, surt, host, suffix,
+  case when pos > 1 then cands[pos - 1]
+       when pos = 0 and len(cands) >= 2 then cands[len(cands) - 1]
+       else null end as regdom
+from final
 """
 
 
@@ -5450,6 +5609,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_components": _kg_components_sql(),
         "kg_scd2": _kg_scd2_sql(),
         "dedup_quality": _dedup_quality_sql(),
+        "url_keys": _url_keys_sql(),
         "kg_ntriples": _kg_ntriples_sql(),
         "docee_adj_metrics": _docee_adj_metrics_sql(),
         "docee_eval_rollup": _docee_eval_rollup_sql(),

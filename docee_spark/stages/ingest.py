@@ -296,6 +296,86 @@ def canonical_url(url: Column) -> Column:
     return F.when(scheme == "", url).otherwise(canon)
 
 
+# Public-suffix snapshot used by registered_domain: the high-traffic
+# subset of the Mozilla Public Suffix List (publicsuffix.org — plain
+# TLDs plus the common country second-levels and the big user-content
+# suffixes). FROZEN for the same reason as _TRACKING_PARAM_RE: the
+# registered domain is a blocking/partition key, so it must be stable
+# across releases. Callers with full-PSL needs pass their own tuple —
+# the honest boundary, the list itself is data not code. Wildcard and
+# exception PSL rules (*.ck, !www.ck) are not modeled.
+PUBLIC_SUFFIXES: tuple[str, ...] = (
+    "com", "org", "net", "edu", "gov", "mil", "int", "info", "biz",
+    "io", "co", "ai", "dev", "app", "xyz", "me", "tv", "cc",
+    "us", "uk", "de", "fr", "jp", "cn", "ru", "br", "in", "au", "ca",
+    "it", "nl", "es", "se", "no", "pl", "ch", "at", "be", "dk", "fi",
+    "kr", "mx", "ar", "tr", "sg", "nz", "za", "eu",
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk",
+    "com.au", "net.au", "org.au", "co.jp", "ne.jp", "or.jp",
+    "co.kr", "com.br", "com.cn", "com.mx", "co.in", "co.nz",
+    "com.sg", "com.tr", "com.ar", "co.za", "com.pl",
+    "github.io", "gitlab.io", "blogspot.com", "wordpress.com",
+    "herokuapp.com", "appspot.com", "s3.amazonaws.com",
+)
+
+
+def public_suffix(
+    host: Column, suffixes: tuple[str, ...] = PUBLIC_SUFFIXES
+) -> Column:
+    """Longest suffix of ``host`` present in the suffix list; NULL when
+    none matches. Pure codegen: the candidate suffixes of a host are
+    enumerated longest-first (``_host_suffixes``) and filtered against
+    the frozen literal set — no join, no UDF, so it composes into any
+    scan-side projection."""
+    matches = F.filter(_host_suffixes(host), lambda s: s.isin(*suffixes))
+    return F.get(matches, 0)
+
+
+def registered_domain(
+    host: Column, suffixes: tuple[str, ...] = PUBLIC_SUFFIXES
+) -> Column:
+    """eTLD+1: one label more than the public suffix — the key crawl
+    systems budget, block, and aggregate by (a million ``*.blogspot.com``
+    subdomains are one registrant, ``foo.co.uk`` must not collapse into
+    ``co.uk``). Unknown TLD → PSL default-rule fallback (the TLD is
+    treated as the public suffix, registered domain = last two labels);
+    a host that IS a public suffix → NULL."""
+    cands = _host_suffixes(host)
+    ps = public_suffix(host, suffixes)
+    # 1-based; no match → 0 (array_position yields NULL for a NULL
+    # needle, which would otherwise swallow the default-rule branch)
+    pos = F.coalesce(F.array_position(cands, ps), F.lit(0))
+    return (
+        F.when(pos > 1, F.get(cands, pos - 2))
+        .when(
+            # no PSL match: default rule — last two labels (when present)
+            (pos == 0) & (F.size(cands) >= 2),
+            F.get(cands, F.size(cands) - 2),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def surt_key(url: Column) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) of the CANONICAL
+    url: ``tld,domain,sub,)/path?query`` — the CDX/Common-Crawl index
+    key. Host labels reversed and comma-joined put a registrant's whole
+    subtree under one string prefix, so "every page under example.org"
+    is a prefix range scan, and range-partitioning the crawl by this key
+    co-locates domains without a shuffle-heavy groupBy. Scheme is
+    dropped (http/https collapse — they already share a canonical host);
+    a string without a scheme passes through unchanged, same garbage
+    discipline as ``canonical_url``."""
+    canon = canonical_url(url)
+    scheme = F.lower(F.regexp_extract(canon, _SCHEME_RE, 1))
+    host = F.regexp_extract(canon, _SCHEME_PREFIX + r"([^/?#]*)", 1)
+    rest = F.regexp_extract(canon, _SCHEME_PREFIX + r"[^/?#]*(.*)", 1)
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    return F.when(scheme == "", url).otherwise(
+        F.concat(rev, F.lit(")"), rest)
+    )
+
+
 def url_dedup(webtext: DataFrame) -> DataFrame:
     """Freshest-capture-per-page dedup over the crawl shape
     (url, warc_ts, …): group by ``canonical_url`` and keep the newest
