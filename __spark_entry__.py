@@ -924,6 +924,58 @@ def q_kg_components(spark, sf):
     )
 
 
+def q_kg_transe(spark, sf):
+    """KG-completion triple scoring (operators/kgcomplete.py) with the
+    frozen TransE model (model/transe.py, trained on the composition KG,
+    held-out hits@3 >= 0.9 pytest-gated): scores every held-out positive
+    plus a deterministically corrupted negative per positive (object
+    rotated to a guaranteed-different country). Broadcast dimension-table
+    joins + zip_with/aggregate integer scoring — no UDF. The oracle
+    recomputes scores in DuckDB list arithmetic from the dumped frozen
+    embedding tables; both sides derive positives/negatives from the
+    dumped KG parquet, sharing weights-as-data only."""
+    from docee_spark.golden import ensure_transe
+    from docee_spark.operators.kgcomplete import emb_tables, score_edges
+
+    model = ensure_transe()
+    g = _golden_dir()
+    kg = spark.read.parquet(f"{g}/transe_kg.parquet")
+    pos = kg.where(F.col("split") == "held").select(
+        "subj", "pred", "obj", F.lit(1).alias("label")
+    )
+    pidx = F.regexp_extract("subj", r"person(\d+)", 1).cast("int")
+    cidx = F.substring("obj", 8, 10).cast("int")
+    neg = pos.select(
+        "subj",
+        "pred",
+        F.concat(
+            F.lit("country"), ((cidx + 1 + pidx % 7) % 8).cast("string")
+        ).alias("obj"),
+        F.lit(0).alias("label"),
+    )
+    ent, rel = emb_tables(spark, model)
+    return score_edges(pos.unionByName(neg), ent, rel)
+
+
+def q_kg_transe_eval(spark, sf):
+    """Link-prediction ranking eval (operators/kgcomplete.py:
+    ranking_eval) of the frozen TransE model on the held-out triples:
+    raw-setting rank + hits@{1,3,10} flags per triple, the count-better
+    aggregation over the broadcast candidate vocabulary (never a
+    per-query full-vocab sort row). Oracle re-ranks every triple in SQL
+    from the dumped embedding tables with the identical total order
+    (score desc, entity asc)."""
+    from docee_spark.golden import ensure_transe
+    from docee_spark.operators.kgcomplete import emb_tables, ranking_eval
+
+    model = ensure_transe()
+    g = _golden_dir()
+    kg = spark.read.parquet(f"{g}/transe_kg.parquet")
+    held = kg.where(F.col("split") == "held").select("subj", "pred", "obj")
+    ent, rel = emb_tables(spark, model)
+    return ranking_eval(held, ent, rel)
+
+
 def q_kg_scd2(spark, sf):
     """Temporal KG: SCD Type-2 validity intervals
     (operators/temporal.py:scd2_history) over the same deterministic
@@ -2069,6 +2121,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # intervals; recrawl temporal coverage stays in-window via
         # recrawl_churn (same capture table, different operator)
         "kg_scd2": q_kg_scd2,
+        # kg_transe / kg_transe_eval — new r4 tail entries: trained
+        # TransE completion scoring + link-prediction ranking
+        "kg_transe": q_kg_transe,
+        "kg_transe_eval": q_kg_transe_eval,
         # dedup_quality — new r4 tail entry: pairwise + B-cubed ER
         # metrics of the MinHash clusterer vs planted ground truth
         "dedup_quality": q_dedup_quality,
@@ -3629,8 +3685,9 @@ from ranked where rank <= {k}
 # --------------------------------------------------------------------------
 
 def _golden_dir() -> str:
-    from docee_spark.golden import ensure_golden
+    from docee_spark.golden import ensure_golden, ensure_transe
 
+    ensure_transe()  # existence-gated; dumps the frozen KG + embeddings
     return ensure_golden()
 
 
@@ -5137,6 +5194,83 @@ group by 1
 """
 
 
+_TRANSE_SCORE = """
+  -cast(list_sum(list_transform(range(1, len(sv.vec) + 1),
+      i -> abs(sv.vec[i] + rv.vec[i] - ov.vec[i]))) as bigint)
+"""
+
+
+def _kg_transe_sql() -> str:
+    """Oracle for TransE triple scoring: positives/negatives re-derived
+    from the dumped KG parquet with the same string arithmetic, scores
+    recomputed in DuckDB list arithmetic over the dumped frozen
+    embedding tables (weights are the shared spec; every derivation is
+    restated)."""
+    return f"""
+with held as (
+  select subj, pred, obj from read_parquet('{{g}}/transe_kg.parquet')
+  where split = 'held'
+),
+pairs as (
+  select subj, pred, obj, 1 as label from held
+  union all
+  select subj, pred,
+    'country' || ((cast(substr(obj, 8) as int) + 1
+                   + cast(regexp_extract(subj, 'person(\\d+)', 1) as int) % 7
+                  ) % 8),
+    0
+  from held
+),
+ej as (
+  select p.subj, p.pred, p.obj, p.label, {_TRANSE_SCORE} as score_e6
+  from pairs p
+  join read_parquet('{{g}}/transe_ent.parquet') sv on sv.entity = p.subj
+  join read_parquet('{{g}}/transe_rel.parquet') rv on rv.pred = p.pred
+  join read_parquet('{{g}}/transe_ent.parquet') ov on ov.entity = p.obj
+)
+select subj, pred, obj, cast(label as int) as label, score_e6 from ej
+"""
+
+
+def _kg_transe_eval_sql() -> str:
+    """Oracle for link-prediction ranking: per held-out triple, score
+    EVERY vocabulary entity as candidate object in SQL and count the
+    strictly-better set under the pinned total order (score desc,
+    entity asc)."""
+    return f"""
+with held as (
+  select subj, pred, obj from read_parquet('{{g}}/transe_kg.parquet')
+  where split = 'held'
+),
+scored as (
+  select h.subj, h.pred, h.obj, cand.entity as ce, {_TRANSE_SCORE.replace("ov.", "cand.")}
+    as cs
+  from held h
+  join read_parquet('{{g}}/transe_ent.parquet') sv on sv.entity = h.subj
+  join read_parquet('{{g}}/transe_rel.parquet') rv on rv.pred = h.pred
+  cross join read_parquet('{{g}}/transe_ent.parquet') cand
+),
+tgt as (
+  select subj, pred, obj, cs as target from scored where ce = obj
+),
+ranks as (
+  select s.subj, s.pred, s.obj,
+    1 + sum(case when s.ce <> s.obj
+                  and (s.cs > t.target
+                       or (s.cs = t.target and s.ce < s.obj))
+             then 1 else 0 end) as rank
+  from scored s
+  join tgt t on t.subj = s.subj and t.pred = s.pred and t.obj = s.obj
+  group by 1, 2, 3
+)
+select subj, pred, obj, cast(rank as bigint) as rank,
+  cast(case when rank <= 1 then 1 else 0 end as bigint) as hit1,
+  cast(case when rank <= 3 then 1 else 0 end as bigint) as hit3,
+  cast(case when rank <= 10 then 1 else 0 end as bigint) as hit10
+from ranks
+"""
+
+
 def _kg_scd2_sql() -> str:
     """Independent oracle for SCD2 history: identical 3-capture table,
     then gaps-and-islands — change timestamps carried forward with a
@@ -5608,6 +5742,8 @@ def oracle_sql() -> dict[str, str]:
         "docee_edges": _docee_edges_sql(),
         "kg_components": _kg_components_sql(),
         "kg_scd2": _kg_scd2_sql(),
+        "kg_transe": _kg_transe_sql(),
+        "kg_transe_eval": _kg_transe_eval_sql(),
         "dedup_quality": _dedup_quality_sql(),
         "url_keys": _url_keys_sql(),
         "kg_ntriples": _kg_ntriples_sql(),

@@ -308,6 +308,79 @@ def ensure_git_rgcn(force: bool = False):
     return scorer
 
 
+TRANSE_PATH = os.path.join(GOLDEN_DIR, "transe.npz")
+TRANSE_SEED = 17
+
+
+def ensure_transe(force: bool = False):
+    """Train-or-load the TransE KG-completion model on the deterministic
+    composition KG (model/transe.py:synth_kg) and dump the frozen
+    e6-integer embeddings as parquet (transe_ent/transe_rel) so the
+    DuckDB oracles re-derive scoring and ranking from the weight TABLES
+    — the same dump-the-weights independence pattern as the tagger
+    (tagger_weights.parquet)."""
+    from .model.transe import load_transe, save_transe, synth_kg, train_transe
+
+    ent_pq = os.path.join(GOLDEN_DIR, "transe_ent.parquet")
+    rel_pq = os.path.join(GOLDEN_DIR, "transe_rel.parquet")
+    kg_pq = os.path.join(GOLDEN_DIR, "transe_kg.parquet")
+    if not force and all(
+        os.path.exists(p) for p in (TRANSE_PATH, ent_pq, rel_pq, kg_pq)
+    ):
+        return load_transe(TRANSE_PATH)
+    train, held = synth_kg()
+    model = train_transe(train, seed=TRANSE_SEED)
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    save_transe(model, TRANSE_PATH)
+    pq.write_table(
+        pa.table(
+            {
+                "entity": model.entities,
+                "vec": [list(map(int, v)) for v in model.ent_e6],
+            },
+            schema=pa.schema(
+                [("entity", pa.string()), ("vec", pa.list_(pa.int64()))]
+            ),
+        ),
+        ent_pq,
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "pred": model.relations,
+                "vec": [list(map(int, v)) for v in model.rel_e6],
+            },
+            schema=pa.schema(
+                [("pred", pa.string()), ("vec", pa.list_(pa.int64()))]
+            ),
+        ),
+        rel_pq,
+    )
+    rows = [(s, r, o, "train") for s, r, o in train] + [
+        (s, r, o, "held") for s, r, o in held
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "subj": [x[0] for x in rows],
+                "pred": [x[1] for x in rows],
+                "obj": [x[2] for x in rows],
+                "split": [x[3] for x in rows],
+            },
+            schema=pa.schema(
+                [
+                    ("subj", pa.string()),
+                    ("pred", pa.string()),
+                    ("obj", pa.string()),
+                    ("split", pa.string()),
+                ]
+            ),
+        ),
+        kg_pq,
+    )
+    return model
+
+
 def ensure_golden(force: bool = False) -> str:
     """Generate the golden tables if missing/stale; return the directory."""
     manifest_path = os.path.join(GOLDEN_DIR, "manifest.json")
