@@ -1017,6 +1017,28 @@ def q_kg_scd2(spark, sf):
     return scd2_history(caps, "url", "warc_ts", ["fp"])
 
 
+def q_kg_communities(spark, sf):
+    """Community detection over the canonicalized KG entity graph:
+    deterministic synchronous label propagation
+    (operators/graphstats.py:label_propagation, fixed 4 rounds,
+    majority-vote with smallest-label ties) — finer than kg_components
+    (LP stops where neighborhood majority stops; CC merges anything
+    reachable). Oracle: the independent gold+canonicalizer CTE chain
+    rebuilds the edge table, then the SAME fixed round count unrolled
+    as per-round SQL layers with a row_number argmax (vs the engine's
+    struct-min aggregate loop)."""
+    from docee_spark.operators.graphstats import label_propagation
+    from docee_spark.stages.pipeline import run_pipeline
+
+    web, gold = _fixture_webtext_and_gold(spark)
+    edges = run_pipeline(web, gold=gold, mode="clique", adjacency="gold")[
+        "edges"
+    ]
+    return label_propagation(edges, "src", "dst", n_iter=4).select(
+        F.col("node"), F.col("community")
+    )
+
+
 def q_kg_bgp(spark, sf):
     """General basic-graph-pattern match (operators/kgquery.py:
     bgp_match): the 3-leg star-and-chain pattern
@@ -2117,6 +2139,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # runs in-window via dedup_clusters, this re-checks it as
         # generic KG analytics against a recursive-closure oracle
         "kg_components": q_kg_components,
+        # kg_communities — new r4 tail entry: LP communities over
+        # the canonicalized entity graph (finer than components)
+        "kg_communities": q_kg_communities,
         # kg_scd2 — new r4 tail entry: temporal-KG SCD2 validity
         # intervals; recrawl temporal coverage stays in-window via
         # recrawl_churn (same capture table, different operator)
@@ -5344,6 +5369,29 @@ select node, min(r) as component from reach group by node
 """
 
 
+def _kg_communities_sql() -> str:
+    """Independent oracle for KG label-propagation communities: edge
+    table rebuilt through the gold+canonicalizer CTE chain, then the
+    generated fixed-round LP layers (graphstats.label_propagation_sql —
+    row_number argmax per round)."""
+    from docee_spark.operators.graphstats import label_propagation_sql
+
+    base = _gold_canon_ctes()
+    assert base.lstrip().startswith("with ")
+    lp = label_propagation_sql("select src, dst from ce", n_iter=4)
+    assert lp.lstrip().startswith("with raw as")
+    lp_body = lp.lstrip()[len("with "):]
+    return f"""{base},
+ce as (
+  select distinct rs.lsh_rep as src, ro.lsh_rep as dst
+  from gtrips t
+  join rep2 rs on rs.surface = t.subj
+  join rep2 ro on ro.surface = t.obj
+),
+{lp_body}
+"""
+
+
 def _docee_vertices_verified_sql() -> str:
     """Independent oracle for the verified canonicalizer: the shared
     gold-derivation chain for surfaces/signatures, then band blocking
@@ -5741,6 +5789,7 @@ def oracle_sql() -> dict[str, str]:
         "docee_vertices_verified": _docee_vertices_verified_sql(),
         "docee_edges": _docee_edges_sql(),
         "kg_components": _kg_components_sql(),
+        "kg_communities": _kg_communities_sql(),
         "kg_scd2": _kg_scd2_sql(),
         "kg_transe": _kg_transe_sql(),
         "kg_transe_eval": _kg_transe_eval_sql(),

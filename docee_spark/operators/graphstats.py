@@ -181,3 +181,113 @@ select deg.node, deg.degree,
             else 0 end as clustering_e6
 from deg left join per_node on per_node.node = deg.node
 """
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 4,
+) -> DataFrame:
+    """Community detection by DETERMINISTIC synchronous label
+    propagation (Raghavan et al. 2007, made reproducible): every node
+    starts as its own label; each round it adopts the label most
+    frequent among its neighbors, ties broken by smallest label; a
+    FIXED ``n_iter`` rounds (no convergence test) pins the output — the
+    asynchronous/random variants of the paper are irreproducible across
+    partitionings, and synchronous LP can two-cycle on bipartite
+    structure, so a fixed round count is the only bit-stable contract.
+    → ``(node, community)``, community = the final label.
+
+    Distinct from connected components (``dedup.duplicate_clusters``):
+    CC merges everything reachable; LP stops where neighborhood majority
+    stops, splitting weakly-bridged dense regions — host-farm/community
+    structure, not mere connectivity.
+
+    Scale shape per round: one join (labels onto the directed-both-ways
+    edge list, hash on node), one groupBy((node, label)) vote count, one
+    struct-min argmax groupBy(node) — all key-partitioned, vote rows
+    bounded by the edge count, label frame bounded by the node count. A
+    10^8-degree hub costs its degree in vote rows, same bound as its
+    adjacency; no pair blowup. localCheckpoint per round caps lineage
+    (the duplicate_clusters discipline).
+    """
+    # canonicalize BEFORE mirroring: a graph carrying both (a,b) and
+    # (b,a) must not double a neighbor's vote
+    und = _canonical_undirected(edges, src_col, dst_col).select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    )
+    both = und.union(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    labels = (
+        both.select(F.col("u").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(n_iter):
+        votes = (
+            both.join(
+                labels.select(
+                    F.col("node").alias("v"), F.col("label").alias("nl")
+                ),
+                "v",
+            )
+            .groupBy(F.col("u").alias("node"), F.col("nl"))
+            .agg(F.count("*").alias("cnt"))
+        )
+        # argmax by (count desc, label asc) as one struct-min: the most
+        # negative -cnt is the largest count, then smallest label wins
+        winner = votes.groupBy("node").agg(
+            F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("nl"))).alias(
+                "w"
+            )
+        )
+        labels = (
+            labels.join(winner, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("w.nl"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+    return labels.select("node", F.col("label").alias("community"))
+
+
+def label_propagation_sql(edge_cte: str, n_iter: int = 4) -> str:
+    """DuckDB oracle for :func:`label_propagation`: the same fixed
+    round count unrolled into per-round CTE layers, with the argmax
+    expressed as a row_number window (count desc, label asc) instead of
+    the engine's struct-min aggregate. ``edge_cte`` must yield (src,
+    dst)."""
+    layers = []
+    prev = "lab0"
+    for t in range(1, n_iter + 1):
+        layers.append(f"""
+votes{t} as (
+  select e.u as node, l.label as nl, count(*) as cnt
+  from mirr e join {prev} l on l.node = e.v
+  group by 1, 2
+),
+rank{t} as (
+  select node, nl, row_number() over (
+    partition by node order by cnt desc, nl asc) as rn
+  from votes{t}
+),
+lab{t} as (
+  select l.node, coalesce(r.nl, l.label) as label
+  from {prev} l left join rank{t} r on r.node = l.node and r.rn = 1
+)""")
+        prev = f"lab{t}"
+    return f"""
+with raw as ({edge_cte}),
+und as (
+  select distinct least(src, dst) as u, greatest(src, dst) as v
+  from raw
+  where src is not null and dst is not null and src <> dst
+),
+mirr as (select u, v from und union select v, u from und),
+lab0 as (select distinct u as node, u as label from mirr),
+{",".join(layers)}
+select node, label as community from {prev}
+"""
