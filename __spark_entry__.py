@@ -1039,6 +1039,24 @@ def q_kg_communities(spark, sf):
     )
 
 
+def q_kg_kcore(spark, sf):
+    """k-core of the canonicalized KG entity graph (operators/
+    graphstats.py:k_core, k=3, fixed 8 peel rounds): entities embedded
+    in densely-interlinked event neighborhoods survive; weakly-attached
+    argument values peel away — the crawl-graph spam/authority feature
+    applied to the entity graph. Oracle: edge table rebuilt through the
+    independent gold+canonicalizer CTE chain, peeling unrolled into
+    per-round SQL layers."""
+    from docee_spark.operators.graphstats import k_core
+    from docee_spark.stages.pipeline import run_pipeline
+
+    web, gold = _fixture_webtext_and_gold(spark)
+    edges = run_pipeline(web, gold=gold, mode="clique", adjacency="gold")[
+        "edges"
+    ]
+    return k_core(edges, k=3, src_col="src", dst_col="dst")
+
+
 def q_kg_bgp(spark, sf):
     """General basic-graph-pattern match (operators/kgquery.py:
     bgp_match): the 3-leg star-and-chain pattern
@@ -2142,6 +2160,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # kg_communities — new r4 tail entry: LP communities over
         # the canonicalized entity graph (finer than components)
         "kg_communities": q_kg_communities,
+        # kg_kcore — new r4 tail entry: k-core peeling over the
+        # canonicalized entity graph
+        "kg_kcore": q_kg_kcore,
         # kg_scd2 — new r4 tail entry: temporal-KG SCD2 validity
         # intervals; recrawl temporal coverage stays in-window via
         # recrawl_churn (same capture table, different operator)
@@ -5392,6 +5413,28 @@ ce as (
 """
 
 
+def _kg_kcore_sql() -> str:
+    """Independent oracle for the KG k-core: edge table rebuilt through
+    the gold+canonicalizer CTE chain, then the generated fixed-round
+    peel layers (graphstats.k_core_sql)."""
+    from docee_spark.operators.graphstats import k_core_sql
+
+    base = _gold_canon_ctes()
+    assert base.lstrip().startswith("with ")
+    kc = k_core_sql("select src, dst from ce", k=3, rounds=8)
+    assert kc.lstrip().startswith("with raw as")
+    kc_body = kc.lstrip()[len("with "):]
+    return f"""{base},
+ce as (
+  select distinct rs.lsh_rep as src, ro.lsh_rep as dst
+  from gtrips t
+  join rep2 rs on rs.surface = t.subj
+  join rep2 ro on ro.surface = t.obj
+),
+{kc_body}
+"""
+
+
 def _docee_vertices_verified_sql() -> str:
     """Independent oracle for the verified canonicalizer: the shared
     gold-derivation chain for surfaces/signatures, then band blocking
@@ -5790,6 +5833,7 @@ def oracle_sql() -> dict[str, str]:
         "docee_edges": _docee_edges_sql(),
         "kg_components": _kg_components_sql(),
         "kg_communities": _kg_communities_sql(),
+        "kg_kcore": _kg_kcore_sql(),
         "kg_scd2": _kg_scd2_sql(),
         "kg_transe": _kg_transe_sql(),
         "kg_transe_eval": _kg_transe_eval_sql(),

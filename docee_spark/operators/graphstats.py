@@ -291,3 +291,83 @@ lab0 as (select distinct u as node, u as label from mirr),
 {",".join(layers)}
 select node, label as community from {prev}
 """
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rounds: int = 8,
+) -> DataFrame:
+    """The k-core subgraph: iteratively peel nodes of degree < ``k``
+    (Seidman 1983; the standard crawl-graph spam/authority feature —
+    link farms survive deep cores, organic long-tail pages do not).
+    → ``(node, core_degree)`` for nodes alive after ``rounds`` peels,
+    with their degree inside the surviving subgraph.
+
+    Contract: a FIXED round count (the label_propagation discipline) —
+    peeling is monotone, so the result after R rounds is well-defined
+    and bit-stable whether or not the fixpoint has been reached; R =
+    log-ish in practice (each round removes every node whose degree
+    fell below k in the previous round, cascades shrink geometrically).
+    Callers needing the true fixpoint raise ``rounds`` and assert
+    stability (tests pin fixpoint-at-8 for the driver graph).
+
+    Scale shape per round: degrees of the alive subgraph = two
+    semi-joins of the mirrored edge list against the alive set + one
+    groupBy — all key-partitioned, edge-count bounded; the alive frame
+    only shrinks. localCheckpoint per round caps lineage.
+    """
+    und = _canonical_undirected(edges, src_col, dst_col).select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    )
+    mirr = und.union(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    alive = mirr.select(F.col("u").alias("node")).distinct().localCheckpoint()
+    deg = None
+    for _ in range(rounds):
+        deg = (
+            mirr.join(alive.select(F.col("node").alias("u")), "u")
+            .join(alive.select(F.col("node").alias("v")), "v")
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.count("*").alias("core_degree"))
+            .where(F.col("core_degree") >= k)
+            .localCheckpoint()
+        )
+        alive = deg.select("node")
+    return deg.select("node", "core_degree")
+
+
+def k_core_sql(edge_cte: str, k: int = 3, rounds: int = 8) -> str:
+    """DuckDB oracle for :func:`k_core`: the same fixed peel count
+    unrolled into per-round CTE layers, degree recomputed per layer with
+    a correlated-free join formulation. ``edge_cte`` must yield (src,
+    dst)."""
+    layers = []
+    prev = "alive0"
+    for t in range(1, rounds + 1):
+        layers.append(f"""
+deg{t} as (
+  select e.u as node, count(*) as core_degree
+  from mirr e
+  join {prev} a on a.node = e.u
+  join {prev} b on b.node = e.v
+  group by e.u
+),
+alive{t} as (select node from deg{t} where core_degree >= {k})""")
+        prev = f"alive{t}"
+    return f"""
+with raw as ({edge_cte}),
+und as (
+  select distinct least(src, dst) as u, greatest(src, dst) as v
+  from raw
+  where src is not null and dst is not null and src <> dst
+),
+mirr as (select u, v from und union select v, u from und),
+alive0 as (select distinct u as node from mirr),
+{",".join(layers)}
+select d.node, d.core_degree from deg{rounds} d
+join alive{rounds} a on a.node = d.node
+"""
