@@ -65,6 +65,12 @@ HEADLINE = [
     "embed_topk",
     "embed_lsh_topk",
     "doc_mentions",
+    # r4 additions: temporal-KG SCD2, crawl-index keys, ER quality
+    # metrics over the planted-dup clusterer, TransE link-prediction eval
+    "kg_scd2",
+    "url_keys",
+    "dedup_quality",
+    "kg_transe_eval",
 ]
 
 

@@ -346,12 +346,31 @@ def test_query_registry_invariants():
         "doc_mentions",
         "dedup_exact",
         "docee_eval_report",
+        # evidence-saturated demotions, continued (green r2+r3; their
+        # slots went to never-driver-recorded primaries — kg_ntriples,
+        # kg_bgp, join_asof, triangles, collocations, recrawl_churn)
+        "embed_topk",
+        "dedup_ngram",
+        "dedup_embed",
+        "dedup_minhash_verified",
+        "dedup_simhash64",
+        "docee_triples_scored",
+        # r4 additions past a full window: every in-window entry is
+        # either never-driver-recorded or a survey row's primary oracle;
+        # these run in pytest/check_oracles and share engine code with
+        # in-window queries (rationale at each queries() entry)
+        "kg_components",
+        "kg_communities",
+        "kg_kcore",
+        "kg_scd2",
+        "kg_transe",
+        "kg_transe_eval",
+        "dedup_quality",
+        "url_keys",
         # redundantly-evidenced twins of stronger in-window siblings
         # (per-entry rationale in the queries() docComment)
         "user_mode_event",            # W2 also cited by docee_key_sentences
         "docee_vertices_verified",    # sibling docee_vertices in window
-        "kg_ntriples",                # formatting projection of in-window
-                                      # docee_vertices + docee_edges
         "model_spans_spot",           # spot-witness of docee_triples_model
         "docee_triples_trigger_inc",  # G7; sibling G6 trigger in window
         "docee_triples_product",      # M10 covered by docee_triples_greedy
@@ -375,5 +394,7 @@ def test_query_registry_invariants():
         "url_dedup", "quality_model", "pagerank", "kg_incremental",
         "robots", "bpe_merges", "lm_surprisal", "dsir", "pack_sequences",
         "dedup_substr", "extract_links", "host_filter", "kg_path_2hop",
-        "kg_khop",
+        "kg_khop", "kg_ntriples", "entity_link", "kg_bgp", "join_asof",
+        "triangles", "collocations", "recrawl_churn", "dedup_clusters",
+        "dedup_chunks", "decontaminate", "pii_scrub",
     } <= window
