@@ -1205,6 +1205,63 @@ def q_collocations(spark, sf):
     )
 
 
+def q_hll_tokens(spark, sf):
+    """HyperLogLog distinct-count sketch (operators/sketches.py): per
+    (lang, gram) approximate distinct unigrams AND adjacent bigrams over
+    the documents corpus — one pass, 256 max-mergeable registers per
+    group, never a full distinct shuffle. The unigram groups (31
+    distinct) exercise the linear-counting branch, the bigram groups
+    (~900 distinct) the raw-HLL branch; registers, harmonic numerator
+    and both estimate branches are exact under the frozen integer/
+    IEEE-division contract, so the DuckDB re-derivation (strpos nibble
+    arithmetic, explicit 256-bucket spine — a different formulation)
+    matches bit-for-bit."""
+    from docee_spark.operators.sketches import hll_distinct
+    from docee_spark.operators.textstats import tokens
+
+    d = _read(spark, sf, "documents")
+    arr = tokens(F.lower(F.col("text")))
+    uni = d.select(
+        F.col("lang"), F.lit("uni").alias("gram"), F.explode(arr).alias("key")
+    )
+    bigrams = F.expr(
+        "transform(slice(a, 1, greatest(size(a) - 1, 0)),"
+        " (x, i) -> concat(x, ' ', element_at(a, i + 2)))"
+    )
+    bi = (
+        d.select(F.col("lang"), arr.alias("a"))
+        .select("lang", F.lit("bi").alias("gram"), F.explode(bigrams).alias("key"))
+    )
+    return hll_distinct(uni.unionByName(bi), "key", ["lang", "gram"])
+
+
+def _hll_tokens_sql() -> str:
+    """Generated sketch oracle (operators/sketches.py:hll_sql) over a
+    differently-shaped n-gram source: bigrams via a positional self-join
+    (the engine uses an array transform), groups packed into one key and
+    split back outside the generated query."""
+    from docee_spark.operators.sketches import hll_sql
+
+    toks = _TOKENS.format(c="lower(text)")
+    src = f"""
+  with tk as (
+    select lang, doc_id, unnest({toks}) as t,
+           generate_subscripts({toks}, 1) as i
+    from documents
+  )
+  select lang || '|' || 'uni' as grp, t as key from tk
+  union all
+  select a.lang || '|' || 'bi' as grp, a.t || ' ' || b.t as key
+  from tk a join tk b on a.doc_id = b.doc_id and b.i = a.i + 1
+"""
+    inner = hll_sql(src, "key", "grp")
+    return f"""
+select split_part(grp, '|', 1) as lang, split_part(grp, '|', 2) as gram,
+       n_buckets_used, sum_num, est_distinct
+from ({inner})
+"""
+
+
 def q_recrawl_churn(spark, sf):
     """Recrawl change detection (stages/ingest.py:recrawl_churn) over a
     deterministic synthetic 3-capture recrawl table on documents: capture
@@ -2082,7 +2139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_asof": q_join_asof,
         "dedup_semantic": q_dedup_semantic,
         "kg_ntriples": q_kg_ntriples,
-        "embed_lsh_topk_mp": q_embed_lsh_topk_mp,
+        "hll_tokens": q_hll_tokens,
         "embed_ivf_topk": q_embed_ivf_topk,
         "kg_path_2hop": q_kg_path_2hop,
         "ingest_html": q_ingest_html,
@@ -2123,6 +2180,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docee_eval_report": q_docee_eval_report,
         "user_mode_event": q_user_mode_event,
         "docee_vertices_verified": q_docee_vertices_verified,
+        # embed_lsh_topk_mp — green r3 (rows+schema+hash); yielded its
+        # slot to hll_tokens (new r4.2 sketch, never driver-recorded);
+        # multi-probe stays evidenced by the r3 record, the recall-curve
+        # regression pytest, and embed_ivf_topk in-window (the
+        # recommended 100 TB ANN path)
+        "embed_lsh_topk_mp": q_embed_lsh_topk_mp,
         # embed_topk — green r1+r2+r3 (evidence-saturated); yielded its
         # slot to kg_ntriples (new r4, escaping-sensitive serializer,
         # never driver-recorded); ANN coverage stays in-window via
@@ -5976,6 +6039,7 @@ from documents group by 1
         "kg_incremental": _kg_incremental_sql(),
         "triangles": _triangles_sql(),
         "collocations": _collocations_sql(),
+        "hll_tokens": _hll_tokens_sql(),
         "recrawl_churn": _recrawl_churn_sql(),
         "kg_path_2hop": _kg_path_2hop_sql(),
         "kg_bgp": _kg_bgp_sql(),

@@ -1,0 +1,232 @@
+"""Mergeable cardinality sketches: a deterministic HyperLogLog for
+distinct-count estimation over arbitrarily large key sets.
+
+Why this operator exists in a crawl/KG pipeline: "how many distinct
+urls / tokens / entities per group" is the first question every corpus
+audit asks, and at 10^12 documents an exact ``groupBy(key).distinct()``
+shuffles the full key set — the one thing that cannot be allowed to
+scale with data volume. An HLL register table is 256 small integers per
+group, built in ONE pass with map-side combine (max is associative and
+commutative), mergeable across shards/days/snapshots by register-wise
+max, and answers the cardinality question with ~6.5% standard error at
+any scale. Reference analog: the corpus statistics the reference
+computes exactly in-driver (dee/helper/__init__.py stats aggregation)
+— re-expressed as the sketch a 100 TB corpus actually requires.
+
+Determinism contract (the cross-engine exactness discipline every
+oracle in this repo uses): the hash is ``md5`` of the key (identical
+lowercase hex in Spark and DuckDB); the bucket is the first 2 hex chars
+(m = 256 registers); the rank is the 1-based position of the first set
+bit in the next 48 bits, derived purely from hex CHARACTERS (leading
+'0' run length + a 4-way case on the first nonzero nibble), capped at
+RANK_CAP = 40 so the per-bucket term 2^(40-rank) is an exact bigint.
+``sum_num = Σ_buckets 2^(40-rank)`` (empty bucket ⇒ rank 0 ⇒ 2^40) is
+therefore an exact integer ≤ 256·2^40 < 2^49. The estimate
+
+    est = floor( (alpha_e6·m²) / (sum_num / 2^40) / 10^6 )
+
+is two IEEE-754 double divisions over exactly-representable operands
+(alpha_e6·m² = 47_076_724_736 < 2^53; sum_num < 2^49; 2^40 exact), and
+IEEE division is correctly rounded — bit-identical in the JVM and in
+DuckDB. No ln, no platform-libm exposure.
+
+Small-range correction: plain HLL is biased low-cardinality, so the
+classic linear-counting branch applies when the raw estimate is below
+2.5·m and empty buckets exist: ``lc = floor(m·(ln_e6(m) − ln_e6(V)) /
+10^6)`` with ``V = n_zero`` — ln(m/V) decomposed into two logs of
+INTEGER arguments so the ``floor(ln(int)·10^6)`` boundary (the same
+contract ``operators/lm.py`` froze) is the only libm exposure;
+``tests/test_sketches.py`` pins Java↔DuckDB agreement exhaustively for
+every integer 1..256 this branch can ever see. Branch selection
+(``est_raw < 640 AND n_zero > 0``) compares exact integers.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+M = 256  # registers (p = 8 bucket bits)
+RANK_CAP = 40  # rank clamp so 2^(RANK_CAP - rank) is an exact bigint
+# alpha_m = 0.7213 / (1 + 1.079/m) for m = 256, floored at e6
+ALPHA_E6 = 718274
+_POW40 = float(1 << RANK_CAP)  # 2^40, exact double
+
+
+def _nibble(ch: Column) -> Column:
+    """Hex char → 0..15 (lowercase input, as md5 emits)."""
+    out = F.lit(0)
+    for i, c in enumerate("123456789abcdef"):
+        out = F.when(ch == c, F.lit(i + 1)).otherwise(out)
+    return out
+
+
+def _nibble_lz(ch: Column) -> Column:
+    """Leading zero BITS of a nonzero hex nibble: 8-f→0, 4-7→1, 2-3→2, 1→3."""
+    return (
+        F.when(ch.isin(*list("89abcdef")), F.lit(0))
+        .when(ch.isin("4", "5", "6", "7"), F.lit(1))
+        .when(ch.isin("2", "3"), F.lit(2))
+        .otherwise(F.lit(3))
+    )
+
+
+def hll_registers(
+    df: DataFrame, key_col: str, group_cols: list[str]
+) -> DataFrame:
+    """ONE pass → ``(*group_cols, bucket, r)``: the max observed rank per
+    (group, bucket). NULL keys are skipped (SQL COUNT(DISTINCT) drops
+    NULLs too). Shuffle shape: a single groupBy on (group, bucket) with
+    map-side partial max — the sketch never moves more than
+    |groups|·256 rows however large the input."""
+    h = F.md5(F.col(key_col).cast("string"))
+    bucket = (_nibble(F.substring(h, 1, 1)) * 16 + _nibble(F.substring(h, 2, 1))).alias(
+        "bucket"
+    )
+    tail = F.substring(h, 3, 12)  # 48 bits of rank material
+    zeros = F.length(F.regexp_extract(tail, "^(0*)", 1))
+    first_nz = F.substring(tail, (zeros + 1).cast("int"), 1)
+    rank_raw = F.when(zeros == 12, F.lit(49)).otherwise(
+        zeros * 4 + _nibble_lz(first_nz) + 1
+    )
+    rank = F.least(rank_raw, F.lit(RANK_CAP)).cast("int").alias("rank")
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .select(*group_cols, bucket, rank)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rank").alias("r"))
+    )
+
+
+def hll_merge(*register_tables: DataFrame) -> DataFrame:
+    """Union register tables (same group columns) and re-max — the HLL
+    merge. Register-wise max is exactly how two shards/days/snapshots
+    combine; merging shard sketches is bit-identical to sketching the
+    concatenated input (max is associative/commutative/idempotent)."""
+    it = iter(register_tables)
+    u = next(it)
+    for t in it:
+        u = u.unionByName(t)
+    keys = [c for c in u.columns if c != "r"]
+    group = [c for c in keys if c != "bucket"]
+    return u.groupBy(*group, "bucket").agg(F.max("r").alias("r"))
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Finalize registers → ``(*group_cols, n_buckets_used, sum_num,
+    est_distinct)``. ``sum_num`` is the exact-integer harmonic
+    numerator (absent buckets contribute 2^40); ``est_distinct`` the
+    raw-HLL estimate under the frozen two-division double contract."""
+    agg = registers.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n_buckets_used"),
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {RANK_CAP} - r)")).alias(
+            "present_sum"
+        ),
+    )
+    sum_num = (
+        F.col("present_sum")
+        + (F.lit(M).cast("long") - F.col("n_buckets_used"))
+        * F.lit(1 << RANK_CAP).cast("long")
+    ).alias("sum_num")
+    a = F.lit(float(ALPHA_E6 * M * M))
+    out = agg.select(*group_cols, "n_buckets_used", sum_num)
+    est_raw = F.floor(
+        a / (F.col("sum_num").cast("double") / F.lit(_POW40)) / F.lit(1e6)
+    ).cast("long")
+    n_zero = F.lit(M).cast("long") - F.col("n_buckets_used")
+    ln_m_e6 = math.floor(math.log(M) * 1e6)  # ln of an integer, frozen
+    lc = (
+        (
+            F.lit(M).cast("long")
+            * (
+                F.lit(ln_m_e6)
+                - F.floor(F.log(n_zero.cast("double")) * F.lit(1e6)).cast("long")
+            )
+        )
+        / F.lit(1_000_000)
+    )
+    lc = F.floor(lc).cast("long")
+    est = F.when((n_zero > 0) & (est_raw < int(2.5 * M)), lc).otherwise(est_raw)
+    return out.withColumn("est_distinct", est)
+
+
+def hll_distinct(
+    df: DataFrame, key_col: str, group_cols: list[str]
+) -> DataFrame:
+    """Sketch + finalize in one call: per-group approximate
+    COUNT(DISTINCT key) with the full determinism contract above."""
+    return hll_estimate(hll_registers(df, key_col, group_cols), group_cols)
+
+
+def hll_sql(source_cte: str, key_expr: str, group_expr: str) -> str:
+    """The whole sketch re-derived in DuckDB SQL with a DIFFERENT
+    formulation: nibble values via strpos arithmetic on the hex
+    alphabet (the engine uses CASE chains), ranks via the same
+    leading-zero grammar, the harmonic numerator via a generated
+    256-bucket spine so absent buckets are explicit rows rather than a
+    count subtraction. ``source_cte`` must define ``src(grp, key)``."""
+    return f"""
+with src as ({source_cte}),
+hashed as (
+  select grp, md5(cast(key as varchar)) as h from src where key is not null
+),
+ranked as (
+  select grp,
+    (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+      + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) as bucket,
+    least(
+      case when length(regexp_extract(substr(h, 3, 12), '^(0*)', 1)) = 12
+           then 49
+           else length(regexp_extract(substr(h, 3, 12), '^(0*)', 1)) * 4
+             + case
+                 when strpos('89abcdef',
+                   substr(h, 3 + length(regexp_extract(substr(h, 3, 12),
+                                                       '^(0*)', 1)), 1)) > 0
+                 then 0
+                 when strpos('4567',
+                   substr(h, 3 + length(regexp_extract(substr(h, 3, 12),
+                                                       '^(0*)', 1)), 1)) > 0
+                 then 1
+                 when strpos('23',
+                   substr(h, 3 + length(regexp_extract(substr(h, 3, 12),
+                                                       '^(0*)', 1)), 1)) > 0
+                 then 2
+                 else 3
+               end + 1
+      end, {RANK_CAP}) as r
+  from hashed
+),
+regs as (select grp, bucket, max(r) as r from ranked group by grp, bucket),
+spine as (
+  select g.grp, b.bucket, coalesce(regs.r, 0) as r
+  from (select distinct grp from regs) g
+  cross join (select unnest(range(0, {M})) as bucket) b
+  left join regs on regs.grp = g.grp and regs.bucket = b.bucket
+),
+agg as (
+  select grp,
+    sum((r > 0)::bigint) as n_buckets_used,
+    sum(cast(1 as bigint) << ({RANK_CAP} - r)) as sum_num
+  from spine group by grp
+),
+est as (
+  select grp, n_buckets_used, sum_num,
+    cast(floor({float(ALPHA_E6 * M * M)!r}
+               / (cast(sum_num as double) / {_POW40!r})
+               / 1000000.0) as bigint) as est_raw,
+    {M} - n_buckets_used as n_zero
+  from agg
+)
+select grp as {group_expr}, cast(n_buckets_used as bigint) as n_buckets_used,
+  cast(sum_num as bigint) as sum_num,
+  cast(case
+    when n_zero > 0 and est_raw < {int(2.5 * M)}
+    then floor(({M} * ({math.floor(math.log(M) * 1e6)}
+                       - cast(floor(ln(n_zero) * 1000000) as bigint)))
+               / 1000000.0)
+    else est_raw
+  end as bigint) as est_distinct
+from est
+"""
