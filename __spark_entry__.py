@@ -1262,6 +1262,31 @@ from ({inner})
 """
 
 
+def _bm25_entry_sql() -> str:
+    """Generated BM25 oracle (operators/retrieval.py:bm25_sql): same
+    frozen integer arithmetic, differently formulated — tf via
+    per-document list filtering instead of a posting explode, df via a
+    matched-row count, a VALUES spine for the query terms."""
+    from docee_spark.operators.retrieval import bm25_sql
+
+    return bm25_sql(["spark", "query", "join", "fast"])
+
+
+def q_bm25(spark, sf):
+    """Okapi BM25 top-10 retrieval (operators/retrieval.py) for a fixed
+    4-term query over the documents corpus. Scores are exact integers:
+    idf decomposed into integer-argument ln_e6 logs (the lm.py frozen
+    boundary), the tf saturation term cleared of fractions so each
+    per-term score is one bigint floor division; ranking is the pinned
+    (score desc, doc_id asc) total order. The posting explode filters to
+    the query's terms before any shuffle — only matching postings move."""
+    from docee_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(
+        _read(spark, sf, "documents"), ["spark", "query", "join", "fast"]
+    )
+
+
 def q_recrawl_churn(spark, sf):
     """Recrawl change detection (stages/ingest.py:recrawl_churn) over a
     deterministic synthetic 3-capture recrawl table on documents: capture
@@ -2143,7 +2168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_ivf_topk": q_embed_ivf_topk,
         "kg_path_2hop": q_kg_path_2hop,
         "ingest_html": q_ingest_html,
-        "multimodal_features": q_multimodal_features,
+        "bm25": q_bm25,
         "docee_triples_gold": q_docee_triples_gold,
         "docee_triples_heuristic": q_docee_triples_heuristic,
         "docee_triples_greedy": q_docee_triples_greedy,
@@ -2180,6 +2205,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docee_eval_report": q_docee_eval_report,
         "user_mode_event": q_user_mode_event,
         "docee_vertices_verified": q_docee_vertices_verified,
+        # multimodal_features — green r3 (rows+schema+hash); yielded its
+        # slot to bm25 (new r4.2 retrieval, never driver-recorded); the
+        # BMP/PPM codec + analytic channel-sum oracle keep their full
+        # pytest battery (tests/test_multimodal.py) and the r3 record
+        "multimodal_features": q_multimodal_features,
         # embed_lsh_topk_mp — green r3 (rows+schema+hash); yielded its
         # slot to hll_tokens (new r4.2 sketch, never driver-recorded);
         # multi-probe stays evidenced by the r3 record, the recall-curve
@@ -6040,6 +6070,7 @@ from documents group by 1
         "triangles": _triangles_sql(),
         "collocations": _collocations_sql(),
         "hll_tokens": _hll_tokens_sql(),
+        "bm25": _bm25_entry_sql(),
         "recrawl_churn": _recrawl_churn_sql(),
         "kg_path_2hop": _kg_path_2hop_sql(),
         "kg_bgp": _kg_bgp_sql(),
