@@ -1262,6 +1262,31 @@ from ({inner})
 """
 
 
+def q_length_quantiles(spark, sf):
+    """Histogram-binned distribution audit (operators/textstats.py:
+    binned_quantiles): per-source doc-length P50/P90/P99 from a
+    fixed-width (64-char) histogram — one bounded (group, bin) groupBy
+    plus a per-group cumulative walk, never a global sort; quantile =
+    the lower edge of the smallest bin whose cumulative count reaches
+    ceil(q·n/100), all exact integers."""
+    from docee_spark.operators.textstats import binned_quantiles
+
+    return binned_quantiles(
+        _read(spark, sf, "documents"), "n_chars", ["source"], bin_width=64
+    )
+
+
+def _length_quantiles_sql() -> str:
+    """Generated histogram-walk oracle (textstats.py:
+    binned_quantiles_sql): bins via integer division (the engine uses
+    value − pmod), same ceil-free integer comparison."""
+    from docee_spark.operators.textstats import binned_quantiles_sql
+
+    return binned_quantiles_sql(
+        "select source, n_chars from documents", "source", "n_chars", 64
+    )
+
+
 def _bm25_entry_sql() -> str:
     """Generated BM25 oracle (operators/retrieval.py:bm25_sql): same
     frozen integer arithmetic, differently formulated — tf via
@@ -2270,6 +2295,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # url_keys — new r4 tail entry: SURT / public-suffix /
         # registered-domain crawl-index keys
         "url_keys": q_url_keys,
+        # length_quantiles — new r4.2 tail entry: histogram-binned
+        # per-source P50/P90/P99 distribution audit (no free window
+        # slot; hll_tokens and bm25 took this session's two)
+        "length_quantiles": q_length_quantiles,
         "model_spans_spot": q_model_spans_spot,
         "docee_triples_trigger_inc": q_docee_triples_trigger_inc,
         "docee_triples_product": q_docee_triples_product,
@@ -6071,6 +6100,7 @@ from documents group by 1
         "collocations": _collocations_sql(),
         "hll_tokens": _hll_tokens_sql(),
         "bm25": _bm25_entry_sql(),
+        "length_quantiles": _length_quantiles_sql(),
         "recrawl_churn": _recrawl_churn_sql(),
         "kg_path_2hop": _kg_path_2hop_sql(),
         "kg_bgp": _kg_bgp_sql(),

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # small, fixed stopword inventories for the n-gram/stopword heuristics
 EN_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it", "that", "for")
@@ -418,3 +419,95 @@ def collocations(
     return out.select(
         "w1", "w2", "pair_n", "w1_n", "w2_n", pmi.alias("pmi_e6")
     )
+
+
+def binned_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    bin_width: int = 64,
+    quantiles: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """Distribution audit without a global sort: per-group approximate
+    quantiles from a fixed-width histogram — the way a 100 TB corpus
+    answers "what is the doc-length P99 per source" (an exact quantile
+    is a total order over the whole table; a histogram is ONE
+    (group, bin) groupBy whose row count is bounded by the value range,
+    not the data volume, then a per-group cumulative walk over at most
+    that many bins).
+
+    Semantics (deterministic, integer-closed): ``bin = value div
+    bin_width`` (non-negative values); quantile q picks the SMALLEST bin
+    whose cumulative count reaches ``ceil(q·n/100)`` and reports that
+    bin's LOWER edge ``bin·bin_width`` — a value v̂ ≤ true pq < v̂ +
+    bin_width. Output: ``(*group_cols, n_values, p<q> ...)``, one wide
+    row per group. All arithmetic is exact integers, so the DuckDB
+    restatement matches bit-for-bit.
+    """
+    v = F.col(value_col).cast("long")
+    binned = (
+        df.filter(v.isNotNull() & (v >= 0))
+        .select(*group_cols, (v - F.pmod(v, F.lit(bin_width))).alias("edge"))
+        .groupBy(*group_cols, "edge")
+        .agg(F.count("*").alias("n"))
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("edge")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = binned.select(
+        *group_cols,
+        "edge",
+        F.sum("n").over(w).alias("cum"),
+        F.sum("n").over(Window.partitionBy(*group_cols)).alias("total"),
+    )
+    # cum ≥ ceil(q·total/100) ⟺ 100·cum ≥ q·total over integers — the
+    # ceil never needs materializing
+    picks = [
+        F.min(
+            F.when(F.col("cum").cast("long") * 100 >= F.col("total") * q, F.col("edge"))
+        ).alias(f"p{q}")
+        for q in quantiles
+    ]
+    return (
+        cum.groupBy(*group_cols)
+        .agg(F.max("total").cast("long").alias("n_values"), *picks)
+    )
+
+
+def binned_quantiles_sql(
+    source_cte: str,
+    group_expr: str,
+    value_expr: str,
+    bin_width: int = 64,
+    quantiles: tuple[int, ...] = (50, 90, 99),
+) -> str:
+    """The same integer histogram walk restated for DuckDB: bins via
+    integer division (the engine uses value − pmod), the cumulative via
+    a window, the pick via a filtered min. ``source_cte`` must select
+    the group and value columns under their output names."""
+    pick_cols = ",\n  ".join(
+        f"min(case when cum * 100 >= total * {q} then edge end) as p{q}"
+        for q in quantiles
+    )
+    return f"""
+with src as ({source_cte}),
+binned as (
+  select {group_expr} as grp, ({value_expr} // {bin_width}) * {bin_width} as edge,
+         count(*) as n
+  from src
+  where {value_expr} is not null and {value_expr} >= 0
+  group by 1, 2
+),
+cum as (
+  select grp, edge,
+    sum(n) over (partition by grp order by edge
+                 rows between unbounded preceding and current row) as cum,
+    sum(n) over (partition by grp) as total
+  from binned
+)
+select grp as {group_expr}, cast(max(total) as bigint) as n_values,
+  {pick_cols}
+from cum group by grp
+"""
