@@ -372,3 +372,47 @@ class TestRound4CrawlOpPlans:
         # whole-stage codegen — the scan/explode path itself stays
         # codegen'd and nothing drops to Python
         assert "* Generate" in plan or "* ColumnarToRow" in plan
+
+
+class TestRound42AdditionPlans:
+    """The r4.2 additions (HLL sketch, BM25, binned quantiles) are
+    full-corpus audit/retrieval paths — pure JVM codegen, bounded
+    shuffles, and no global sort anywhere."""
+
+    def test_hll_registers_single_exchange_partial_max(self, spark):
+        from docee_spark.operators.sketches import hll_registers
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        keyed = docs.select(F.col("lang"), F.col("text").alias("key"))
+        plan = _plan(hll_registers(keyed, "key", ["lang"]))
+        assert "EvalPython" not in plan
+        # one groupBy on (group, bucket) with map-side combine: registers
+        # are the ONLY thing that ever shuffles
+        assert _n_nodes(plan, "Exchange") == 1
+        assert "partial_max" in plan
+
+    def test_bm25_topk_no_sort_broadcast_dims(self, spark):
+        from docee_spark.operators.retrieval import bm25_topk
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        plan = _plan(bm25_topk(docs, ["spark", "query"]))
+        assert "EvalPython" not in plan
+        # top-k is TakeOrdered (per-partition heads + driver merge),
+        # never a global Sort exchange
+        assert "TakeOrderedAndProject" in plan
+        assert _n_nodes(plan, "Sort") == 0
+        # df and totals are broadcast dimensions; the posting stream
+        # never shuffles to meet them
+        assert _n_nodes(plan, "BroadcastHashJoin") >= 1
+        assert _n_nodes(plan, "BroadcastNestedLoopJoin") >= 1
+
+    def test_binned_quantiles_bounded_exchanges_no_python(self, spark):
+        from docee_spark.operators.textstats import binned_quantiles
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        plan = _plan(binned_quantiles(docs, "n_chars", ["source"]))
+        assert "EvalPython" not in plan
+        # histogram groupBy + per-group window repartition; the final
+        # per-group aggregate reuses the window's partitioning
+        assert _n_nodes(plan, "Exchange") <= 2
+        assert "partial_count" in plan or "partial_sum" in plan
