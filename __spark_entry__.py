@@ -1167,6 +1167,49 @@ def q_pagerank(spark, sf):
     return pagerank(edges, n_iter=8)
 
 
+def q_hits(spark, sf):
+    """Kleinberg HITS hubs/authorities (operators/linkgraph.py:hits)
+    over the SAME synthetic affine-link graph q_pagerank ranks, so the
+    two frontier signals are directly comparable: pages with
+    doc_id%7==0 publish no links (hub 0 by construction), in-degree
+    skew from the non-coprime multipliers concentrates authority. Four
+    L1-normalized e9 integer half-step iterations; the oracle unrolls
+    the identical recurrence into generated CTE layers."""
+    from docee_spark.operators.linkgraph import hits
+
+    d = _read(spark, sf, "documents").select("doc_id")
+    n = F.broadcast(d.agg(F.count("*").alias("n")))
+    b = d.crossJoin(n).filter(F.col("doc_id") % 7 != 0)
+    parts = [
+        b.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * k + c) % F.col("n")).alias("dst"),
+        )
+        for k, c in ((3, 1), (4, 18), (5, 35))
+    ]
+    edges = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return hits(edges, n_iter=4)
+
+
+def _hits_sql() -> str:
+    """Generated unrolled-layers oracle (linkgraph.hits_sql) over the
+    re-stated pagerank edge grammar."""
+    from docee_spark.operators.linkgraph import hits_sql
+
+    edge_cte = """cnt as (select count(*) as n from documents),
+edges as (
+  select doc_id as src, (doc_id * 3 + 1) % cnt.n as dst
+  from documents, cnt where doc_id % 7 <> 0
+  union all
+  select doc_id, (doc_id * 4 + 18) % cnt.n
+  from documents, cnt where doc_id % 7 <> 0
+  union all
+  select doc_id, (doc_id * 5 + 35) % cnt.n
+  from documents, cnt where doc_id % 7 <> 0
+)"""
+    return hits_sql(edge_cte, n_iter=4)
+
+
 def q_triangles(spark, sf):
     """Host-graph triangle counting + local clustering coefficient
     (operators/graphstats.py:triangles — degree-ordered orientation) over
@@ -2299,6 +2342,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-source P50/P90/P99 distribution audit (no free window
         # slot; hll_tokens and bm25 took this session's two)
         "length_quantiles": q_length_quantiles,
+        # hits — new r4.2 tail entry: hubs/authorities over the same
+        # link graph pagerank (in-window) ranks; same movement shape,
+        # different eigenproblem
+        "hits": q_hits,
         "model_spans_spot": q_model_spans_spot,
         "docee_triples_trigger_inc": q_docee_triples_trigger_inc,
         "docee_triples_product": q_docee_triples_product,
@@ -6101,6 +6148,7 @@ from documents group by 1
         "hll_tokens": _hll_tokens_sql(),
         "bm25": _bm25_entry_sql(),
         "length_quantiles": _length_quantiles_sql(),
+        "hits": _hits_sql(),
         "recrawl_churn": _recrawl_churn_sql(),
         "kg_path_2hop": _kg_path_2hop_sql(),
         "kg_bgp": _kg_bgp_sql(),

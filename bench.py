@@ -71,6 +71,12 @@ HEADLINE = [
     "url_keys",
     "dedup_quality",
     "kg_transe_eval",
+    # r4.2 additions: HLL cardinality sketch, BM25 retrieval, histogram
+    # quantile audit
+    "hll_tokens",
+    "bm25",
+    "length_quantiles",
+    "hits",
 ]
 
 

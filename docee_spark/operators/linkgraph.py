@@ -324,3 +324,151 @@ def anchor_surfaces(links: DataFrame, min_anchors: int = 2) -> DataFrame:
         )
         .filter(F.col("n_anchors") >= min_anchors)
     )
+
+
+def hits(
+    edges: DataFrame,
+    n_iter: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Kleinberg HITS → ``(node, hub_e9, auth_e9)`` for every node on
+    either side of ``edges``. The companion signal to ``pagerank`` on
+    the same link graph: PageRank rewards being LINKED-TO by important
+    pages; HITS separates directories/portals (hubs: link to many good
+    authorities) from content pages (authorities: linked from many good
+    hubs) — the standard pair a crawl frontier ranks with.
+
+    Determinism contract: e9 fixed-point integers throughout with L1
+    normalization each half-step (``x·10⁹ div Σx`` — exact integer
+    floor division; the textbook uses L2, whose sqrt has no closed
+    integer form: a documented deviation that rescales scores but keeps
+    the same eigenvector direction, i.e. the same ranking structure).
+    Overflow-safe: after each normalization the vector sums to ≤ 10⁹,
+    so every raw sum ≤ 10⁹ and ``raw·10⁹`` < 2⁶³.
+
+    Scale shape: per half-step ONE equi-join of the score vector onto
+    the edge table plus a groupBy sum, a 1-row broadcast total, and a
+    localCheckpoint to cap lineage — identical movement to ``pagerank``.
+    Nodes without out-links have hub 0; without in-links auth 0.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_total = nodes.agg(F.count("*").alias("n_nodes"))
+    hub = (
+        nodes.crossJoin(F.broadcast(n_total))
+        .select("node", _fdiv(F.lit(E9), F.col("n_nodes")).alias("s"))
+        .localCheckpoint()
+    )
+    auth = None
+    for _ in range(n_iter):
+        # the numerator raw·10⁹ can exceed 2⁵³, where double-backed
+        # floor emulation loses ulps — `div` stays in exact bigints
+        norm = F.expr("(coalesce(raw, 0) * 1000000000) div t")
+        raw_a = (
+            hub.join(e, hub["node"] == e["src"])
+            .groupBy("dst")
+            .agg(F.sum("s").alias("raw"))
+        )
+        ta = raw_a.agg(F.sum("raw").alias("t"))
+        auth = (
+            nodes.join(raw_a, nodes["node"] == raw_a["dst"], "left")
+            .crossJoin(F.broadcast(ta))
+            .select(
+                "node",
+                F.when(F.col("t").isNotNull() & (F.col("t") > 0), norm)
+                .otherwise(F.lit(0))
+                .alias("s"),
+            )
+            .localCheckpoint()
+        )
+        raw_h = (
+            auth.join(e, auth["node"] == e["dst"])
+            .groupBy("src")
+            .agg(F.sum("s").alias("raw"))
+        )
+        th = raw_h.agg(F.sum("raw").alias("t"))
+        hub = (
+            nodes.join(raw_h, nodes["node"] == raw_h["src"], "left")
+            .crossJoin(F.broadcast(th))
+            .select(
+                "node",
+                F.when(F.col("t").isNotNull() & (F.col("t") > 0), norm)
+                .otherwise(F.lit(0))
+                .alias("s"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        hub.withColumnRenamed("s", "hub_e9")
+        .join(auth.withColumnRenamed("s", "auth_e9"), "node")
+        .select("node", "hub_e9", "auth_e9")
+    )
+
+
+def hits_sql(edge_cte: str, n_iter: int = 4) -> str:
+    """The same L1-normalized half-step recurrence unrolled as DuckDB
+    CTE layers (generated, ``materialized`` to stop exponential CTE
+    re-inlining). ``edge_cte`` must define ``edges(src, dst)``."""
+
+    def fdiv(a: str, b: str) -> str:
+        return f"cast((({a}) - (({a}) % ({b}))) / ({b}) as bigint)"
+
+    lines = [
+        edge_cte,
+        "nodes as (select src as node from edges union "
+        "select dst as node from edges)",
+        "nn as (select count(*) as n from nodes)",
+        "h0 as materialized (select node, "
+        + fdiv("1000000000", "(select n from nn)")
+        + " as s from nodes)",
+    ]
+    prev_h = "h0"
+    prev_a = None
+    for i in range(1, n_iter + 1):
+        # exact bigint floor division — the numerator can exceed 2^53,
+        # where the (a - a%b)/b double emulation loses ulps
+        norm = "cast(((coalesce(r.raw, 0) * 1000000000) // t.t) as bigint)"
+        lines.append(
+            f"""a{i} as materialized (
+  select n.node,
+    case when t.t > 0 then {norm} else 0 end as s
+  from nodes n
+  cross join (
+    select coalesce(sum(p.s), 0) as t
+    from {prev_h} p join edges e on e.src = p.node) t
+  left join (
+    select e.dst, sum(p.s) as raw
+    from {prev_h} p join edges e on e.src = p.node
+    group by e.dst) r on r.dst = n.node
+)"""
+        )
+        prev_a = f"a{i}"
+        lines.append(
+            f"""h{i} as materialized (
+  select n.node,
+    case when t.t > 0 then {norm} else 0 end as s
+  from nodes n
+  cross join (
+    select coalesce(sum(p.s), 0) as t
+    from {prev_a} p join edges e on e.dst = p.node) t
+  left join (
+    select e.src, sum(p.s) as raw
+    from {prev_a} p join edges e on e.dst = p.node
+    group by e.src) r on r.src = n.node
+)"""
+        )
+        prev_h = f"h{i}"
+    return (
+        "with "
+        + ",\n".join(lines)
+        + f"\nselect h.node, h.s as hub_e9, a.s as auth_e9"
+        + f"\nfrom {prev_h} h join {prev_a} a using (node)"
+    )
