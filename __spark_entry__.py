@@ -1330,6 +1330,36 @@ def _length_quantiles_sql() -> str:
     )
 
 
+_CM_QUERY_TOKENS = ["spark", "query", "join", "the", "zz-absent"]
+
+
+def q_cm_tokens(spark, sf):
+    """Count-Min frequency sketch (operators/sketches.py:cm_registers/
+    cm_estimate): token-frequency point estimates from a 4×256 integer
+    counter table built in one pass (map-side combine, ≤1024 rows ever
+    shuffle, registers merge across shards by cellwise addition).
+    Estimates never undercount; the probe set includes an absent token
+    (estimates 0 unless all 4 of its cells collide)."""
+    from docee_spark.operators.sketches import cm_estimate, cm_registers
+    from docee_spark.operators.textstats import tokens
+
+    d = _read(spark, sf, "documents")
+    keyed = d.select(F.explode(tokens(F.lower(F.col("text")))).alias("key"))
+    return cm_estimate(cm_registers(keyed, "key"), _CM_QUERY_TOKENS)
+
+
+def _cm_tokens_sql() -> str:
+    """Generated Count-Min oracle (sketches.cm_sql): registers + point
+    queries re-derived with strpos nibble arithmetic and a VALUES salt
+    spine."""
+    from docee_spark.operators.sketches import cm_sql
+
+    toks = _TOKENS.format(c="lower(text)")
+    return cm_sql(
+        f"select unnest({toks}) as key from documents", _CM_QUERY_TOKENS
+    )
+
+
 def _bm25_entry_sql() -> str:
     """Generated BM25 oracle (operators/retrieval.py:bm25_sql): same
     frozen integer arithmetic, differently formulated — tf via
@@ -2346,6 +2376,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # link graph pagerank (in-window) ranks; same movement shape,
         # different eigenproblem
         "hits": q_hits,
+        # cm_tokens — new r4.2 tail entry: Count-Min frequency point
+        # estimates, the linear-register companion to hll_tokens
+        # (in-window)
+        "cm_tokens": q_cm_tokens,
         "model_spans_spot": q_model_spans_spot,
         "docee_triples_trigger_inc": q_docee_triples_trigger_inc,
         "docee_triples_product": q_docee_triples_product,
@@ -6149,6 +6183,7 @@ from documents group by 1
         "bm25": _bm25_entry_sql(),
         "length_quantiles": _length_quantiles_sql(),
         "hits": _hits_sql(),
+        "cm_tokens": _cm_tokens_sql(),
         "recrawl_churn": _recrawl_churn_sql(),
         "kg_path_2hop": _kg_path_2hop_sql(),
         "kg_bgp": _kg_bgp_sql(),

@@ -43,6 +43,7 @@ every integer 1..256 this branch can ever see. Branch selection
 
 from __future__ import annotations
 
+import hashlib
 import math
 
 from pyspark.sql import Column, DataFrame
@@ -229,4 +230,110 @@ select grp as {group_expr}, cast(n_buckets_used as bigint) as n_buckets_used,
     else est_raw
   end as bigint) as est_distinct
 from est
+"""
+
+
+# ---------------------------------------------------------------------------
+# Count-Min: the frequency-estimation companion to the HLL above.
+# ---------------------------------------------------------------------------
+
+CM_D = 4  # hash rows (salts)
+CM_W = 256  # columns per row (first 2 md5 hex chars, like the HLL bucket)
+CM_SALTS = tuple(f"cm{r}#" for r in range(CM_D))
+
+
+def cm_registers(df: DataFrame, key_col: str, weight_col: str | None = None) -> DataFrame:
+    """Count-Min sketch build: ONE pass → ``(row, col, c)`` — a d×w =
+    4×256 integer counter table. Each key updates one column per salt
+    row (``col = first 2 hex chars of md5(salt ‖ key)``, the HLL bucket
+    grammar); ``weight_col`` (default 1/row) supports pre-aggregated
+    input. The groupBy has map-side combine and at most d·w = 1024 rows
+    ever shuffle — frequency estimation whose state is constant in the
+    data volume, mergeable across shards by cellwise ADDITION
+    (count-min registers are linear)."""
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    base = df.filter(F.col(key_col).isNotNull()).select(
+        F.col(key_col).cast("string").alias("k"), w.alias("w")
+    )
+
+    def col_of(salt: str) -> Column:
+        h = F.md5(F.concat(F.lit(salt), F.col("k")))
+        return _nibble(F.substring(h, 1, 1)) * 16 + _nibble(F.substring(h, 2, 1))
+
+    cells = base.select(
+        "w",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("row"), col_of(s).alias("col"))
+                    for i, s in enumerate(CM_SALTS)
+                ]
+            )
+        ).alias("cell"),
+    )
+    return (
+        cells.select(F.col("cell.row").alias("row"), F.col("cell.col").alias("col"), "w")
+        .groupBy("row", "col")
+        .agg(F.sum("w").alias("c"))
+    )
+
+
+def cm_estimate(registers: DataFrame, keys: list[str]) -> DataFrame:
+    """Point queries against a register table → ``(key, est_count)``
+    with ``est = min over rows of the key's cell`` — never an
+    undercount; overcount ≤ (2/w)·total with prob ≥ 1 − 2⁻ᵈ per the
+    classic bound. The query side is a tiny broadcast dimension."""
+    spark = registers.sparkSession
+    qrows = []
+    for k in sorted(set(keys)):
+        for r, s in enumerate(CM_SALTS):
+            h = hashlib.md5((s + k).encode()).hexdigest()
+            qrows.append((k, r, int(h[:2], 16)))
+    q = spark.createDataFrame(qrows, "key string, row int, col int")
+    # left join from the query side: a cell no key ever hashed into has
+    # no register row, and must count as 0 (never dropped — dropping it
+    # would raise the min and break the never-undercount guarantee's
+    # companion property that absent keys estimate 0)
+    joined = q.join(
+        registers,
+        (registers["row"] == q["row"]) & (registers["col"] == q["col"]),
+        "left",
+    ).select("key", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    return (
+        joined.groupBy("key")
+        .agg(F.min("c").cast("long").alias("est_count"))
+    )
+
+
+def cm_sql(source_cte: str, keys: list[str]) -> str:
+    """Registers + point queries re-derived in DuckDB (strpos nibble
+    arithmetic, a VALUES salt spine instead of the engine's generated
+    struct array). ``source_cte`` must define ``src(key)`` (one row per
+    occurrence)."""
+    salt_values = ", ".join(f"({r}, '{s}')" for r, s in enumerate(CM_SALTS))
+    key_values = ", ".join(f"('{k}')" for k in sorted(set(keys)))
+    return f"""
+with src as ({source_cte}),
+salts(row, salt) as (values {salt_values}),
+cells as (
+  select s.row,
+    (strpos('0123456789abcdef', substr(md5(s.salt || src.key), 1, 1)) - 1) * 16
+      + (strpos('0123456789abcdef', substr(md5(s.salt || src.key), 2, 1)) - 1)
+      as col,
+    count(*) as c
+  from src cross join salts s
+  where src.key is not null
+  group by 1, 2
+),
+q(key) as (values {key_values}),
+qcells as (
+  select q.key, s.row,
+    (strpos('0123456789abcdef', substr(md5(s.salt || q.key), 1, 1)) - 1) * 16
+      + (strpos('0123456789abcdef', substr(md5(s.salt || q.key), 2, 1)) - 1)
+      as col
+  from q cross join salts s
+)
+select qc.key, cast(min(coalesce(c.c, 0)) as bigint) as est_count
+from qcells qc left join cells c on c.row = qc.row and c.col = qc.col
+group by qc.key
 """

@@ -160,3 +160,78 @@ class TestOracleParity:
         sql = hll_sql("select g as grp, key from src_rows", "key", "g")
         want = sorted(tuple(r) for r in con.execute(sql).fetchall())
         assert got == [tuple(w) for w in want]
+
+
+def py_cm_registers(keys):
+    """Independent python Count-Min over the same frozen grammar."""
+    from docee_spark.operators.sketches import CM_SALTS
+
+    regs: dict[tuple[int, int], int] = {}
+    for k in keys:
+        for r, s in enumerate(CM_SALTS):
+            col = int(hashlib.md5((s + str(k)).encode()).hexdigest()[:2], 16)
+            regs[(r, col)] = regs.get((r, col), 0) + 1
+    return regs
+
+
+class TestCountMin:
+    def test_registers_match_pure_python(self, spark):
+        from docee_spark.operators.sketches import cm_registers
+
+        keys = [f"tok{i % 37}" for i in range(1500)]
+        df = spark.createDataFrame([(k,) for k in keys], "key string")
+        got = {(r.row, r.col): r.c for r in cm_registers(df, "key").collect()}
+        assert got == py_cm_registers(keys)
+
+    def test_never_undercounts_and_zero_for_absent(self, spark):
+        from docee_spark.operators.sketches import cm_estimate, cm_registers
+
+        keys = [f"tok{i % 37}" for i in range(1500)]
+        true = {k: keys.count(k) for k in set(keys)}
+        df = spark.createDataFrame([(k,) for k in keys], "key string")
+        regs = cm_registers(df, "key")
+        est = {
+            r.key: r.est_count
+            for r in cm_estimate(regs, ["tok0", "tok5", "tok36", "missing-key"]).collect()
+        }
+        for k in ("tok0", "tok5", "tok36"):
+            assert est[k] >= true[k]
+            # classic bound: overcount <= (2/w)*N with high probability
+            assert est[k] <= true[k] + 2 * len(keys) // 256 + 1
+        # absent key: min over its cells — 0 unless every one of its 4
+        # cells collides (p ~ (37/256)^4); pinned 0 for this fixture
+        assert est["missing-key"] == 0
+
+    def test_merge_is_cellwise_addition(self, spark):
+        from docee_spark.operators.sketches import cm_registers
+        from pyspark.sql import functions as SF
+
+        rows = [(i, f"k{i % 29}") for i in range(800)]
+        df = spark.createDataFrame(rows, "i long, key string")
+        h1 = df.filter(F.col("i") % 2 == 0)
+        h2 = df.filter(F.col("i") % 2 == 1)
+        merged = (
+            cm_registers(h1, "key")
+            .unionByName(cm_registers(h2, "key"))
+            .groupBy("row", "col")
+            .agg(SF.sum("c").alias("c"))
+        )
+        whole = cm_registers(df, "key")
+        a = sorted((r.row, r.col, r.c) for r in merged.collect())
+        b = sorted((r.row, r.col, r.c) for r in whole.collect())
+        assert a == b
+
+    def test_duckdb_oracle_bit_exact(self, spark):
+        from docee_spark.operators.sketches import cm_estimate, cm_registers, cm_sql
+
+        keys = [f"w{(i * i) % 53}" for i in range(2000)]
+        df = spark.createDataFrame([(k,) for k in keys], "key string")
+        qk = ["w0", "w1", "w16", "nope"]
+        got = sorted(
+            tuple(r) for r in cm_estimate(cm_registers(df, "key"), qk).collect()
+        )
+        con = duckdb.connect()
+        con.execute("create table t (key varchar)")
+        con.executemany("insert into t values (?)", [(k,) for k in keys])
+        want = sorted(con.execute(cm_sql("select key from t", qk)).fetchall())
+        assert got == want
