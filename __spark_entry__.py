@@ -1330,6 +1330,25 @@ def _length_quantiles_sql() -> str:
     )
 
 
+def q_keywords(spark, sf):
+    """Per-document TF-IDF keyword extraction (operators/textstats.py:
+    keywords_tfidf): top-3 tokens per doc by tf·idf_e6 with
+    integer-argument logs (ln_e6(N+1) − ln_e6(df)) and the pinned
+    (score desc, token asc) window order. One tf groupBy + broadcast
+    df dimension + one per-doc window."""
+    from docee_spark.operators.textstats import keywords_tfidf
+
+    return keywords_tfidf(_read(spark, sf, "documents"), k=3)
+
+
+def _keywords_sql() -> str:
+    """Generated oracle (textstats.keywords_tfidf_sql): same frozen
+    arithmetic, df via count(distinct doc_id), identical window pin."""
+    from docee_spark.operators.textstats import keywords_tfidf_sql
+
+    return keywords_tfidf_sql(k=3)
+
+
 _CM_QUERY_TOKENS = ["spark", "query", "join", "the", "zz-absent"]
 
 
@@ -2380,6 +2399,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # estimates, the linear-register companion to hll_tokens
         # (in-window)
         "cm_tokens": q_cm_tokens,
+        # keywords — new r4.2 tail entry: per-doc TF-IDF top-3 labels
+        # (integer-log idf, pinned window order)
+        "keywords": q_keywords,
         "model_spans_spot": q_model_spans_spot,
         "docee_triples_trigger_inc": q_docee_triples_trigger_inc,
         "docee_triples_product": q_docee_triples_product,
@@ -6184,6 +6206,7 @@ from documents group by 1
         "length_quantiles": _length_quantiles_sql(),
         "hits": _hits_sql(),
         "cm_tokens": _cm_tokens_sql(),
+        "keywords": _keywords_sql(),
         "recrawl_churn": _recrawl_churn_sql(),
         "kg_path_2hop": _kg_path_2hop_sql(),
         "kg_bgp": _kg_bgp_sql(),

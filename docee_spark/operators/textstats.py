@@ -511,3 +511,75 @@ select grp as {group_expr}, cast(max(total) as bigint) as n_values,
   {pick_cols}
 from cum group by grp
 """
+
+
+def keywords_tfidf(
+    df: DataFrame, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Per-document keyword extraction → ``(doc_id, keyword, rank,
+    score_e6)``: the top-``k`` tokens by tf·idf — the label a KG
+    pipeline attaches to a page when no extractor fires, and the cheap
+    doc-topic signal corpus curation mixes on.
+
+    Exactness contract: ``idf_e6 = ln_e6(N + 1) − ln_e6(df_t)`` (both
+    logs of integers — the lm.py frozen boundary; +1 smoothing keeps
+    corpus-universal tokens at a small positive idf), ``score_e6 =
+    tf · idf_e6`` exact bigint products, top-k per doc via row_number
+    over the pinned (score desc, token asc) order. Shuffle shape: one
+    tf groupBy, a broadcast df-dimension join, one per-doc window — the
+    token stream shuffles once.
+    """
+    toks = (
+        df.select(F.col("doc_id"), F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("dfreq"))
+    n_docs = df.select(F.countDistinct("doc_id").alias("n"))
+    idf = (
+        F.floor(F.log((F.col("n") + 1).cast("double")) * 1_000_000).cast("long")
+        - F.floor(F.log(F.col("dfreq").cast("double")) * 1_000_000).cast("long")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            F.col("token").alias("keyword"),
+            (F.col("tf") * idf).alias("score_e6"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_e6").desc(), F.col("keyword").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "keyword", "rank", "score_e6")
+    )
+
+
+def keywords_tfidf_sql(k: int = 3) -> str:
+    """The same frozen arithmetic restated for DuckDB over the
+    ``documents`` view — list-dedup tf via a grouped unnest, df via a
+    distinct-doc count, the identical pinned window order."""
+    toks = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> len(x) > 0)"
+    return f"""
+with tk as (select doc_id, unnest({toks}) as token from documents),
+tf as (select doc_id, token, count(*) as tf from tk group by 1, 2),
+dfreq as (select token, count(distinct doc_id) as dfreq from tf group by 1),
+nd as (select count(distinct doc_id) as n from documents),
+scored as (
+  select tf.doc_id, tf.token as keyword,
+    tf.tf * (cast(floor(ln(n + 1) * 1000000) as bigint)
+             - cast(floor(ln(dfreq) * 1000000) as bigint)) as score_e6
+  from tf join dfreq using (token) cross join nd
+),
+ranked as (
+  select doc_id, keyword, score_e6,
+    row_number() over (partition by doc_id
+                       order by score_e6 desc, keyword asc) as rank
+  from scored
+)
+select doc_id, keyword, cast(rank as bigint) as rank, score_e6
+from ranked where rank <= {k}
+"""
