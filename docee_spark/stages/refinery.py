@@ -22,6 +22,9 @@ gates first so expensive stages see fewer rows):
   (extraction)run_pipeline: segment → tag → decode → triples →
               canonicalize → vertex/edge tables (its own staged commits)
   ranks       PageRank over the KG edge table (entity importance)
+  audit       HLL distinct-token + histogram length-quantile metrics of
+              the refined corpus (long-format (grp, metric, value) —
+              constant-size sketch state, one corpus pass)
 
 Scale notes: clean/quality/pii are map-only against the scan (quality is
 a single projection — no flag-frame joins); the dedup stages shuffle
@@ -383,6 +386,42 @@ def run_refinery(
             result["edges"].select("src", "dst"), n_iter=rank_iters
         ),
     )
+
+    # 8. corpus audit: sketch-based cardinality + histogram quantiles of
+    # the refined corpus, committed as a tiny long-format metrics table
+    # (grp, metric, value) — constant-size state (256 HLL registers per
+    # lang + one histogram row per bin), so the audit costs one corpus
+    # pass however large the build
+    def build_audit() -> DataFrame:
+        from ..operators.sketches import hll_distinct
+        from ..operators.textstats import binned_quantiles
+
+        keyed = decon.select(
+            F.col("lang"), F.explode(tokens(F.lower(F.col("text")))).alias("key")
+        )
+        vocab = hll_distinct(keyed, "key", ["lang"]).select(
+            F.col("lang").alias("grp"),
+            F.lit("est_distinct_tokens").alias("metric"),
+            F.col("est_distinct").alias("value"),
+        )
+        lens = binned_quantiles(
+            decon.select("lang", F.length("text").alias("n_chars")),
+            "n_chars",
+            ["lang"],
+            bin_width=64,
+        )
+        out = vocab
+        for m in ("n_values", "p50", "p90", "p99"):
+            out = out.unionByName(
+                lens.select(
+                    F.col("lang").alias("grp"),
+                    F.lit(f"len_{m}").alias("metric"),
+                    F.col(m).cast("long").alias("value"),
+                )
+            )
+        return out
+
+    result["audit"] = staged("audit", build_audit)
 
     for m in store.counters():
         counters[m["stage"]] = {"n_rows": m.get("n_rows"), **m.get("counters", {})}

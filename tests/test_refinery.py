@@ -386,3 +386,50 @@ class TestRefineryE2E:
         assert worst["dropped"] == 20 and worst["stage"] in (
             "quality", "decontam",
         )
+
+
+@pytest.mark.slow
+class TestAuditStage:
+    def test_audit_matches_direct_operators(self, refinery_run, spark):
+        """The committed audit stage equals running the sketch/quantile
+        operators directly on the refined corpus."""
+        from docee_spark.operators.sketches import hll_distinct
+        from docee_spark.operators.textstats import binned_quantiles, tokens
+
+        audit = {
+            (r.grp, r.metric): r.value
+            for r in refinery_run["cold"]["audit"].collect()
+        }
+        corpus = refinery_run["cold"]["corpus"]
+        keyed = corpus.select(
+            F.col("lang"), F.explode(tokens(F.lower(F.col("text")))).alias("key")
+        )
+        for r in hll_distinct(keyed, "key", ["lang"]).collect():
+            assert audit[(r.lang, "est_distinct_tokens")] == r.est_distinct
+            assert r.est_distinct > 0
+        lens = binned_quantiles(
+            corpus.select("lang", F.length("text").alias("n_chars")),
+            "n_chars",
+            ["lang"],
+            bin_width=64,
+        )
+        for r in lens.collect():
+            assert audit[(r.lang, "len_p50")] == r.p50
+            assert audit[(r.lang, "len_p99")] == r.p99
+            assert audit[(r.lang, "len_n_values")] == r.n_values
+            assert r.p50 <= r.p90 <= r.p99
+
+    def test_audit_committed_and_resumed(self, refinery_run):
+        store = refinery_run["store"]
+        stages = {m["stage"] for m in store.counters()}
+        assert "audit" in stages
+        # resume serves the committed table
+        a = sorted(
+            (r.grp, r.metric, r.value)
+            for r in refinery_run["resume"]["audit"].collect()
+        )
+        b = sorted(
+            (r.grp, r.metric, r.value)
+            for r in refinery_run["cold"]["audit"].collect()
+        )
+        assert a == b
