@@ -1210,6 +1210,49 @@ edges as (
     return hits_sql(edge_cte, n_iter=4)
 
 
+def q_ppr(spark, sf):
+    """Personalized PageRank / random-walk-with-restart
+    (operators/linkgraph.py:personalized_pagerank) seeded at two pages
+    of the same affine-link graph pagerank and hits rank — the KG
+    "entities related to X" read path. Teleport and dangling mass
+    return only to the seeds; unreachable nodes stay exactly 0. Exact
+    e9 integer recurrence, 8 iterations, generated unrolled oracle."""
+    from docee_spark.operators.linkgraph import personalized_pagerank
+
+    d = _read(spark, sf, "documents").select("doc_id")
+    n = F.broadcast(d.agg(F.count("*").alias("n")))
+    b = d.crossJoin(n).filter(F.col("doc_id") % 7 != 0)
+    parts = [
+        b.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * k + c) % F.col("n")).alias("dst"),
+        )
+        for k, c in ((3, 1), (4, 18), (5, 35))
+    ]
+    edges = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return personalized_pagerank(edges, [1, 42], n_iter=8)
+
+
+def _ppr_sql() -> str:
+    """Generated unrolled-layers oracle (linkgraph.
+    personalized_pagerank_sql) over the restated pagerank edge
+    grammar, seeds inlined as a VALUES spine."""
+    from docee_spark.operators.linkgraph import personalized_pagerank_sql
+
+    edge_cte = """cnt as (select count(*) as n from documents),
+edges as (
+  select doc_id as src, (doc_id * 3 + 1) % cnt.n as dst
+  from documents, cnt where doc_id % 7 <> 0
+  union all
+  select doc_id, (doc_id * 4 + 18) % cnt.n
+  from documents, cnt where doc_id % 7 <> 0
+  union all
+  select doc_id, (doc_id * 5 + 35) % cnt.n
+  from documents, cnt where doc_id % 7 <> 0
+)"""
+    return personalized_pagerank_sql(edge_cte, [1, 42], n_iter=8)
+
+
 def q_triangles(spark, sf):
     """Host-graph triangle counting + local clustering coefficient
     (operators/graphstats.py:triangles — degree-ordered orientation) over
@@ -2402,6 +2445,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # keywords — new r4.2 tail entry: per-doc TF-IDF top-3 labels
         # (integer-log idf, pinned window order)
         "keywords": q_keywords,
+        # ppr — new r4.2 tail entry: seeded random-walk-with-restart
+        # over the pagerank graph ("entities related to X" read path)
+        "ppr": q_ppr,
         "model_spans_spot": q_model_spans_spot,
         "docee_triples_trigger_inc": q_docee_triples_trigger_inc,
         "docee_triples_product": q_docee_triples_product,
@@ -6207,6 +6253,7 @@ from documents group by 1
         "hits": _hits_sql(),
         "cm_tokens": _cm_tokens_sql(),
         "keywords": _keywords_sql(),
+        "ppr": _ppr_sql(),
         "recrawl_churn": _recrawl_churn_sql(),
         "kg_path_2hop": _kg_path_2hop_sql(),
         "kg_bgp": _kg_bgp_sql(),

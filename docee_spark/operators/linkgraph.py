@@ -472,3 +472,146 @@ def hits_sql(edge_cte: str, n_iter: int = 4) -> str:
         + f"\nselect h.node, h.s as hub_e9, a.s as auth_e9"
         + f"\nfrom {prev_h} h join {prev_a} a using (node)"
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: list,
+    n_iter: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Random-walk-with-restart → ``(node, rank_e9)``: PageRank whose
+    teleport mass returns to the SEED set instead of the whole graph —
+    the KG "entities related to X" read path (seed the walk at a query
+    entity; high-rank nodes are its multi-hop neighborhood weighted by
+    connectivity), and the crawl counterpart of seed-focused frontier
+    expansion.
+
+    Same exact-integer e9 recurrence as ``pagerank`` (85/100 damping,
+    floor divisions) with two changes: the (1−d) restart term and the
+    dangling-mass redistribution both go ONLY to seeds (uniformly,
+    ``div |S|``). Non-seed nodes unreachable from the seeds stay at
+    exactly 0. Seeds are a tiny literal ``isin`` — no join; per pass the
+    movement is the one contribution join + groupBy, as in pagerank."""
+    if not seeds:
+        raise ValueError("personalized_pagerank needs >= 1 seed")
+    s_list = sorted(set(seeds))
+    n_seeds = len(s_list)
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    is_seed = F.col("node").isin(s_list)
+
+    ranks = nodes.select(
+        "node",
+        F.when(is_seed, F.lit(E9 // n_seeds).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("rank_e9"),
+    ).localCheckpoint()
+    for _ in range(n_iter):
+        r = ranks.join(outdeg, ranks["node"] == outdeg["src"], "left").select(
+            "node", "rank_e9", "outdeg"
+        )
+        contrib = (
+            r.filter(F.col("outdeg").isNotNull())
+            .join(e, F.col("node") == e["src"])
+            .select("dst", _fdiv(F.col("rank_e9"), F.col("outdeg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        dangling = r.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("outdeg").isNull(), F.col("rank_e9"))),
+                F.lit(0),
+            ).alias("dangling_sum")
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.when(
+                        is_seed, F.lit((15 * E9) // (100 * n_seeds)).cast("long")
+                    ).otherwise(F.lit(0).cast("long"))
+                    + _fdiv(
+                        85
+                        * (
+                            F.coalesce(F.col("in_sum"), F.lit(0))
+                            + F.when(
+                                is_seed,
+                                _fdiv(F.col("dangling_sum"), F.lit(n_seeds)),
+                            ).otherwise(F.lit(0).cast("long"))
+                        ),
+                        F.lit(100),
+                    )
+                ).alias("rank_e9"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def personalized_pagerank_sql(edge_cte: str, seeds: list, n_iter: int = 8) -> str:
+    """The seeded recurrence unrolled as DuckDB CTE layers (generated;
+    ``materialized`` against exponential CTE re-inlining). ``edge_cte``
+    must define ``edges(src, dst)``; seeds inline as a VALUES spine."""
+
+    def fdiv(a: str, b: str) -> str:
+        return f"cast((({a}) - (({a}) % ({b}))) / ({b}) as bigint)"
+
+    s_list = sorted(set(seeds))
+    n_seeds = len(s_list)
+    seed_values = ", ".join(f"({s})" for s in s_list)
+    lines = [
+        edge_cte,
+        f"seeds(node) as (values {seed_values})",
+        "nodes as (select src as node from edges union "
+        "select dst as node from edges)",
+        "outdeg as (select src, count(*) as outdeg from edges group by src)",
+        "r0 as materialized (select n.node, "
+        f"case when s.node is not null then {E9 // n_seeds} else 0 end"
+        " as rank_e9 from nodes n left join seeds s on s.node = n.node)",
+    ]
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        cur = f"r{i}"
+        contrib = fdiv("p.rank_e9", "o.outdeg")
+        lines.append(
+            f"""{cur} as materialized (
+  select n.node,
+    case when s.node is not null then {(15 * E9) // (100 * n_seeds)} else 0 end
+      + {fdiv(
+          "85 * (coalesce(c.in_sum, 0)"
+          + f" + case when s.node is not null then {fdiv('d.ds', str(n_seeds))}"
+          + " else 0 end)",
+          "100",
+      )} as rank_e9
+  from nodes n
+  left join seeds s on s.node = n.node
+  cross join (
+    select coalesce(sum(p.rank_e9), 0) as ds
+    from {prev} p left join outdeg o on p.node = o.src
+    where o.src is null) d
+  left join (
+    select e.dst, sum({contrib}) as in_sum
+    from {prev} p
+    join outdeg o on p.node = o.src
+    join edges e on e.src = p.node
+    group by e.dst) c on c.dst = n.node
+)"""
+        )
+        prev = cur
+    return (
+        "with "
+        + ",\n".join(lines)
+        + f"\nselect node, rank_e9 from {prev}"
+    )
