@@ -367,6 +367,16 @@ def test_query_registry_invariants():
         "kg_transe_eval",
         "dedup_quality",
         "url_keys",
+        # r4.2 session: two green-r3 demotions whose slots went to the
+        # never-recorded hll_tokens and bm25 (rationale at each entry)
+        "embed_lsh_topk_mp",   # green r3; sibling embed_ivf_topk in window
+        "multimodal_features", # green r3; full codec pytest battery
+        # r4.2 additions past the full window (pytest + check_oracles)
+        "length_quantiles",
+        "hits",
+        "cm_tokens",
+        "keywords",
+        "ppr",
         # redundantly-evidenced twins of stronger in-window siblings
         # (per-entry rationale in the queries() docComment)
         "user_mode_event",            # W2 also cited by docee_key_sentences
@@ -397,4 +407,6 @@ def test_query_registry_invariants():
         "kg_khop", "kg_ntriples", "entity_link", "kg_bgp", "join_asof",
         "triangles", "collocations", "recrawl_churn", "dedup_clusters",
         "dedup_chunks", "decontaminate", "pii_scrub",
+        # r4.2 primaries (never driver-recorded)
+        "hll_tokens", "bm25",
     } <= window
