@@ -72,11 +72,14 @@ HEADLINE = [
     "dedup_quality",
     "kg_transe_eval",
     # r4.2 additions: HLL cardinality sketch, BM25 retrieval, histogram
-    # quantile audit
+    # quantile audit, HITS, Count-Min, TF-IDF keywords, seeded RWR
     "hll_tokens",
     "bm25",
     "length_quantiles",
     "hits",
+    "cm_tokens",
+    "keywords",
+    "ppr",
 ]
 
 
