@@ -82,20 +82,48 @@ def hll_registers(
     NULLs too). Shuffle shape: a single groupBy on (group, bucket) with
     map-side partial max — the sketch never moves more than
     |groups|·256 rows however large the input."""
-    h = F.md5(F.col(key_col).cast("string"))
-    bucket = (_nibble(F.substring(h, 1, 1)) * 16 + _nibble(F.substring(h, 2, 1))).alias(
-        "bucket"
+    # evaluation-count discipline (the simhash64 lesson): the md5, the
+    # 12-char tail and the leading-zero count are each bound ONCE via
+    # 1-element-array lambdas — the nibble CASE chains and the rank
+    # formula reference lambda variables, never re-evaluating the hash
+    def packed(h):
+        def from_tail(tail):
+            def from_zeros(z):
+                first_nz = F.substring(tail, (z + 1).cast("int"), 1)
+                rank_raw = F.when(z == 12, F.lit(49)).otherwise(
+                    z * 4 + _nibble_lz(first_nz) + 1
+                )
+                bucket = _nibble(F.substring(h, 1, 1)) * 16 + _nibble(
+                    F.substring(h, 2, 1)
+                )
+                return F.struct(
+                    bucket.alias("bucket"),
+                    F.least(rank_raw, F.lit(RANK_CAP)).cast("int").alias("rank"),
+                )
+
+            return F.element_at(
+                F.transform(
+                    F.array(F.length(F.regexp_extract(tail, "^(0*)", 1))),
+                    from_zeros,
+                ),
+                1,
+            )
+
+        return F.element_at(
+            F.transform(F.array(F.substring(h, 3, 12)), from_tail), 1
+        )
+
+    cell = F.element_at(
+        F.transform(F.array(F.md5(F.col(key_col).cast("string"))), packed), 1
     )
-    tail = F.substring(h, 3, 12)  # 48 bits of rank material
-    zeros = F.length(F.regexp_extract(tail, "^(0*)", 1))
-    first_nz = F.substring(tail, (zeros + 1).cast("int"), 1)
-    rank_raw = F.when(zeros == 12, F.lit(49)).otherwise(
-        zeros * 4 + _nibble_lz(first_nz) + 1
-    )
-    rank = F.least(rank_raw, F.lit(RANK_CAP)).cast("int").alias("rank")
     return (
         df.filter(F.col(key_col).isNotNull())
-        .select(*group_cols, bucket, rank)
+        .select(*group_cols, cell.alias("cell"))
+        .select(
+            *group_cols,
+            F.col("cell.bucket").alias("bucket"),
+            F.col("cell.rank").alias("rank"),
+        )
         .groupBy(*group_cols, "bucket")
         .agg(F.max("rank").alias("r"))
     )
@@ -237,40 +265,57 @@ from est
 # Count-Min: the frequency-estimation companion to the HLL above.
 # ---------------------------------------------------------------------------
 
-CM_D = 4  # hash rows (salts)
-CM_W = 256  # columns per row (first 2 md5 hex chars, like the HLL bucket)
-CM_SALTS = tuple(f"cm{r}#" for r in range(CM_D))
+CM_D = 4  # hash rows
+CM_W = 256  # columns per row (2 md5 hex chars each, like the HLL bucket)
+
+
+def _cm_cols_py(key: str) -> list[int]:
+    """Row r's column = hex chars (2r+1, 2r+2) of ONE md5(key) — the
+    Kirsch–Mitzenmacher-style "one hash, d derived functions" trick:
+    disjoint 8-bit fields of a single md5 are the d row functions, so
+    the build pays ONE hash per occurrence instead of d."""
+    h = hashlib.md5(str(key).encode()).hexdigest()
+    return [int(h[2 * r : 2 * r + 2], 16) for r in range(CM_D)]
 
 
 def cm_registers(df: DataFrame, key_col: str, weight_col: str | None = None) -> DataFrame:
     """Count-Min sketch build: ONE pass → ``(row, col, c)`` — a d×w =
-    4×256 integer counter table. Each key updates one column per salt
-    row (``col = first 2 hex chars of md5(salt ‖ key)``, the HLL bucket
-    grammar); ``weight_col`` (default 1/row) supports pre-aggregated
-    input. The groupBy has map-side combine and at most d·w = 1024 rows
-    ever shuffle — frequency estimation whose state is constant in the
-    data volume, mergeable across shards by cellwise ADDITION
-    (count-min registers are linear)."""
+    4×256 integer counter table. Each key updates one column per row;
+    row r's column is hex chars (2r+1, 2r+2) of a SINGLE md5(key)
+    (disjoint 8-bit fields stand in for d independent hashes — one hash
+    per occurrence, not d). ``weight_col`` (default 1/row) supports
+    pre-aggregated input. The groupBy has map-side combine and at most
+    d·w = 1024 rows ever shuffle — frequency estimation whose state is
+    constant in the data volume, mergeable across shards by cellwise
+    ADDITION (count-min registers are linear)."""
     w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
     base = df.filter(F.col(key_col).isNotNull()).select(
         F.col(key_col).cast("string").alias("k"), w.alias("w")
     )
 
-    def col_of(salt: str) -> Column:
-        h = F.md5(F.concat(F.lit(salt), F.col("k")))
-        return _nibble(F.substring(h, 1, 1)) * 16 + _nibble(F.substring(h, 2, 1))
-
-    cells = base.select(
-        "w",
-        F.explode(
-            F.array(
+    # evaluation-count discipline: the md5 is bound ONCE through a
+    # 1-element-array lambda; the 16-branch nibble CASEs reference the
+    # lambda variable (without the bind, Catalyst re-evaluates the hash
+    # per CASE branch — measured 5× slower at sf0.1)
+    cell_array = F.element_at(
+        F.transform(
+            F.array(F.md5(F.col("k"))),
+            lambda h: F.array(
                 *[
-                    F.struct(F.lit(i).alias("row"), col_of(s).alias("col"))
-                    for i, s in enumerate(CM_SALTS)
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        (
+                            _nibble(F.substring(h, 2 * r + 1, 1)) * 16
+                            + _nibble(F.substring(h, 2 * r + 2, 1))
+                        ).alias("col"),
+                    )
+                    for r in range(CM_D)
                 ]
-            )
-        ).alias("cell"),
+            ),
+        ),
+        1,
     )
+    cells = base.select("w", F.explode(cell_array).alias("cell"))
     return (
         cells.select(F.col("cell.row").alias("row"), F.col("cell.col").alias("col"), "w")
         .groupBy("row", "col")
@@ -286,9 +331,8 @@ def cm_estimate(registers: DataFrame, keys: list[str]) -> DataFrame:
     spark = registers.sparkSession
     qrows = []
     for k in sorted(set(keys)):
-        for r, s in enumerate(CM_SALTS):
-            h = hashlib.md5((s + k).encode()).hexdigest()
-            qrows.append((k, r, int(h[:2], 16)))
+        for r, col in enumerate(_cm_cols_py(k)):
+            qrows.append((k, r, col))
     q = spark.createDataFrame(qrows, "key string, row int, col int")
     # left join from the query side: a cell no key ever hashed into has
     # no register row, and must count as 0 (never dropped — dropping it
@@ -307,31 +351,31 @@ def cm_estimate(registers: DataFrame, keys: list[str]) -> DataFrame:
 
 def cm_sql(source_cte: str, keys: list[str]) -> str:
     """Registers + point queries re-derived in DuckDB (strpos nibble
-    arithmetic, a VALUES salt spine instead of the engine's generated
-    struct array). ``source_cte`` must define ``src(key)`` (one row per
-    occurrence)."""
-    salt_values = ", ".join(f"({r}, '{s}')" for r, s in enumerate(CM_SALTS))
+    arithmetic over the same one-md5 slice grammar, a VALUES row spine
+    instead of the engine's generated struct array). ``source_cte``
+    must define ``src(key)`` (one row per occurrence)."""
     key_values = ", ".join(f"('{k}')" for k in sorted(set(keys)))
+    row_values = ", ".join(f"({r})" for r in range(CM_D))
+    col = (
+        "(strpos('0123456789abcdef', substr(h, 2 * r.r + 1, 1)) - 1) * 16"
+        " + (strpos('0123456789abcdef', substr(h, 2 * r.r + 2, 1)) - 1)"
+    )
     return f"""
 with src as ({source_cte}),
-salts(row, salt) as (values {salt_values}),
+hashed as (
+  select md5(cast(key as varchar)) as h from src where key is not null
+),
+rws(r) as (values {row_values}),
 cells as (
-  select s.row,
-    (strpos('0123456789abcdef', substr(md5(s.salt || src.key), 1, 1)) - 1) * 16
-      + (strpos('0123456789abcdef', substr(md5(s.salt || src.key), 2, 1)) - 1)
-      as col,
-    count(*) as c
-  from src cross join salts s
-  where src.key is not null
+  select r.r as row, {col} as col, count(*) as c
+  from hashed cross join rws r
   group by 1, 2
 ),
 q(key) as (values {key_values}),
+qh as (select key, md5(key) as h from q),
 qcells as (
-  select q.key, s.row,
-    (strpos('0123456789abcdef', substr(md5(s.salt || q.key), 1, 1)) - 1) * 16
-      + (strpos('0123456789abcdef', substr(md5(s.salt || q.key), 2, 1)) - 1)
-      as col
-  from q cross join salts s
+  select qh.key, r.r as row, {col} as col
+  from qh cross join rws r
 )
 select qc.key, cast(min(coalesce(c.c, 0)) as bigint) as est_count
 from qcells qc left join cells c on c.row = qc.row and c.col = qc.col

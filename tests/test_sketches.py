@@ -163,13 +163,15 @@ class TestOracleParity:
 
 
 def py_cm_registers(keys):
-    """Independent python Count-Min over the same frozen grammar."""
-    from docee_spark.operators.sketches import CM_SALTS
+    """Independent python Count-Min over the same frozen grammar: row
+    r's column is the (2r+1, 2r+2) hex-char slice of ONE md5(key)."""
+    from docee_spark.operators.sketches import CM_D
 
     regs: dict[tuple[int, int], int] = {}
     for k in keys:
-        for r, s in enumerate(CM_SALTS):
-            col = int(hashlib.md5((s + str(k)).encode()).hexdigest()[:2], 16)
+        h = hashlib.md5(str(k).encode()).hexdigest()
+        for r in range(CM_D):
+            col = int(h[2 * r : 2 * r + 2], 16)
             regs[(r, col)] = regs.get((r, col), 0) + 1
     return regs
 
