@@ -2253,16 +2253,27 @@ def q_docee_key_sentences(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering is deliberate: the r3 driver run recorded only the first
-    # 50 entries, so the registry is ordered by evidence priority.
-    # Policy (r4): a slot in the recorded window goes first to queries
-    # with NO driver-green row yet; queries whose code is unchanged and
-    # whose oracle was rows+schema+hash green in TWO OR MORE prior
-    # driver rounds (CORRECTNESS_r0{1,2,3}.json) are evidence-saturated
-    # and yield their slot. The FULL registry (window + tail) is still
-    # oracle-compared in pytest every round (tests/test_entry_queries.py)
-    # and by tools/check_oracles.py — the window only selects what the
-    # driver record shows. Tail rationale per entry:
+    # Ordering is deliberate: the driver records only the first 50
+    # entries, so the registry is ordered by evidence priority.
+    # Policy (r4, re-applied r5): a slot in the recorded window goes
+    # first to queries with NO driver-green row yet; queries whose code
+    # is unchanged and whose oracle was rows+schema+hash green in TWO OR
+    # MORE prior driver rounds (CORRECTNESS_r0{1..4}.json) are
+    # evidence-saturated and yield their slot. r5 rotation: the 14
+    # never-driver-recorded r4 operators (kg_components/communities/
+    # kcore, kg_scd2, kg_transe(+eval), dedup_quality, url_keys,
+    # length_quantiles, hits, cm_tokens, keywords, ppr, model_spans_spot)
+    # enter the window; 14 entries green in >=2 driver rounds yield
+    # (embed_ivf_topk r2+r3+r4; docee_triples_gold/heuristic/greedy/
+    # dcfee/trigger/model, docee_vertices, docee_adj_metrics,
+    # docee_eval_rollup r2+r3+r4; docee_triples_biaffine/doc_ctx/
+    # git_rgcn, docee_edges r3+r4). The docee decode family keeps
+    # docee_triples_model_edag (the Doc2EDAG-shaped flagship: trained
+    # tagger -> EDAG path expansion) as its in-window primary. The FULL
+    # registry (window + tail) is still oracle-compared in pytest every
+    # round (tests/test_entry_queries.py) and by tools/check_oracles.py
+    # — the window only selects what the driver record shows. Tail
+    # rationale per entry:
     #   filter_isin/window_topk/events_cube/sessionize/token_stats
     #                          — green r1+r2+r3; F1/J7/W3/F6/T4 rows
     #                            also carry plan-assertion pytest
@@ -2310,9 +2321,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "c4_filters": q_c4_filters,
         "vocab_topk": q_vocab_topk,
-        "docee_dataset_stats": q_docee_dataset_stats,
-        "docee_trigger_importance": q_docee_trigger_importance,
-        "docee_key_sentences": q_docee_key_sentences,
         "host_filter": q_host_filter,
         "triangles": q_triangles,
         "dedup_clusters": q_dedup_clusters,
@@ -2325,30 +2333,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": q_dedup_semantic,
         "kg_ntriples": q_kg_ntriples,
         "hll_tokens": q_hll_tokens,
-        "embed_ivf_topk": q_embed_ivf_topk,
         "kg_path_2hop": q_kg_path_2hop,
-        "ingest_html": q_ingest_html,
         "bm25": q_bm25,
-        "docee_triples_gold": q_docee_triples_gold,
-        "docee_triples_heuristic": q_docee_triples_heuristic,
-        "docee_triples_greedy": q_docee_triples_greedy,
-        "docee_triples_dcfee": q_docee_triples_dcfee,
-        "docee_triples_trigger": q_docee_triples_trigger,
-        "docee_triples_model": q_docee_triples_model,
         "docee_triples_model_edag": q_docee_triples_model_edag,
         "recrawl_churn": q_recrawl_churn,
-        "docee_triples_biaffine": q_docee_triples_biaffine,
-        "docee_triples_doc_ctx": q_docee_triples_doc_ctx,
-        "docee_triples_git_rgcn": q_docee_triples_git_rgcn,
-        "docee_vertices": q_docee_vertices,
-        "docee_edges": q_docee_edges,
-        "docee_adj_metrics": q_docee_adj_metrics,
-        "docee_eval_rollup": q_docee_eval_rollup,
         "kg_khop": q_kg_khop,
         "url_dedup": q_url_dedup,
         "quality_model": q_quality_model,
         "pagerank": q_pagerank,
         "kg_incremental": q_kg_incremental,
+        # r5-promoted: the 14 r4 operators with no driver-green row in
+        # any prior round (CORRECTNESS_r0{1..4}.json) — see the policy
+        # comment above for which saturated entries yielded their slots
+        "kg_components": q_kg_components,
+        "kg_communities": q_kg_communities,
+        "kg_kcore": q_kg_kcore,
+        "kg_scd2": q_kg_scd2,
+        "kg_transe": q_kg_transe,
+        "kg_transe_eval": q_kg_transe_eval,
+        "dedup_quality": q_dedup_quality,
+        "url_keys": q_url_keys,
+        "length_quantiles": q_length_quantiles,
+        "hits": q_hits,
+        "cm_tokens": q_cm_tokens,
+        "keywords": q_keywords,
+        "ppr": q_ppr,
+        "model_spans_spot": q_model_spans_spot,
+        # r5-promoted, continued: the remaining 4 registry entries with
+        # no driver row in any round (docee_vertices_verified is the
+        # precision variant of the r2+r3+r4-green docee_vertices; the
+        # other three are the additive LLM-mixture ops) — after r5,
+        # every registry query has at least one driver-green row. Slots
+        # came from docee_dataset_stats / docee_trigger_importance /
+        # docee_key_sentences (green r2+r4) and ingest_html (r3+r4).
+        "docee_vertices_verified": q_docee_vertices_verified,
+        "source_stats": q_source_stats,
+        "stratified_sample": q_stratified_sample,
+        "mixture_cap": q_mixture_cap,
         # ---- end of the 50-entry driver-recorded window ----
         # evidence-saturated demotions (green >=2 prior driver rounds,
         # code unchanged; see the policy comment above)
@@ -2364,7 +2385,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "docee_eval_report": q_docee_eval_report,
         "user_mode_event": q_user_mode_event,
-        "docee_vertices_verified": q_docee_vertices_verified,
         # multimodal_features — green r3 (rows+schema+hash); yielded its
         # slot to bm25 (new r4.2 retrieval, never driver-recorded); the
         # BMP/PPM codec + analytic channel-sum oracle keep their full
@@ -2401,60 +2421,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash64": q_dedup_simhash64,
         # docee_triples_scored — green r2+r3; yielded to recrawl_churn
         # (new r4); the scored-adjacency→clique decode shape stays
-        # in-window three ways (docee_triples_biaffine / _doc_ctx /
-        # _git_rgcn all decode scorer-produced adjacency)
+        # evidenced by the r3+r4 records for biaffine/doc_ctx/git_rgcn
         "docee_triples_scored": q_docee_triples_scored,
-        # kg_components — new r4 tail entry (no free window slot this
-        # round: every in-window entry is either never-driver-recorded
-        # or a survey row's primary oracle); the CC engine code itself
-        # runs in-window via dedup_clusters, this re-checks it as
-        # generic KG analytics against a recursive-closure oracle
-        "kg_components": q_kg_components,
-        # kg_communities — new r4 tail entry: LP communities over
-        # the canonicalized entity graph (finer than components)
-        "kg_communities": q_kg_communities,
-        # kg_kcore — new r4 tail entry: k-core peeling over the
-        # canonicalized entity graph
-        "kg_kcore": q_kg_kcore,
-        # kg_scd2 — new r4 tail entry: temporal-KG SCD2 validity
-        # intervals; recrawl temporal coverage stays in-window via
-        # recrawl_churn (same capture table, different operator)
-        "kg_scd2": q_kg_scd2,
-        # kg_transe / kg_transe_eval — new r4 tail entries: trained
-        # TransE completion scoring + link-prediction ranking
-        "kg_transe": q_kg_transe,
-        "kg_transe_eval": q_kg_transe_eval,
-        # dedup_quality — new r4 tail entry: pairwise + B-cubed ER
-        # metrics of the MinHash clusterer vs planted ground truth
-        "dedup_quality": q_dedup_quality,
-        # url_keys — new r4 tail entry: SURT / public-suffix /
-        # registered-domain crawl-index keys
-        "url_keys": q_url_keys,
-        # length_quantiles — new r4.2 tail entry: histogram-binned
-        # per-source P50/P90/P99 distribution audit (no free window
-        # slot; hll_tokens and bm25 took this session's two)
-        "length_quantiles": q_length_quantiles,
-        # hits — new r4.2 tail entry: hubs/authorities over the same
-        # link graph pagerank (in-window) ranks; same movement shape,
-        # different eigenproblem
-        "hits": q_hits,
-        # cm_tokens — new r4.2 tail entry: Count-Min frequency point
-        # estimates, the linear-register companion to hll_tokens
-        # (in-window)
-        "cm_tokens": q_cm_tokens,
-        # keywords — new r4.2 tail entry: per-doc TF-IDF top-3 labels
-        # (integer-log idf, pinned window order)
-        "keywords": q_keywords,
-        # ppr — new r4.2 tail entry: seeded random-walk-with-restart
-        # over the pagerank graph ("entities related to X" read path)
-        "ppr": q_ppr,
-        "model_spans_spot": q_model_spans_spot,
+        # r5 evidence-saturated demotions: each green in >=2 prior
+        # driver rounds with code unchanged; their slots went to the 14
+        # never-driver-recorded r4 operators (see window policy above).
+        # The EDAG/trained-model decode family keeps
+        # docee_triples_model_edag in-window as its primary.
+        "embed_ivf_topk": q_embed_ivf_topk,          # green r2+r3+r4
+        "docee_triples_gold": q_docee_triples_gold,  # green r2+r3+r4
+        "docee_triples_heuristic": q_docee_triples_heuristic,  # r2+r3+r4
+        "docee_triples_greedy": q_docee_triples_greedy,        # r2+r3+r4
+        "docee_triples_dcfee": q_docee_triples_dcfee,          # r2+r3+r4
+        "docee_triples_trigger": q_docee_triples_trigger,      # r2+r3+r4
+        "docee_triples_model": q_docee_triples_model,          # r2+r3+r4
+        "docee_triples_biaffine": q_docee_triples_biaffine,    # r3+r4
+        "docee_triples_doc_ctx": q_docee_triples_doc_ctx,      # r3+r4
+        "docee_triples_git_rgcn": q_docee_triples_git_rgcn,    # r3+r4
+        "docee_vertices": q_docee_vertices,          # green r2+r3+r4
+        "docee_edges": q_docee_edges,                # green r3+r4
+        "docee_adj_metrics": q_docee_adj_metrics,    # green r2+r3+r4
+        "docee_eval_rollup": q_docee_eval_rollup,    # green r2+r3+r4
         "docee_triples_trigger_inc": q_docee_triples_trigger_inc,
         "docee_triples_product": q_docee_triples_product,
         "docee_git_edges": q_docee_git_edges,
-        "source_stats": q_source_stats,
-        "stratified_sample": q_stratified_sample,
-        "mixture_cap": q_mixture_cap,
+        # r5 demotions, continued (slots went to the 4 never-recorded
+        # entries promoted above): A6/A7/A8 analysis rows keep their
+        # r2+r4 records; ingest_html keeps r3+r4 and the adversarial
+        # extractor pytest battery
+        "docee_dataset_stats": q_docee_dataset_stats,      # green r2+r4
+        "docee_trigger_importance": q_docee_trigger_importance,  # r2+r4
+        "docee_key_sentences": q_docee_key_sentences,      # green r2+r4
+        "ingest_html": q_ingest_html,                      # green r3+r4
         "dedup_minhash": q_dedup_minhash,
         "embed_lsh_topk": q_embed_lsh_topk,
         "distinct_statuses": q_distinct_statuses,
