@@ -1305,7 +1305,9 @@ def q_hll_tokens(spark, sf):
     from docee_spark.operators.sketches import hll_distinct
     from docee_spark.operators.textstats import tokens
 
-    d = _read(spark, sf, "documents")
+    # guard the oracle's '|' group-pack separator symmetrically (see
+    # _hll_tokens_sql): drop pipe-carrying langs on both sides
+    d = _read(spark, sf, "documents").filter(~F.col("lang").contains("|"))
     arr = tokens(F.lower(F.col("text")))
     uni = d.select(
         F.col("lang"), F.lit("uni").alias("gram"), F.explode(arr).alias("key")
@@ -1325,7 +1327,11 @@ def _hll_tokens_sql() -> str:
     """Generated sketch oracle (operators/sketches.py:hll_sql) over a
     differently-shaped n-gram source: bigrams via a positional self-join
     (the engine uses an array transform), groups packed into one key and
-    split back outside the generated query."""
+    split back outside the generated query. The '|' pack separator
+    assumes lang values never contain '|' — true by construction here
+    (testdata langs are 2-letter ISO codes) and guarded below with a
+    WHERE that drops any pipe-carrying lang on BOTH sides rather than
+    silently corrupting groups."""
     from docee_spark.operators.sketches import hll_sql
 
     toks = _TOKENS.format(c="lower(text)")
@@ -1334,6 +1340,7 @@ def _hll_tokens_sql() -> str:
     select lang, doc_id, unnest({toks}) as t,
            generate_subscripts({toks}, 1) as i
     from documents
+    where not contains(lang, '|')
   )
   select lang || '|' || 'uni' as grp, t as key from tk
   union all

@@ -102,7 +102,9 @@ def bm25_sql(query_terms: list[str], k: int = K) -> str:
     a VALUES spine for the query — over the pre-registered ``documents``
     view. ``_TOKENS``-equivalent split inlined."""
     terms = sorted(set(query_terms))
-    values = ", ".join(f"('{t}')" for t in terms)
+    # SQL-escape inlined literals: a term containing ' must not break
+    # (or inject into) the generated oracle
+    values = ", ".join("('{}')".format(t.replace("'", "''")) for t in terms)
     toks = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> len(x) > 0)"
     return f"""
 with q(term) as (values {values}),

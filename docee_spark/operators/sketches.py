@@ -26,7 +26,7 @@ therefore an exact integer ≤ 256·2^40 < 2^49. The estimate
     est = floor( (alpha_e6·m²) / (sum_num / 2^40) / 10^6 )
 
 is two IEEE-754 double divisions over exactly-representable operands
-(alpha_e6·m² = 47_076_724_736 < 2^53; sum_num < 2^49; 2^40 exact), and
+(alpha_e6·m² = 47_072_673_792 < 2^53; sum_num < 2^49; 2^40 exact), and
 IEEE division is correctly rounded — bit-identical in the JVM and in
 DuckDB. No ln, no platform-libm exposure.
 
@@ -51,8 +51,11 @@ from pyspark.sql import functions as F
 
 M = 256  # registers (p = 8 bucket bits)
 RANK_CAP = 40  # rank clamp so 2^(RANK_CAP - rank) is an exact bigint
-# alpha_m = 0.7213 / (1 + 1.079/m) for m = 256, floored at e6
-ALPHA_E6 = 718274
+# alpha_m = 0.7213 / (1 + 1.079/m) for m = 256 (= 0.7182726...),
+# floored at e6; shared verbatim by the engine (line ~162), the
+# generated DuckDB oracle (line ~245), and the python differential, so
+# all three estimate with the identical integer constant
+ALPHA_E6 = 718272
 _POW40 = float(1 << RANK_CAP)  # 2^40, exact double
 
 
@@ -354,7 +357,11 @@ def cm_sql(source_cte: str, keys: list[str]) -> str:
     arithmetic over the same one-md5 slice grammar, a VALUES row spine
     instead of the engine's generated struct array). ``source_cte``
     must define ``src(key)`` (one row per occurrence)."""
-    key_values = ", ".join(f"('{k}')" for k in sorted(set(keys)))
+    # SQL-escape inlined probe keys (a key containing ' must not break
+    # or inject into the generated oracle)
+    key_values = ", ".join(
+        "('{}')".format(k.replace("'", "''")) for k in sorted(set(keys))
+    )
     row_values = ", ".join(f"({r})" for r in range(CM_D))
     col = (
         "(strpos('0123456789abcdef', substr(h, 2 * r.r + 1, 1)) - 1) * 16"

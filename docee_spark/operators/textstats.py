@@ -535,10 +535,11 @@ def keywords_tfidf(
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("token").agg(F.count("*").alias("dfreq"))
     n_docs = df.select(F.countDistinct("doc_id").alias("n"))
-    idf = (
-        F.floor(F.log((F.col("n") + 1).cast("double")) * 1_000_000).cast("long")
-        - F.floor(F.log(F.col("dfreq").cast("double")) * 1_000_000).cast("long")
-    )
+    from .lm import _ln_e6  # local: lm imports textstats.tokens at top
+
+    # the shared floor(ln·1e6) boundary — same helper as lm/retrieval so
+    # every ln-consuming operator freezes the identical contract
+    idf = _ln_e6(F.col("n") + 1) - _ln_e6(F.col("dfreq"))
     scored = (
         tf.join(F.broadcast(dfreq), "token")
         .crossJoin(F.broadcast(n_docs))

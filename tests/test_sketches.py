@@ -85,6 +85,42 @@ class TestLnPin:
         assert java == py
         assert duck == py
 
+    def test_floor_ln_e6_agrees_on_sampled_large_args(self, spark):
+        """BM25's idf args (2N+2, 2·df+1) and keywords' (N+1, df) are
+        unbounded, unlike linear counting's 1..256 — pin the same
+        floor(ln·1e6) boundary on deterministically-sampled integers up
+        to 1e12 across all three engines (Math.log is 1-ulp accurate;
+        a value within 1 ulp of a 1e-6 floor boundary is the only
+        possible divergence, so sample densely around varied scales)."""
+        vals = sorted(
+            {(pow(7919, i, (10**12) - 11) % (10**12 - 3)) + 2 for i in range(400)}
+            | {10**k + d for k in range(1, 13) for d in (-1, 0, 1)}
+            | {2, 3, 2**31 - 1, 2**40 + 7}
+        )
+        py = [math.floor(math.log(v) * 1e6) for v in vals]
+        df = spark.createDataFrame([(v,) for v in vals], "v long")
+        java = [
+            r.l
+            for r in df.select(
+                F.col("v"),
+                F.floor(F.log(F.col("v").cast("double")) * F.lit(1e6))
+                .cast("long")
+                .alias("l"),
+            )
+            .orderBy("v")
+            .collect()
+        ]
+        vlist = ", ".join(f"({v})" for v in vals)
+        duck = [
+            r[0]
+            for r in duckdb.sql(
+                "select cast(floor(ln(v) * 1000000) as bigint)"
+                f" from (values {vlist}) t(v) order by v"
+            ).fetchall()
+        ]
+        assert java == py
+        assert duck == py
+
 
 class TestRegisters:
     def test_registers_match_pure_python_differential(self, spark):
