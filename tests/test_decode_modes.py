@@ -243,3 +243,149 @@ class TestInstanceStats:
         )
         [r] = instance_stats(a, b).collect()
         assert (r["tp"], r["fp"], r["fn"]) == (1, 0, 0)
+
+
+class TestMatrixTriggerModeSemantics:
+    """Pin the adjacency='matrix' × mode='trigger'/'trigger_incremental'
+    combination (r4 verdict #1 'what's wrong'): a scorer-produced matrix
+    is directed BY DECLARATION (stages/decode.py passes
+    directed_adjacency=True), so even a symmetric matrix passes through
+    verbatim and is never overridden by the catalog-derived trigger
+    adjacency the symmetric-sniff fallback would build. The sparse
+    symmetric fixture below distinguishes the two behaviors: passthrough
+    keeps the {0,1} / {2,3} components separate; the catalog fallback
+    would merge all four spans into one record."""
+
+    SENTS = ["公告EquityUnderweight事件：减持。"]
+    FIELDS = ["EquityHolder", "TradedShares", "StartDate", "EndDate"]
+    SSI = [[0], [0], [0], [0]]
+    # symmetric, block-diagonal: {0,1} and {2,3} mutually connected
+    SPARSE_SYM = [[1, 1, 0, 0], [1, 1, 0, 0], [0, 0, 1, 1], [0, 0, 1, 1]]
+
+    def _ef(self):
+        from docee_spark.config import CHFINANN_EVENT_TYPES
+
+        return {et.name: list(et.fields) for et in CHFINANN_EVENT_TYPES}
+
+    def test_pyref_trigger_directed_declaration_pins_passthrough(self):
+        from docee_spark.pyref.edag import decode_doc
+
+        ef = self._ef()
+        passthrough = decode_doc(
+            self.SENTS, self.FIELDS, self.SSI, self.SPARSE_SYM, ef,
+            mode="trigger", directed_adjacency=True,
+        )["EquityUnderweight"]
+        derived = decode_doc(
+            self.SENTS, self.FIELDS, self.SSI, self.SPARSE_SYM, ef,
+            mode="trigger", directed_adjacency=False,
+        )["EquityUnderweight"]
+        # declared-directed: the two components stay separate records
+        assert sorted(passthrough, key=str) == [
+            (0, 1, None, None, None, None),
+            (None, None, 2, 3, None, None),
+        ]
+        # sniffed-symmetric: catalog trigger adjacency merges all four —
+        # proving the fixture genuinely distinguishes the semantics
+        assert derived == [(0, 1, 2, 3, None, None)]
+
+    def test_pyref_trigger_incremental_directed_declaration(self):
+        from docee_spark.pyref.edag import decode_doc
+
+        ef = self._ef()
+        passthrough = decode_doc(
+            self.SENTS, self.FIELDS, self.SSI, self.SPARSE_SYM, ef,
+            mode="trigger_incremental", directed_adjacency=True,
+        )["EquityUnderweight"]
+        derived = decode_doc(
+            self.SENTS, self.FIELDS, self.SSI, self.SPARSE_SYM, ef,
+            mode="trigger_incremental", directed_adjacency=False,
+        )["EquityUnderweight"]
+        # G7 absorb over the declared digraph: self-loop singletons only
+        assert sorted(passthrough, key=str) == sorted(
+            [
+                (0, None, None, None, None, None),
+                (None, 1, None, None, None, None),
+                (None, None, 2, None, None, None),
+                (None, None, None, 3, None, None),
+            ],
+            key=str,
+        )
+        assert derived == [(0, 1, 2, 3, None, None)]
+
+    def test_spark_matrix_slot_declares_directed_under_trigger(self, spark):
+        """The Spark stage itself: decode(adjacency='matrix',
+        mode='trigger') must hand directed_adjacency=True through — the
+        split-record output below fails if the stage ever lets the
+        symmetric-sniff fallback rebuild the adjacency (the fallback
+        merges both components into ONE record, pinned in the pyref
+        tests above). Two 4-span components so each record clears
+        EquityUnderweight's catalog min_field_num=4."""
+        import pyspark.sql.types as T
+
+        from docee_spark.schema import SPANS
+        from docee_spark.stages.decode import decode
+
+        def span(text, field):
+            return {
+                "text": text,
+                "field": field,
+                "dranges": [{"sent_idx": 0, "char_s": 0, "char_e": len(text)}],
+            }
+
+        spans = [
+            span("张三", "EquityHolder"),
+            span("100股", "TradedShares"),
+            span("2020年1月1日", "StartDate"),
+            span("2020年2月1日", "EndDate"),
+            span("李四", "EquityHolder"),
+            span("200股", "TradedShares"),
+            span("300股", "LaterHoldingShares"),
+            span("5元", "AveragePrice"),
+        ]
+        adj = [[0] * 8 for _ in range(8)]
+        for grp in ((0, 1, 2, 3), (4, 5, 6, 7)):
+            for i in grp:
+                for j in grp:
+                    adj[i][j] = 1  # symmetric, block-diagonal
+        row = {
+            "doc_id": "d1",
+            "sentences": self.SENTS,
+            "spans": spans,
+            "adj": adj,
+        }
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.StringType()),
+                T.StructField("sentences", T.ArrayType(T.StringType())),
+                T.StructField("spans", SPANS),
+                T.StructField("adj", T.ArrayType(T.ArrayType(T.IntegerType()))),
+            ]
+        )
+        df = spark.createDataFrame([row], schema)
+        out = decode(
+            df, mode="trigger", adjacency="matrix", exact_fields=True
+        ).collect()[0]
+        got = sorted(
+            (ev["type"], tuple(sorted((k, v) for k, v in ev["args"].items() if v)))
+            for ev in out["events"]
+        )
+        assert got == [
+            (
+                "EquityUnderweight",
+                (
+                    ("AveragePrice", "5元"),
+                    ("EquityHolder", "李四"),
+                    ("LaterHoldingShares", "300股"),
+                    ("TradedShares", "200股"),
+                ),
+            ),
+            (
+                "EquityUnderweight",
+                (
+                    ("EndDate", "2020年2月1日"),
+                    ("EquityHolder", "张三"),
+                    ("StartDate", "2020年1月1日"),
+                    ("TradedShares", "100股"),
+                ),
+            ),
+        ]
