@@ -1,0 +1,293 @@
+"""Delta-proportional incremental canonicalization
+(stages/canonicalize.py: CanonState / canonicalize_state /
+merge_triples_incremental): PROVEN equivalence to the full-recompute
+``merge_triples`` across every way a recrawl batch can perturb the
+cluster structure — MERGE (a new surface bridges two old clusters),
+SPLIT (the bridge doc is deleted), RE-LABEL (a new lexicographic
+minimum joins a cluster), count-only changes, pure insertions and
+deletions, chained batches, dictionary overrides, and the fallback
+guard. Each scenario checks the public tables (vertices, edges,
+triples) AND the internal state (resolved, membership) against a cold
+rebuild, so a chained state can never drift.
+
+Fixture surfaces were chosen empirically so the scenarios genuinely
+exercise the claimed topology (k=8, bands=4, rows=2 band collisions):
+X ~ B and B ~ Y collide but X !~ Y (B is a true bridge); AEN collides
+with the ZEN cluster and sorts before its current representative.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from docee_spark.stages.canonicalize import (
+    canonicalize_state,
+    merge_triples,
+    merge_triples_incremental,
+)
+
+# several cold-rebuild differentials per scenario (~2 min total) — slow
+# loop; the operator also backs the in-window kg_incremental oracle
+pytestmark = pytest.mark.slow
+
+COLS = "doc_id long, event_type string, recguid long, subj string, pred string, obj string"
+
+X = "alpha beta gamma delta epsilon zeta"
+B = "gamma delta epsilon zeta eta theta"  # bridges X and Y
+Y = "delta epsilon zeta eta theta iota"
+ZEN = "zenith quantum holdings group"
+ZEN2 = "zenith quantum holdings groupx"
+AEN = "aenith quantum holdings group"  # collides with ZEN*, sorts first
+FAR = "completely unrelated surface"
+
+
+def _t(spark, rows):
+    return spark.createDataFrame(rows, COLS)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _assert_equiv(state, old, delta, deleted=None, entity_dict=None):
+    """state == merge_triples full recompute == cold state rebuild."""
+    merged, v, e = merge_triples(old, delta, deleted, entity_dict=entity_dict)
+    assert _rows(state.triples) == _rows(merged)
+    assert _rows(state.vertices) == _rows(v)
+    assert _rows(state.edges) == _rows(e)
+    cold = canonicalize_state(merged, entity_dict=entity_dict)
+    assert _rows(state.resolved) == _rows(cold.resolved)
+    assert _rows(state.membership) == _rows(cold.membership)
+    assert _rows(state.edges_full) == _rows(cold.edges_full)
+
+
+def _eids(state):
+    return {r["surface"]: r["entity_id"] for r in state.resolved.collect()}
+
+
+class TestClusterMerge:
+    def test_new_bridge_merges_two_old_clusters(self, spark):
+        old = _t(
+            spark,
+            [
+                (1, "e", 0, X, "p", "v1"),
+                (2, "e", 0, Y, "p", "v2"),
+                (3, "e", 0, FAR, "p", "v3"),
+            ],
+        )
+        s0 = canonicalize_state(old)
+        ids0 = _eids(s0)
+        assert ids0[X] != ids0[Y]  # genuinely separate before
+
+        delta = _t(spark, [(9, "e", 0, B, "p", "v9")])
+        s1 = merge_triples_incremental(s0, delta)
+        ids1 = _eids(s1)
+        assert ids1[X] == ids1[B] == ids1[Y]  # bridge merged them
+        assert ids1[FAR] == ids0[FAR]  # disjoint component untouched
+        assert s1.stats["fallback"] is False
+        # Y's doc was NOT re-extracted, but its edge rows re-resolved
+        d2 = [r for r in s1.edges.collect() if r["doc_id"] == 2]
+        assert d2[0]["src"] == ids1[X]
+        _assert_equiv(s1, old, delta)
+
+    def test_affected_region_is_delta_local(self, spark):
+        # 60 mutually-far surfaces + the bridge scenario: the BFS must
+        # touch only the X/B/Y component, not the corpus
+        filler = [
+            (100 + i, "e", 0, f"filler surface number {i:04d}", "p", f"o{i}")
+            for i in range(60)
+        ]
+        old = _t(
+            spark,
+            [(1, "e", 0, X, "p", "v1"), (2, "e", 0, Y, "p", "v2")] + filler,
+        )
+        s0 = canonicalize_state(old)
+        delta = _t(spark, [(9, "e", 0, B, "p", "v9")])
+        s1 = merge_triples_incremental(s0, delta)
+        assert s1.stats["new_surfaces"] <= 2  # B and "v9"
+        assert s1.stats["affected_surfaces"] <= 5
+        assert s1.stats["rep_changed_surfaces"] <= 5
+        _assert_equiv(s1, old, delta)
+
+
+class TestClusterSplit:
+    def test_deleting_bridge_doc_splits_cluster(self, spark):
+        old = _t(
+            spark,
+            [
+                (1, "e", 0, X, "p", "v1"),
+                (2, "e", 0, B, "p", "v2"),
+                (3, "e", 0, Y, "p", "v3"),
+            ],
+        )
+        s0 = canonicalize_state(old)
+        ids0 = _eids(s0)
+        assert ids0[X] == ids0[B] == ids0[Y]
+
+        deleted = spark.createDataFrame([(2,)], "doc_id long")
+        s1 = merge_triples_incremental(s0, _t(spark, []), deleted)
+        ids1 = _eids(s1)
+        assert B not in ids1  # surface removed with its only doc
+        assert ids1[X] != ids1[Y]  # split
+        assert s1.stats["removed_surfaces"] >= 1
+        _assert_equiv(s1, old, _t(spark, []), deleted)
+
+
+class TestRelabel:
+    def test_new_minimum_relabels_survivor_edges(self, spark):
+        old = _t(
+            spark,
+            [
+                (1, "e", 0, ZEN, "p", "v1"),
+                (2, "e", 0, ZEN2, "p", "v2"),
+            ],
+        )
+        s0 = canonicalize_state(old)
+        ids0 = _eids(s0)
+        assert ids0[ZEN] == ids0[ZEN2] == ZEN
+
+        delta = _t(spark, [(9, "e", 0, AEN, "p", "v9")])
+        s1 = merge_triples_incremental(s0, delta)
+        ids1 = _eids(s1)
+        assert ids1[ZEN] == ids1[ZEN2] == ids1[AEN] == AEN
+        # docs 1 and 2 were not re-extracted, yet their edges re-point
+        srcs = {r["doc_id"]: r["src"] for r in s1.edges.collect()}
+        assert srcs[1] == srcs[2] == AEN
+        _assert_equiv(s1, old, delta)
+
+    def test_removing_minimum_restores_old_label(self, spark):
+        old = _t(
+            spark,
+            [
+                (1, "e", 0, ZEN, "p", "v1"),
+                (2, "e", 0, ZEN2, "p", "v2"),
+                (9, "e", 0, AEN, "p", "v9"),
+            ],
+        )
+        s0 = canonicalize_state(old)
+        assert _eids(s0)[ZEN] == AEN
+        deleted = spark.createDataFrame([(9,)], "doc_id long")
+        s1 = merge_triples_incremental(s0, _t(spark, []), deleted)
+        assert _eids(s1)[ZEN] == ZEN
+        _assert_equiv(s1, old, _t(spark, []), deleted)
+
+
+class TestCountsAndSemantics:
+    def test_count_only_change_touches_no_clusters(self, spark):
+        old = _t(
+            spark,
+            [
+                (1, "e", 0, X, "p", "v1"),
+                (2, "e", 0, X, "p", "v1"),
+            ],
+        )
+        s0 = canonicalize_state(old)
+        # doc 1 re-extracted: same surfaces, one extra mention of X
+        delta = _t(
+            spark,
+            [
+                (1, "e", 0, X, "p", "v1"),
+                (1, "e", 1, X, "p2", "v1"),
+            ],
+        )
+        s1 = merge_triples_incremental(s0, delta)
+        assert s1.stats["new_surfaces"] == 0
+        assert s1.stats["removed_surfaces"] == 0
+        assert s1.stats["affected_surfaces"] == 0
+        assert s1.stats["rep_changed_surfaces"] == 0
+        vx = {r["surface"]: r["n_mentions"] for r in s1.vertices.collect()}
+        assert vx[X] == 3
+        _assert_equiv(s1, old, delta)
+
+    def test_idempotent_reapply(self, spark):
+        old = _t(spark, [(1, "e", 0, X, "p", "v1"), (2, "e", 0, Y, "p", "v2")])
+        delta = _t(spark, [(1, "e", 0, B, "p", "v9")])
+        s0 = canonicalize_state(old)
+        s1 = merge_triples_incremental(s0, delta)
+        s2 = merge_triples_incremental(s1, delta)
+        assert _rows(s1.triples) == _rows(s2.triples)
+        assert _rows(s1.vertices) == _rows(s2.vertices)
+        assert _rows(s1.edges) == _rows(s2.edges)
+        assert s2.stats["new_surfaces"] == 0
+        assert s2.stats["affected_surfaces"] == 0
+
+    def test_deletion_wins_over_reextraction(self, spark):
+        old = _t(spark, [(1, "e", 0, X, "p", "v1"), (2, "e", 0, Y, "p", "v2")])
+        s0 = canonicalize_state(old)
+        delta = _t(spark, [(1, "e", 0, B, "p", "v9")])
+        deleted = spark.createDataFrame([(1,)], "doc_id long")
+        s1 = merge_triples_incremental(s0, delta, deleted)
+        assert {r["doc_id"] for r in s1.triples.collect()} == {2}
+        _assert_equiv(s1, old, delta, deleted)
+
+
+class TestChainedBatches:
+    def test_three_batches_equal_cold_rebuild(self, spark):
+        old = _t(
+            spark,
+            [
+                (1, "e", 0, X, "p", "v1"),
+                (2, "e", 0, Y, "p", "v2"),
+                (3, "e", 0, ZEN, "p", "v3"),
+                (4, "e", 0, ZEN2, "p", "v4"),
+            ],
+        )
+        st = canonicalize_state(old)
+        b1 = _t(spark, [(9, "e", 0, B, "p", "v9")])  # merge X/Y
+        b2_del = spark.createDataFrame([(9,)], "doc_id long")  # split again
+        b3 = _t(spark, [(10, "e", 0, AEN, "p", "v10")])  # relabel ZEN
+        st = merge_triples_incremental(st, b1)
+        st = merge_triples_incremental(st, _t(spark, []), b2_del)
+        st = merge_triples_incremental(st, b3)
+        final = old.unionByName(b3)
+        cold = canonicalize_state(final)
+        assert _rows(st.triples) == _rows(cold.triples)
+        assert _rows(st.vertices) == _rows(cold.vertices)
+        assert _rows(st.edges) == _rows(cold.edges)
+        assert _rows(st.resolved) == _rows(cold.resolved)
+        assert _rows(st.membership) == _rows(cold.membership)
+
+
+class TestDictionaryOverride:
+    def test_dict_pins_entity_through_relabel(self, spark):
+        ed = spark.createDataFrame(
+            [(ZEN, "KB:42")], "surface string, entity_id string"
+        )
+        old = _t(
+            spark,
+            [(1, "e", 0, ZEN, "p", "v1"), (2, "e", 0, ZEN2, "p", "v2")],
+        )
+        s0 = canonicalize_state(old, entity_dict=ed)
+        assert _eids(s0)[ZEN] == "KB:42"
+        delta = _t(spark, [(9, "e", 0, AEN, "p", "v9")])
+        s1 = merge_triples_incremental(s0, delta)
+        ids1 = _eids(s1)
+        assert ids1[ZEN] == "KB:42"  # dict wins over the new minimum
+        assert ids1[ZEN2] == ids1[AEN] == AEN
+        _assert_equiv(s1, old, delta, entity_dict=ed)
+
+
+class TestFallbackGuard:
+    def test_max_affected_triggers_full_rebuild_same_answer(self, spark):
+        old = _t(spark, [(1, "e", 0, X, "p", "v1"), (2, "e", 0, Y, "p", "v2")])
+        s0 = canonicalize_state(old)
+        delta = _t(spark, [(9, "e", 0, B, "p", "v9")])
+        s1 = merge_triples_incremental(s0, delta, max_affected=1)
+        assert s1.stats["fallback"] is True
+        _assert_equiv(s1, old, delta)
+
+    def test_cold_state_matches_canonicalize(self, spark):
+        from docee_spark.stages.canonicalize import canonicalize
+
+        old = _t(
+            spark,
+            [
+                (1, "e", 0, X, "p", Y),
+                (2, "e", 0, B, "p", ZEN),
+                (3, "e", 0, ZEN2, "p", None),  # NULL endpoint drops
+            ],
+        )
+        st = canonicalize_state(old)
+        v, e = canonicalize(old)
+        assert _rows(st.vertices) == _rows(v)
+        assert _rows(st.edges) == _rows(e)
