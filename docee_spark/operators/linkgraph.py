@@ -344,8 +344,12 @@ def hits(
     floor division; the textbook uses L2, whose sqrt has no closed
     integer form: a documented deviation that rescales scores but keeps
     the same eigenvector direction, i.e. the same ranking structure).
-    Overflow-safe: after each normalization the vector sums to ≤ 10⁹,
-    so every raw sum ≤ 10⁹ and ``raw·10⁹`` < 2⁶³.
+    Overflow-safe: the vector sums to ≤ 10⁹ after each normalization,
+    but raw sums scale with edge MULTIPLICITY (multi-edge inputs — one
+    row per mention pair in the KG edge table — weight each neighbor by
+    its row count), so ``raw·10⁹`` can pass 2⁶³; the normalization
+    multiply therefore runs in decimal(38,0) / hugeint on the two
+    engines (caught by a real overflow at 20k docs; regression-pinned).
 
     Scale shape: per half-step ONE equi-join of the score vector onto
     the edge table plus a groupBy sum, a 1-row broadcast total, and a
@@ -369,9 +373,16 @@ def hits(
     )
     auth = None
     for _ in range(n_iter):
-        # the numerator raw·10⁹ can exceed 2⁵³, where double-backed
-        # floor emulation loses ulps — `div` stays in exact bigints
-        norm = F.expr("(coalesce(raw, 0) * 1000000000) div t")
+        # the numerator raw·10⁹ can exceed 2⁵³ (double floor emulation
+        # loses ulps) AND 2⁶³: with multi-edges — the KG edge table
+        # carries one row per mention pair — raw sums scale with edge
+        # multiplicity, so a 20k-doc graph already overflows bigint.
+        # decimal(38,0) keeps the multiply exact; `div` on decimals is
+        # Spark's integral divide and returns the floored bigint, which
+        # is what the DuckDB oracle computes in hugeint.
+        norm = F.expr(
+            "(cast(coalesce(raw, 0) as decimal(38,0)) * 1000000000) div t"
+        )
         raw_a = (
             hub.join(e, hub["node"] == e["src"])
             .groupBy("dst")
@@ -433,9 +444,13 @@ def hits_sql(edge_cte: str, n_iter: int = 4) -> str:
     prev_h = "h0"
     prev_a = None
     for i in range(1, n_iter + 1):
-        # exact bigint floor division — the numerator can exceed 2^53,
-        # where the (a - a%b)/b double emulation loses ulps
-        norm = "cast(((coalesce(r.raw, 0) * 1000000000) // t.t) as bigint)"
+        # exact 128-bit floor division — the numerator can exceed 2^53
+        # (double emulation loses ulps) and, with multi-edge inputs,
+        # 2^63 (see hits() — the engine side widens to decimal(38,0))
+        norm = (
+            "cast(((coalesce(r.raw, 0)::hugeint * 1000000000) // t.t) "
+            "as bigint)"
+        )
         lines.append(
             f"""a{i} as materialized (
   select n.node,

@@ -173,6 +173,46 @@ def merge_triples(
     return merged, vertices, edges
 
 
+def _active_membership(
+    membership: DataFrame, band_sizes: DataFrame, max_bucket: int
+) -> DataFrame:
+    """Membership restricted to ACTIVE band buckets (size ≤ max_bucket).
+    Over-cap buckets are boilerplate-grade hubs (short shared substrings
+    make some shingle hash globally low, fusing unrelated surfaces): at
+    web scale they percolate the band graph into one giant component, so
+    they are DROPPED deterministically — the `_cap_buckets` discipline of
+    canonicalize_verified and the dedup operators. Surfaces left with no
+    active band become singletons (rep = own norm)."""
+    return membership.join(
+        band_sizes.filter(F.col("bsz") <= max_bucket).select("band"),
+        "band",
+        "left_semi",
+    )
+
+
+def _cluster_reps(
+    surfaces: DataFrame,
+    membership: DataFrame,
+    closure_passes: int,
+    max_bucket: int | None,
+    band_sizes: DataFrame | None = None,
+) -> DataFrame:
+    """surfaces ⋈ propagated reps → (surface, n_mentions, norm, lsh_rep).
+    With a bucket cap, propagation runs on active membership only and
+    cap-orphaned surfaces fall back to singleton reps."""
+    if max_bucket is None:
+        rep = _propagate(membership, closure_passes)
+        return surfaces.join(rep, "surface")
+    if band_sizes is None:
+        band_sizes = membership.groupBy("band").agg(F.count("*").alias("bsz"))
+    rep = _propagate(
+        _active_membership(membership, band_sizes, max_bucket), closure_passes
+    )
+    return surfaces.join(rep, "surface", "left").withColumn(
+        "lsh_rep", F.coalesce(F.col("lsh_rep"), F.col("norm"))
+    )
+
+
 def canonicalize(
     triples_df: DataFrame,
     entity_dict: DataFrame | None = None,
@@ -180,6 +220,7 @@ def canonicalize(
     bands: int = 4,
     closure_passes: int = 2,
     broadcast_resolved: bool | None = None,
+    max_bucket: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """→ (vertices, edges).
 
@@ -202,6 +243,11 @@ def canonicalize(
         size gate, evaluated on real sizes, zero extra jobs);
       * True  — caller asserts the map is small: static broadcast hint;
       * False — force the shuffle join.
+
+    ``max_bucket``: optional band-bucket cap (see _active_membership) —
+    None preserves the historical uncapped clustering; at web scale a
+    cap is what keeps band components (and therefore the incremental
+    merge's affected regions) bounded.
     """
     # computed ONCE: surfaces feeds the signature chain AND the final
     # clustered join, and membership is referenced twice per propagation
@@ -219,8 +265,7 @@ def canonicalize(
     membership = _membership_for(surfaces, k, bands).persist()
     # label propagation: rep(surface) := min over its bands of
     # min(rep of band members); seed rep = normalized surface
-    rep = _propagate(membership, closure_passes)
-    clustered = surfaces.join(rep, "surface")
+    clustered = _cluster_reps(surfaces, membership, closure_passes, max_bucket)
     return _resolve_tables(
         clustered, triples_df, entity_dict, broadcast_resolved
     )
@@ -435,6 +480,8 @@ class CanonState:
         k: int,
         bands: int,
         closure_passes: int,
+        max_bucket: int | None = None,
+        band_sizes: DataFrame | None = None,
         stats: dict | None = None,
     ) -> None:
         self.triples = triples
@@ -446,6 +493,8 @@ class CanonState:
         self.k = k
         self.bands = bands
         self.closure_passes = closure_passes
+        self.max_bucket = max_bucket
+        self.band_sizes = band_sizes  # (band, bsz); kept iff max_bucket
         self.stats = stats or {}
 
     @property
@@ -459,18 +508,36 @@ def canonicalize_state(
     k: int = 8,
     bands: int = 4,
     closure_passes: int = 2,
+    max_bucket: int | None = None,
 ) -> CanonState:
     """Cold build of :class:`CanonState`. Produces vertices/edges
     IDENTICAL to :func:`canonicalize` with the same parameters (same
     vocabulary, same propagation, same dictionary override, same edge
     joins) while retaining the clustering internals that
-    :func:`merge_triples_incremental` splices against."""
+    :func:`merge_triples_incremental` splices against.
+
+    ``max_bucket`` (recommended at web scale): drop over-cap band
+    buckets before propagation — bounds band components, which is what
+    makes the incremental merge's affected region delta-local instead of
+    percolating through boilerplate hub buckets. The bucket-size table
+    is kept in the state and maintained incrementally."""
     triples = triples_df.localCheckpoint()
     surfaces = _surface_vocab(triples).localCheckpoint()
     membership = _membership_for(surfaces, k, bands).localCheckpoint()
-    rep = _propagate(membership, closure_passes)
+    band_sizes = None
+    if max_bucket is not None:
+        band_sizes = (
+            membership.groupBy("band")
+            .agg(F.count("*").alias("bsz"))
+            .localCheckpoint()
+        )
     resolved = (
-        _entity_ids(surfaces.join(rep, "surface"), entity_dict)
+        _entity_ids(
+            _cluster_reps(
+                surfaces, membership, closure_passes, max_bucket, band_sizes
+            ),
+            entity_dict,
+        )
         .select("surface", "norm", "n_mentions", "lsh_rep", "entity_id")
         .localCheckpoint()
     )
@@ -495,6 +562,8 @@ def canonicalize_state(
         k=k,
         bands=bands,
         closure_passes=closure_passes,
+        max_bucket=max_bucket,
+        band_sizes=band_sizes,
         stats={"mode": "cold"},
     )
 
@@ -540,6 +609,20 @@ def merge_triples_incremental(
     (a degenerate band acting as a corpus-wide hub), the merge falls
     back to a full ``canonicalize_state`` rebuild — same answer, full
     cost — and says so in ``stats['fallback']``.
+
+    Bucket caps (``state.max_bucket``, from the cold build): without a
+    cap, boilerplate-grade hub buckets percolate realistic vocabularies
+    into one giant band component — the BFS then legitimately covers it
+    (equivalence demands it) and the win shrinks to the avoided minhash
+    + edge-join recompute (~3-4× measured). With a cap, over-cap buckets
+    carry no connectivity in either graph, so seeds skip them, every
+    expansion step is bounded by cap+|delta| members, and the affected
+    region is genuinely delta-local; the bucket-size table rides in the
+    state and is maintained incrementally (only changed bands move).
+    Cap activation/deactivation (a bucket crossing the cap) is handled
+    exactly: such a bucket necessarily contains a changed surface, so
+    its band is a seed, it is active on one side, and its full bucket
+    joins the affected region.
     """
     k, bands, passes = state.k, state.bands, state.closure_passes
     changed = delta_triples.select("doc_id").distinct()
@@ -589,6 +672,9 @@ def merge_triples_incremental(
 
     # new-graph membership = stored minus removed plus new. One linear
     # map-only pass (the merge-on-read write in a real lakehouse).
+    removed_membership = state.membership.join(
+        F.broadcast(removed_s.select("surface")), "surface", "left_semi"
+    )
     membership2 = (
         state.membership.join(
             F.broadcast(removed_s.select("surface")), "surface", "left_anti"
@@ -597,17 +683,77 @@ def merge_triples_incremental(
         .localCheckpoint()
     )
 
-    # ── 3. affected-region BFS over band buckets ────────────────────────
-    seed_bands = (
-        new_membership.select("band")
-        .unionByName(
-            state.membership.join(
-                F.broadcast(removed_s.select("surface")), "surface", "left_semi"
-            ).select("band")
+    capped = state.max_bucket is not None
+    band_sizes2 = None
+    if capped:
+        # maintain the bucket-size table incrementally: only bands of
+        # changed surfaces move; everything else is carried on the
+        # stream side of a broadcast join (no corpus shuffle)
+        bdelta = (
+            new_membership.select("band", F.lit(1).alias("bd"))
+            .unionAll(removed_membership.select("band", F.lit(-1).alias("bd")))
+            .groupBy("band")
+            .agg(F.sum("bd").alias("bd"))
+            .filter(F.col("bd") != 0)
+            .localCheckpoint()
         )
+        sized = state.band_sizes.join(F.broadcast(bdelta), "band", "left")
+        known_bands = sized.filter(F.col("bd").isNotNull()).select(
+            "band", F.col("bsz").alias("bsz_old")
+        ).localCheckpoint()
+        fresh_bands = bdelta.join(
+            F.broadcast(known_bands.select("band")), "band", "left_anti"
+        ).select("band", F.col("bd").alias("bsz"))
+        band_sizes2 = (
+            sized.withColumn(
+                "bsz", F.col("bsz") + F.coalesce(F.col("bd"), F.lit(0))
+            )
+            .select("band", "bsz")
+            .filter(F.col("bsz") > 0)
+            .unionByName(fresh_bands)
+            .localCheckpoint()
+        )
+
+    def _active_only(cand_bands: DataFrame) -> DataFrame:
+        """Restrict a SMALL band set to buckets active in the new graph
+        (lookup against band_sizes2 on the stream side)."""
+        if not capped:
+            return cand_bands
+        return (
+            band_sizes2.join(F.broadcast(cand_bands), "band", "left_semi")
+            .filter(F.col("bsz") <= state.max_bucket)
+            .select("band")
+        )
+
+    # ── 3. affected-region BFS over band buckets ────────────────────────
+    # Every band whose bucket CHANGED (member added/removed — the only
+    # way a bucket's size or content moves) is a seed. Under a cap, a
+    # seed expands only if its bucket is active in the old OR new graph:
+    # hub buckets over the cap in both carry no connectivity before or
+    # after, so the BFS never walks through them — this is what keeps
+    # the affected region delta-local on boilerplate-heavy vocabularies.
+    seed_bands_all = (
+        new_membership.select("band")
+        .unionByName(removed_membership.select("band"))
         .distinct()
         .localCheckpoint()
     )
+    if capped:
+        new_sz = band_sizes2.join(
+            F.broadcast(seed_bands_all), "band", "left_semi"
+        ).select("band", F.col("bsz").alias("bsz_new"))
+        seed_bands = (
+            seed_bands_all.join(known_bands, "band", "left")
+            .join(new_sz, "band", "left")
+            .filter(
+                (F.col("bsz_old") <= state.max_bucket)
+                | (F.col("bsz_new") <= state.max_bucket)
+            )
+            .select("band")
+            .localCheckpoint()
+        )
+    else:
+        seed_bands = seed_bands_all
     affected = new_membership.select("surface").distinct().localCheckpoint()
     frontier_bands = seed_bands
     expand_iters = 0
@@ -630,9 +776,13 @@ def merge_triples_incremental(
                 break
             frontier_bands = (
                 frontier_bands.unionByName(
-                    membership2.join(
-                        F.broadcast(new_aff), "surface", "left_semi"
-                    ).select("band")
+                    _active_only(
+                        membership2.join(
+                            F.broadcast(new_aff), "surface", "left_semi"
+                        )
+                        .select("band")
+                        .distinct()
+                    )
                 )
                 .distinct()
                 .localCheckpoint()
@@ -647,6 +797,7 @@ def merge_triples_incremental(
             k=k,
             bands=bands,
             closure_passes=passes,
+            max_bucket=state.max_bucket,
         )
         st.stats = {
             "mode": "incremental",
@@ -657,11 +808,19 @@ def merge_triples_incremental(
         return st
 
     # ── 4. re-cluster the affected region only. ``affected`` is
-    # band-closed at BFS convergence, so the restricted propagation
-    # equals the full recompute's labels on these surfaces exactly ─────
+    # band-closed (w.r.t. active bands) at BFS convergence, so the
+    # restricted propagation equals the full recompute's labels on these
+    # surfaces exactly. Under a cap, propagation sees active buckets
+    # only — cap-orphaned affected surfaces fall back to singletons in
+    # the splice below, mirroring _cluster_reps' cold behavior. ───────
     membership_aff = membership2.join(
         F.broadcast(affected), "surface", "left_semi"
     )
+    if capped:
+        aff_bands = membership_aff.select("band").distinct().localCheckpoint()
+        membership_aff = membership_aff.join(
+            F.broadcast(_active_only(aff_bands)), "band", "left_semi"
+        )
     rep_aff = (
         _propagate(membership_aff, passes)
         .withColumnRenamed("lsh_rep", "rep2")
@@ -676,6 +835,10 @@ def merge_triples_incremental(
                 "surface", F.col("entity_id").alias("dict_id")
             )
         )
+    # membership in the affected region is flagged EXPLICITLY: under a
+    # cap an affected surface may have no propagated label (all its
+    # buckets dropped) and must become a singleton, not keep its old rep
+    aff_flag = affected.withColumn("_aff", F.lit(1))
     cont = (
         state.resolved.join(
             F.broadcast(removed_s.select("surface")), "surface", "left_anti"
@@ -686,21 +849,24 @@ def merge_triples_incremental(
             F.col("n_mentions") + F.coalesce(F.col("d"), F.lit(0)),
         )
         .join(F.broadcast(rep_aff), "surface", "left")
+        .join(F.broadcast(aff_flag), "surface", "left")
     )
+    new_rep = F.coalesce(F.col("rep2"), F.col("norm"))
     if dict_map is not None:
         cont = cont.join(dict_map, "surface", "left")
-        new_eid = F.coalesce(F.col("dict_id"), F.col("rep2"))
+        new_eid = F.coalesce(F.col("dict_id"), new_rep)
     else:
-        new_eid = F.col("rep2")
+        new_eid = new_rep
+    in_aff = F.col("_aff").isNotNull()
     cont = (
         cont.withColumn("old_entity_id", F.col("entity_id"))
         .withColumn(
             "entity_id",
-            F.when(F.col("rep2").isNotNull(), new_eid).otherwise(
-                F.col("entity_id")
-            ),
+            F.when(in_aff, new_eid).otherwise(F.col("entity_id")),
         )
-        .withColumn("lsh_rep", F.coalesce(F.col("rep2"), F.col("lsh_rep")))
+        .withColumn(
+            "lsh_rep", F.when(in_aff, new_rep).otherwise(F.col("lsh_rep"))
+        )
     )
     rep_changed = (
         cont.filter(F.col("entity_id") != F.col("old_entity_id"))
@@ -813,6 +979,9 @@ def merge_triples_incremental(
         "affected_surfaces": affected.count(),
         "rep_changed_surfaces": rep_changed.count(),
     }
+    if capped:
+        stats["seed_bands_active"] = seed_bands.count()
+        stats["seed_bands_total"] = seed_bands_all.count()
     return CanonState(
         merged,
         resolved2,
@@ -823,5 +992,7 @@ def merge_triples_incremental(
         k=k,
         bands=bands,
         closure_passes=passes,
+        max_bucket=state.max_bucket,
+        band_sizes=band_sizes2,
         stats=stats,
     )

@@ -100,3 +100,26 @@ class TestHits:
             ).fetchall()
         )
         assert got == want
+
+
+class TestMultiEdgeOverflow:
+    """The KG edge table carries one row per MENTION pair, so hits()
+    sees multi-edges and raw sums scale with multiplicity — raw·10⁹
+    passed 2⁶³ on a real 20k-doc graph (ArithmeticException before the
+    decimal(38,0) widening). 20 duplicate rows of one edge reproduce
+    it: raw_a(b) = 20·5·10⁸ = 10¹⁰, ×10⁹ ≫ 2⁶³."""
+
+    def test_duplicate_edges_do_not_overflow_and_match_oracle(self, spark):
+        rows = [(0, 1)] * 20 + [(1, 2)] * 15
+        df = spark.createDataFrame(rows, "src long, dst long")
+        got = {
+            r.node: (r.hub_e9, r.auth_e9) for r in hits(df, n_iter=4).collect()
+        }
+        assert got  # pre-fix: ARITHMETIC_OVERFLOW here
+        values = ",".join(f"({u},{v})" for u, v in rows)
+        cte = f"edges(src, dst) as (select * from (values {values}))"
+        want = {
+            n: (h, a)
+            for n, h, a in duckdb.connect().execute(hits_sql(cte, 4)).fetchall()
+        }
+        assert got == want

@@ -291,3 +291,115 @@ class TestFallbackGuard:
         v, e = canonicalize(old)
         assert _rows(st.vertices) == _rows(v)
         assert _rows(st.edges) == _rows(e)
+
+
+class TestBucketCaps:
+    """max_bucket: over-cap hub buckets are dropped deterministically in
+    cold and incremental alike; cap ACTIVATION (bucket shrinks to ≤ cap)
+    and DEACTIVATION (bucket grows past it) splice exactly. The suffix
+    family F+str(i) mutually collides on all 4 bands, so the family size
+    IS the bucket size — crossing the cap flips the whole cluster."""
+
+    FAM = "acme corporation limited shanghai branch"
+
+    def _fam_docs(self, spark, n, start=0):
+        return _t(
+            spark,
+            [(100 + start + i, "e", 0, self.FAM + str(start + i), "p", f"v{i}")
+             for i in range(n)],
+        )
+
+    def test_cold_cap_matches_canonicalize_cap(self, spark):
+        from docee_spark.stages.canonicalize import canonicalize
+
+        old = self._fam_docs(spark, 6)
+        st = canonicalize_state(old, max_bucket=4)
+        v, e = canonicalize(old, max_bucket=4)
+        assert _rows(st.vertices) == _rows(v)
+        assert _rows(st.edges) == _rows(e)
+        # 6 > cap ⇒ the bucket is dropped ⇒ all singletons
+        ids = _eids(st)
+        assert len(set(ids.values())) == len(ids)
+
+    def _fam_clusters(self, state):
+        return {v for k, v in _eids(state).items() if k.startswith(self.FAM)}
+
+    def test_deactivation_growing_past_cap_splits(self, spark):
+        # 4 members share at least one ≤cap bucket → one cluster; the
+        # 5th member pushes the shared buckets over the cap → the
+        # cluster SPLITS (exact shape is band-topology-dependent; the
+        # contract is equivalence with the capped full recompute)
+        old = self._fam_docs(spark, 4)
+        s0 = canonicalize_state(old, max_bucket=4)
+        assert len(self._fam_clusters(s0)) == 1
+        delta = self._fam_docs(spark, 1, start=4)
+        s1 = merge_triples_incremental(s0, delta)
+        assert s1.stats["fallback"] is False
+        merged, v, e = merge_triples(old, delta, max_bucket=4)
+        assert _rows(s1.vertices) == _rows(v)
+        assert _rows(s1.edges) == _rows(e)
+        cold = canonicalize_state(merged, max_bucket=4)
+        assert len(self._fam_clusters(s1)) == len(self._fam_clusters(cold)) > 1
+        assert _rows(s1.resolved) == _rows(cold.resolved)
+        assert _rows(s1.band_sizes) == _rows(cold.band_sizes)
+
+    def test_activation_shrinking_to_cap_merges(self, spark):
+        old = self._fam_docs(spark, 5)  # over cap → split clustering
+        s0 = canonicalize_state(old, max_bucket=4)
+        n0 = len(self._fam_clusters(s0))
+        assert n0 > 1
+        deleted = spark.createDataFrame([(104,)], "doc_id long")
+        s1 = merge_triples_incremental(s0, _t(spark, []), deleted)
+        assert s1.stats["fallback"] is False
+        merged, v, e = merge_triples(old, _t(spark, []), deleted, max_bucket=4)
+        assert _rows(s1.vertices) == _rows(v)
+        assert _rows(s1.edges) == _rows(e)
+        cold = canonicalize_state(merged, max_bucket=4)
+        # buckets re-activated → strictly fewer clusters than before
+        assert len(self._fam_clusters(s1)) == len(self._fam_clusters(cold)) < n0
+        assert _rows(s1.resolved) == _rows(cold.resolved)
+        assert _rows(s1.band_sizes) == _rows(cold.band_sizes)
+
+    def test_hub_bucket_does_not_expand_bfs(self, spark):
+        # a 30-member hub family (over cap, inactive both sides) + the
+        # X/Y bridge scenario: a delta touching the hub must NOT pull
+        # the hub's members into the affected region
+        hub = self._fam_docs(spark, 30)
+        old = hub.unionByName(
+            _t(spark, [(1, "e", 0, X, "p", "v1"), (2, "e", 0, Y, "p", "v2")])
+        )
+        s0 = canonicalize_state(old, max_bucket=4)
+        # delta adds ANOTHER hub member (seed bands = hub bands, inactive
+        # both sides → skipped) plus the X/Y bridge
+        delta = _t(
+            spark,
+            [
+                (200, "e", 0, self.FAM + "zz", "p", "vz"),
+                (9, "e", 0, B, "p", "v9"),
+            ],
+        )
+        s1 = merge_triples_incremental(s0, delta)
+        assert s1.stats["fallback"] is False
+        # affected = the 2 new subj surfaces + 2 new obj surfaces + X + Y
+        assert s1.stats["affected_surfaces"] <= 8
+        assert s1.stats["seed_bands_active"] < s1.stats["seed_bands_total"]
+        ids = _eids(s1)
+        assert ids[X] == ids[B] == ids[Y]
+        assert ids[self.FAM + "zz"] == self.FAM + "zz"  # hub stays singleton
+        merged, v, e = merge_triples(old, delta, max_bucket=4)
+        assert _rows(s1.vertices) == _rows(v)
+        assert _rows(s1.edges) == _rows(e)
+
+    def test_chained_cap_batches_equal_cold(self, spark):
+        old = self._fam_docs(spark, 4)
+        st = canonicalize_state(old, max_bucket=4)
+        b1 = self._fam_docs(spark, 1, start=4)  # deactivate
+        b2_del = spark.createDataFrame([(100,)], "doc_id long")  # re-activate
+        st = merge_triples_incremental(st, b1)
+        st = merge_triples_incremental(st, _t(spark, []), b2_del)
+        final = old.unionByName(b1).filter("doc_id != 100")
+        cold = canonicalize_state(final, max_bucket=4)
+        assert _rows(st.vertices) == _rows(cold.vertices)
+        assert _rows(st.edges) == _rows(cold.edges)
+        assert _rows(st.resolved) == _rows(cold.resolved)
+        assert _rows(st.band_sizes) == _rows(cold.band_sizes)
