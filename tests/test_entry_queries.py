@@ -28,6 +28,51 @@ def ddb():
     return con
 
 
+@pytest.fixture(scope="module")
+def prefetched(spark):
+    """Run ALL queries up front, concurrently — Spark collects from a
+    thread pool (py4j releases the GIL; the scheduler interleaves jobs)
+    and DuckDB oracles on per-thread connections. The suite previously
+    collected the 102 queries serially, dominating the slow-suite wall
+    clock (44 min at r4); the comparisons themselves are unchanged and
+    still per-query tests. For a single-query dev loop use
+    tools/check_oracles.py <name> — selecting one test here still
+    prefetches the module."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+
+    def run_spark(name):
+        try:
+            df = qs[name](spark, SF_DIR)
+            return name, (df.columns, [tuple(r) for r in df.collect()]), None
+        except Exception as exc:  # surfaced per-query in the test
+            return name, None, f"spark: {exc!r}"
+
+    def run_duck(name):
+        try:
+            con = duckdb.connect()
+            for t in TABLES:
+                con.execute(
+                    f"create view {t} as select * from "
+                    f"read_parquet('{SF_DIR}/{t}.parquet')"
+                )
+            cur = con.execute(oracles[name])
+            cols = [d[0] for d in cur.description]
+            rows = cur.fetchall()
+            con.close()
+            return name, (cols, rows), None
+        except Exception as exc:
+            return name, None, f"duckdb: {exc!r}"
+
+    with ThreadPoolExecutor(8) as ex:
+        spark_res = {n: (v, e) for n, v, e in ex.map(run_spark, ORACLE_QUERIES)}
+    with ThreadPoolExecutor(8) as ex:
+        duck_res = {n: (v, e) for n, v, e in ex.map(run_duck, ORACLE_QUERIES)}
+    return spark_res, duck_res
+
+
 def _canon(val):
     if val is None:
         return "␀"
@@ -50,15 +95,14 @@ ORACLE_QUERIES = sorted(entry_mod.oracle_sql().keys())
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
-def test_query_matches_oracle(spark, ddb, name):
-    q = entry_mod.queries()[name]
-    sdf = q(spark, SF_DIR)
-    spark_cols = sdf.columns
-    spark_rows = [tuple(r) for r in sdf.collect()]
-
-    cur = ddb.execute(entry_mod.oracle_sql()[name])
-    duck_cols = [d[0] for d in cur.description]
-    duck_rows = cur.fetchall()
+def test_query_matches_oracle(prefetched, name):
+    spark_res, duck_res = prefetched
+    (spark_val, spark_err) = spark_res[name]
+    (duck_val, duck_err) = duck_res[name]
+    assert spark_err is None, f"{name}: {spark_err}"
+    assert duck_err is None, f"{name}: {duck_err}"
+    spark_cols, spark_rows = spark_val
+    duck_cols, duck_rows = duck_val
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch {spark_cols} vs {duck_cols}"
