@@ -1,12 +1,16 @@
-"""WikiEvents (KAIROS) event-schema catalog — transcribed schema DATA.
+"""WikiEvents (KAIROS) + DuEE-fin event-schema catalogs — transcribed
+schema DATA.
 
 Role inventories, pseudo-trigger tiers and min-field counts as defined
-by the reference template ``dee/event_types/wikievents_w_tgg.py``
-(event_type_fields_list; FIELDS == TRIGGERS['all'], common_fields=[],
-min_field_num=1 for every type). The string 'all' tier is omitted:
-it always equals ``fields``, which this engine uses directly when
-num_triggers covers every role. Machine-extracted from the template's
-class constants — data transcription, not code.
+by the reference templates ``dee/event_types/wikievents_w_tgg.py`` and
+``dee/event_types/dueefin_w_tgg.py`` (event_type_fields_list). For
+WikiEvents: FIELDS == TRIGGERS['all'], common_fields=[], min_field_num=1
+for every type. The string 'all' tier is omitted: it always equals
+``fields``, which this engine uses directly when num_triggers covers
+every role. Machine-extracted from the templates' class constants —
+data transcription, not code; each catalog is equality-diffed against
+its template in the fidelity suites (test_wikievents_fidelity.py,
+test_duee_fidelity.py).
 """
 
 from __future__ import annotations
@@ -575,5 +579,209 @@ WIKIEVENTS_EVENT_TYPES: tuple[EventType, ...] = (
             4: ('Communicator', 'Recipient', 'Topic', 'Trigger'),
         },
         min_field_num=1,
+    ),
+)
+
+
+# DuEE-fin (baidu DuEE financial subset) event-schema catalog — transcribed
+# schema DATA from the reference template ``dee/event_types/dueefin_w_tgg.py``
+# (event_type_fields_list; min_field_num=2 for every type,
+# common_fields=["OtherType"]). The 'all' trigger tier is omitted as in the
+# WikiEvents catalog above. Machine-extracted from the template's class
+# constants — data transcription, not code.
+DUEEFIN_COMMON_FIELDS: tuple[str, ...] = ("OtherType",)
+
+DUEEFIN_EVENT_TYPES: tuple[EventType, ...] = (
+    EventType(
+        '质押',
+        ('Trigger', '质押物占总股比', '质权方', '质押方', '事件时间', '质押股票/股份数量', '质押物所属公司', '质押物', '质押物占持股比', '披露时间'),
+        triggers={
+            1: ('Trigger',),
+            2: ('Trigger', '质押股票/股份数量'),
+            3: ('Trigger', '事件时间', '质押股票/股份数量'),
+            4: ('Trigger', '事件时间', '质押物占持股比', '质押股票/股份数量'),
+            5: ('Trigger', '质押物占总股比', '质押物占持股比', '质押股票/股份数量', '质权方'),
+            6: ('Trigger', '质押方', '质押物占总股比', '质押物占持股比', '质押股票/股份数量', '质权方'),
+            7: ('Trigger', '事件时间', '质押方', '质押物占总股比', '质押物占持股比', '质押股票/股份数量', '质权方'),
+            8: ('Trigger', '事件时间', '质押方', '质押物占总股比', '质押物占持股比', '质押物所属公司', '质押股票/股份数量', '质权方'),
+            9: ('Trigger', '事件时间', '质押方', '质押物', '质押物占总股比', '质押物占持股比', '质押物所属公司', '质押股票/股份数量', '质权方'),
+        },
+        min_field_num=2,
+    ),
+    EventType(
+        '股份回购',
+        ('Trigger', '每股交易价格', '交易金额', '回购完成时间', '回购股份数量', '占公司总股本比例', '回购方', '披露时间'),
+        triggers={
+            1: ('Trigger',),
+            2: ('Trigger', '回购完成时间'),
+            3: ('Trigger', '交易金额', '回购完成时间'),
+            4: ('Trigger', '交易金额', '回购完成时间', '每股交易价格'),
+            5: ('Trigger', '交易金额', '回购完成时间', '回购股份数量', '每股交易价格'),
+            6: ('Trigger', '交易金额', '占公司总股本比例', '回购完成时间', '回购股份数量', '每股交易价格'),
+            7: ('Trigger', '交易金额', '占公司总股本比例', '回购完成时间', '回购方', '回购股份数量', '每股交易价格'),
+            8: ('Trigger', '交易金额', '占公司总股本比例', '回购完成时间', '回购方', '回购股份数量', '披露时间', '每股交易价格'),
+        },
+        min_field_num=2,
+    ),
+    EventType(
+        '解除质押',
+        ('Trigger', '质权方', '质押物占总股比', '质押方', '事件时间', '质押股票/股份数量', '质押物所属公司', '质押物', '质押物占持股比', '披露时间'),
+        triggers={
+            1: ('Trigger',),
+            2: ('Trigger', '事件时间'),
+            3: ('Trigger', '事件时间', '质权方'),
+            4: ('Trigger', '事件时间', '披露时间', '质权方'),
+            5: ('Trigger', '事件时间', '披露时间', '质押物占总股比', '质权方'),
+            6: ('Trigger', '事件时间', '披露时间', '质押方', '质押物占总股比', '质权方'),
+            7: ('Trigger', '事件时间', '披露时间', '质押方', '质押物占总股比', '质押股票/股份数量', '质权方'),
+            8: ('Trigger', '事件时间', '披露时间', '质押方', '质押物占总股比', '质押物所属公司', '质押股票/股份数量', '质权方'),
+            9: ('Trigger', '事件时间', '披露时间', '质押方', '质押物', '质押物占总股比', '质押物所属公司', '质押股票/股份数量', '质权方'),
+        },
+        min_field_num=2,
+    ),
+    EventType(
+        '被约谈',
+        ('Trigger', '约谈机构', '被约谈时间', '披露时间', '公司名称'),
+        triggers={
+            1: ('Trigger',),
+            2: ('Trigger', '公司名称'),
+            3: ('Trigger', '公司名称', '约谈机构'),
+            4: ('Trigger', '公司名称', '约谈机构', '被约谈时间'),
+            5: ('Trigger', '公司名称', '披露时间', '约谈机构', '被约谈时间'),
+        },
+        min_field_num=2,
+    ),
+    EventType(
+        '企业收购',
+        ('Trigger', '被收购方', '收购标的', '交易金额', '收购方', '收购完成时间', '披露时间'),
+        triggers={
+            1: ('Trigger',),
+            2: ('Trigger', '被收购方'),
+            3: ('Trigger', '收购方', '被收购方'),
+            4: ('Trigger', '交易金额', '收购方', '被收购方'),
+            5: ('Trigger', '交易金额', '收购方', '收购标的', '被收购方'),
+            6: ('Trigger', '交易金额', '收购完成时间', '收购方', '收购标的', '被收购方'),
+            7: ('Trigger', '交易金额', '披露时间', '收购完成时间', '收购方', '收购标的', '被收购方'),
+        },
+        min_field_num=2,
+    ),
+    EventType(
+        '股东增持',
+        ('Trigger', '每股交易价格', '交易金额', '增持部分占所持比例', '交易完成时间', '增持方', '交易股票/股份数量', '增持部分占总股本比例', '股票简称', '披露时间'),
+        triggers={
+            1: ('Trigger',),
+            2: ('Trigger', '交易股票/股份数量'),
+            3: ('Trigger', '交易股票/股份数量', '股票简称'),
+            4: ('Trigger', '交易完成时间', '增持方', '股票简称'),
+            5: ('Trigger', '交易完成时间', '交易金额', '增持方', '股票简称'),
+            6: ('Trigger', '交易完成时间', '交易金额', '增持方', '每股交易价格', '股票简称'),
+            7: ('Trigger', '交易完成时间', '交易金额', '增持方', '增持部分占所持比例', '每股交易价格', '股票简称'),
+            8: ('Trigger', '交易完成时间', '交易股票/股份数量', '交易金额', '增持方', '增持部分占所持比例', '每股交易价格', '股票简称'),
+            9: ('Trigger', '交易完成时间', '交易股票/股份数量', '交易金额', '增持方', '增持部分占总股本比例', '增持部分占所持比例', '每股交易价格', '股票简称'),
+        },
+        min_field_num=2,
+    ),
+    EventType(
+        '高管变动',
+        ('Trigger', '变动后职位', '任职公司', '高管姓名', '披露日期', '变动类型', '事件时间', '高管职位', '变动后公司名称'),
+        triggers={
+            1: ('Trigger',),
+            2: ('Trigger', '高管姓名'),
+            3: ('Trigger', '变动类型', '高管姓名'),
+            4: ('Trigger', '变动后职位', '变动类型', '高管姓名'),
+            5: ('Trigger', '任职公司', '变动后职位', '变动类型', '高管姓名'),
+            6: ('Trigger', '任职公司', '变动后职位', '变动类型', '披露日期', '高管姓名'),
+            7: ('Trigger', '事件时间', '任职公司', '变动后职位', '变动类型', '披露日期', '高管姓名'),
+            8: ('Trigger', '事件时间', '任职公司', '变动后职位', '变动类型', '披露日期', '高管姓名', '高管职位'),
+            9: ('Trigger', '事件时间', '任职公司', '变动后公司名称', '变动后职位', '变动类型', '披露日期', '高管姓名', '高管职位'),
+        },
+        min_field_num=2,
+    ),
+    EventType(
+        '中标',
+        ('Trigger', '中标金额', '披露日期', '招标方', '中标日期', '中标标的', '中标公司'),
+        triggers={
+            1: ('Trigger',),
+            2: ('Trigger', '中标标的'),
+            3: ('Trigger', '中标公司', '中标标的'),
+            4: ('Trigger', '中标公司', '中标标的', '中标金额'),
+            5: ('Trigger', '中标公司', '中标标的', '中标金额', '披露日期'),
+            6: ('Trigger', '中标公司', '中标日期', '中标金额', '披露日期', '招标方'),
+            7: ('Trigger', '中标公司', '中标日期', '中标标的', '中标金额', '披露日期', '招标方'),
+        },
+        min_field_num=2,
+    ),
+    EventType(
+        '公司上市',
+        ('Trigger', '募资金额', '事件时间', '证券代码', '环节', '发行价格', '上市公司', '披露时间', '市值'),
+        triggers={
+            1: ('Trigger',),
+            2: ('Trigger', '上市公司'),
+            3: ('Trigger', '上市公司', '募资金额'),
+            4: ('Trigger', '上市公司', '事件时间', '募资金额'),
+            5: ('Trigger', '上市公司', '事件时间', '募资金额', '证券代码'),
+            6: ('Trigger', '上市公司', '事件时间', '募资金额', '环节', '证券代码'),
+            7: ('Trigger', '上市公司', '事件时间', '募资金额', '发行价格', '环节', '证券代码'),
+            8: ('Trigger', '上市公司', '事件时间', '募资金额', '发行价格', '披露时间', '环节', '证券代码'),
+            9: ('Trigger', '上市公司', '事件时间', '募资金额', '发行价格', '市值', '披露时间', '环节', '证券代码'),
+        },
+        min_field_num=2,
+    ),
+    EventType(
+        '企业融资',
+        ('Trigger', '融资金额', '事件时间', '被投资方', '领投方', '融资轮次', '披露时间', '投资方'),
+        triggers={
+            1: ('Trigger',),
+            2: ('Trigger', '融资金额'),
+            3: ('Trigger', '事件时间', '融资金额'),
+            4: ('Trigger', '事件时间', '披露时间', '融资金额'),
+            5: ('Trigger', '事件时间', '披露时间', '融资金额', '被投资方'),
+            6: ('Trigger', '事件时间', '披露时间', '融资金额', '被投资方', '领投方'),
+            7: ('Trigger', '事件时间', '披露时间', '融资轮次', '融资金额', '被投资方', '领投方'),
+            8: ('Trigger', '事件时间', '投资方', '披露时间', '融资轮次', '融资金额', '被投资方', '领投方'),
+        },
+        min_field_num=2,
+    ),
+    EventType(
+        '亏损',
+        ('Trigger', '亏损变化', '财报周期', '净亏损', '披露时间', '公司名称'),
+        triggers={
+            1: ('Trigger',),
+            2: ('Trigger', '净亏损'),
+            3: ('Trigger', '亏损变化', '净亏损'),
+            4: ('Trigger', '亏损变化', '净亏损', '财报周期'),
+            5: ('Trigger', '亏损变化', '净亏损', '披露时间', '财报周期'),
+            6: ('Trigger', '亏损变化', '公司名称', '净亏损', '披露时间', '财报周期'),
+        },
+        min_field_num=2,
+    ),
+    EventType(
+        '股东减持',
+        ('Trigger', '减持方', '每股交易价格', '交易金额', '减持部分占所持比例', '交易完成时间', '交易股票/股份数量', '减持部分占总股本比例', '股票简称', '披露时间'),
+        triggers={
+            1: ('Trigger',),
+            2: ('Trigger', '交易股票/股份数量'),
+            3: ('Trigger', '交易股票/股份数量', '股票简称'),
+            4: ('Trigger', '交易股票/股份数量', '减持部分占总股本比例', '股票简称'),
+            5: ('Trigger', '交易完成时间', '交易股票/股份数量', '减持方', '股票简称'),
+            6: ('Trigger', '交易完成时间', '交易股票/股份数量', '减持方', '每股交易价格', '股票简称'),
+            7: ('Trigger', '交易完成时间', '交易股票/股份数量', '交易金额', '减持方', '每股交易价格', '股票简称'),
+            8: ('Trigger', '交易完成时间', '交易股票/股份数量', '交易金额', '减持方', '减持部分占所持比例', '每股交易价格', '股票简称'),
+            9: ('Trigger', '交易完成时间', '交易股票/股份数量', '交易金额', '减持方', '减持部分占总股本比例', '减持部分占所持比例', '每股交易价格', '股票简称'),
+        },
+        min_field_num=2,
+    ),
+    EventType(
+        '企业破产',
+        ('Trigger', '债务规模', '破产公司', '债权人', '破产时间', '披露时间'),
+        triggers={
+            1: ('Trigger',),
+            2: ('Trigger', '破产公司'),
+            3: ('Trigger', '债务规模', '破产公司'),
+            4: ('Trigger', '债务规模', '债权人', '破产公司'),
+            5: ('Trigger', '债务规模', '债权人', '破产公司', '破产时间'),
+            6: ('Trigger', '债务规模', '债权人', '披露时间', '破产公司', '破产时间'),
+        },
+        min_field_num=2,
     ),
 )

@@ -107,7 +107,16 @@ def load_reference_docs(
     ``docs`` carries the dump's pre-segmented sentences (plus zeroed
     segmentation counters, matching the segment-stage schema); ``gold``
     is the DOCS_GOLD annotation shape with char-level dranges."""
-    rows = parse_post_json(path)
+    return frames_from_rows(spark, parse_post_json(path), lang)
+
+
+def frames_from_rows(
+    spark: SparkSession, rows: list[dict], lang: str = "en"
+) -> tuple[DataFrame, DataFrame]:
+    """Engine row dicts (guid/sentences/spans/events) → (docs, gold)
+    frames for ``run_pipeline(..., presegmented=True)``. Shared by the
+    WikiEvents loader above and the DuEE-fin builder
+    (pyref/duee.py:build_rows)."""
     docs_schema = T.StructType(
         [
             T.StructField("doc_id", T.StringType(), False),
