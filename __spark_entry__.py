@@ -762,6 +762,60 @@ def q_kg_incremental(spark, sf):
     )
 
 
+def q_kg_incremental_state(spark, sf):
+    """The DELTA-PROPORTIONAL recrawl merge (stages/canonicalize.py:
+    merge_triples_incremental, r5): the same synthetic recrawl as
+    kg_incremental, but the old corpus is cold-built into a CanonState
+    and the batch applies through the stateful band-bucket-BFS path
+    (affected-region re-clustering + vertex/edge splicing) instead of a
+    full re-canonicalization. The oracle is the SAME independent SQL
+    derivation — the incremental path's contract is exact equivalence
+    to the full recompute (pytest-proven in
+    tests/test_kg_incremental_canon.py; this entry makes the driver
+    hash-check it against DuckDB end-to-end)."""
+    from docee_spark.stages.canonicalize import (
+        canonicalize_state,
+        merge_triples_incremental,
+    )
+
+    o = _read(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+
+    def trip(df, doc, subj, pred, obj):
+        return df.select(
+            doc.cast("long").alias("doc_id"),
+            F.lit("order").alias("event_type"),
+            F.lit(0).cast("long").alias("recguid"),
+            subj.alias("subj"),
+            F.lit(pred).alias("pred"),
+            obj.alias("obj"),
+        )
+
+    cs = F.concat(F.lit("c"), c.cast("string"))
+    old = trip(o, k, cs, "placed", F.concat(F.lit("o"), k.cast("string")))
+    delta = trip(
+        o.filter(k % 10 == 0),
+        k,
+        cs,
+        "placed_v2",
+        F.concat(F.lit("o"), k.cast("string"), F.lit("r")),
+    ).unionByName(
+        trip(
+            o.filter(k % 37 == 0),
+            k + 5000000,
+            cs,
+            "mentions",
+            F.concat(F.lit("p"), (k % 97).cast("string")),
+        )
+    )
+    deleted = o.filter(k % 17 == 0).select(k.cast("long").alias("doc_id"))
+    state = canonicalize_state(old)
+    st2 = merge_triples_incremental(state, delta, deleted)
+    return st2.edges.select(
+        "src", "pred", "dst", "doc_id", F.col("recguid").cast("long").alias("recguid")
+    )
+
+
 _ROBOTS_A = """# politeness file
 User-agent: *
 Disallow: /private/
@@ -2342,13 +2396,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_tokens": q_hll_tokens,
         "kg_path_2hop": q_kg_path_2hop,
         "bm25": q_bm25,
-        "docee_triples_model_edag": q_docee_triples_model_edag,
         "recrawl_churn": q_recrawl_churn,
         "kg_khop": q_kg_khop,
         "url_dedup": q_url_dedup,
         "quality_model": q_quality_model,
         "pagerank": q_pagerank,
         "kg_incremental": q_kg_incremental,
+        # r5-new: the delta-proportional stateful recrawl merge — same
+        # independent SQL oracle as kg_incremental (exact-equivalence
+        # contract); in-window so the driver hash-checks the new path in
+        # its only eligible round. Slot yielded by docee_triples_model_
+        # edag (green r2+r3+r4 — the registry's only remaining
+        # multi-round-green window entry; its EDAG/trained-model shape
+        # keeps 6 oracle twins in the tail, each with >=1 green round).
+        "kg_incremental_state": q_kg_incremental_state,
         # r5-promoted: the 14 r4 operators with no driver-green row in
         # any prior round (CORRECTNESS_r0{1..4}.json) — see the policy
         # comment above for which saturated entries yielded their slots
@@ -2430,11 +2491,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (new r4); the scored-adjacency→clique decode shape stays
         # evidenced by the r3+r4 records for biaffine/doc_ctx/git_rgcn
         "docee_triples_scored": q_docee_triples_scored,
+        # docee_triples_model_edag — green r2+r3+r4 (the last multi-
+        # round-green window entry); yielded its slot to the r5
+        # kg_incremental_state path so the new operator gets a driver
+        # row in its only eligible round
+        "docee_triples_model_edag": q_docee_triples_model_edag,
         # r5 evidence-saturated demotions: each green in >=2 prior
         # driver rounds with code unchanged; their slots went to the 14
         # never-driver-recorded r4 operators (see window policy above).
-        # The EDAG/trained-model decode family keeps
-        # docee_triples_model_edag in-window as its primary.
         "embed_ivf_topk": q_embed_ivf_topk,          # green r2+r3+r4
         "docee_triples_gold": q_docee_triples_gold,  # green r2+r3+r4
         "docee_triples_heuristic": q_docee_triples_heuristic,  # r2+r3+r4
@@ -6250,6 +6314,11 @@ from documents group by 1
         "entity_link": _entity_link_sql(),
         "pagerank": _pagerank_sql(),
         "kg_incremental": _kg_incremental_sql(),
+        # the stateful delta-proportional path's contract is EXACT
+        # equivalence to the full recompute (pytest-proven), so the same
+        # independent SQL derivation is its oracle — the driver
+        # hash-check makes the equivalence end-to-end evidence
+        "kg_incremental_state": _kg_incremental_sql(),
         "triangles": _triangles_sql(),
         "collocations": _collocations_sql(),
         "hll_tokens": _hll_tokens_sql(),

@@ -338,6 +338,11 @@ def test_query_registry_invariants():
         "embed_topk", "dedup_ngram", "dedup_embed",
         "dedup_minhash_verified", "dedup_simhash64",
         "docee_triples_scored",
+        # r5: yielded its window slot to kg_incremental_state (the new
+        # delta-proportional stateful merge path, which would otherwise
+        # never get a driver row) — green r2+r3+r4, and its EDAG/
+        # trained-model shape keeps 6 oracle twins in this tail
+        "docee_triples_model_edag",
         # green-r3 demotions from the r4.2 session
         "embed_lsh_topk_mp", "multimodal_features",
         # r5 demotions: green in >=2 driver rounds; their slots went to
@@ -393,8 +398,8 @@ def test_query_registry_invariants():
         "triangles", "collocations", "recrawl_churn", "dedup_clusters",
         "dedup_chunks", "decontaminate", "pii_scrub",
         "hll_tokens", "bm25",
-        # the docee decode family's in-window primary (green r2+r3+r4)
-        "docee_triples_model_edag",
+        # r5-new operator: its only chance at a driver row
+        "kg_incremental_state",
     } <= window
 
 
