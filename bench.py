@@ -42,6 +42,7 @@ HEADLINE = [
     "url_dedup",
     "pagerank",
     "kg_incremental",
+    "kg_incremental_state",
     "kg_bgp",
     "join_asof",
     "triangles",
