@@ -403,3 +403,132 @@ class TestBucketCaps:
         assert _rows(st.edges) == _rows(cold.edges)
         assert _rows(st.resolved) == _rows(cold.resolved)
         assert _rows(st.band_sizes) == _rows(cold.band_sizes)
+
+
+_CHAIN_WORDS = (
+    "amber birch cedar dogwood acorn fir ginkgo hazel ironwood "
+    "juniper katsura larch maple nutmeg oak pecan"
+).split()
+_CHAIN_SURFACES = [" ".join(_CHAIN_WORDS[2 * i : 2 * i + 6]) for i in range(6)]
+
+
+class TestBoundedInfluence:
+    """influence_bounded (r5 default): _propagate runs closure_passes=p
+    synchronous min-label passes, so a label travels ≤ p band-hops — the
+    BFS stops at depth 2p, ADOPTING labels for the p-ball and carrying
+    the (p..2p]-ring as context only. The CHAIN fixture (sliding 6-word
+    windows, adjacency verified empirically like X/B/Y) is a band path
+    C0—c0—c1—c2—c3—c4 with c5 disconnected, where c2 holds the globally
+    minimal norm: adopted surfaces' correct labels live in the CONTEXT
+    RING (c2 is 3 hops from the edit), so an implementation that
+    truncated the ring would recompute them wrongly — the cold-rebuild
+    differential is the gate. c4 sits at distance 5, beyond the 2p=4
+    horizon, proving splice-through of untouched labels."""
+
+    CHAIN = _CHAIN_SURFACES
+    C0 = "amber birch cedar zulu acorn fir"  # collides with CHAIN[0] only, sorts high
+    CMIN = "aaber birch cedar zulu acorn fir"  # ditto, sorts below everything
+
+    def _old(self, spark):
+        return _t(
+            spark,
+            [(i, "e", 0, s, "p", f"v{i}") for i, s in enumerate(self.CHAIN)],
+        )
+
+    def test_ring_min_preserved_through_splice(self, spark):
+        # edit at one chain end; no label changes (C0 sorts high) — but
+        # the adopted surfaces' labels DEPEND on ring member c2's norm,
+        # so a ring-truncating recompute would corrupt them
+        old = self._old(spark)
+        s0 = canonicalize_state(old)
+        ids0 = _eids(s0)
+        assert ids0[self.CHAIN[0]] == self.CHAIN[2]  # min norm, 2 hops away
+        delta = _t(spark, [(90, "e", 0, self.C0, "p", "v90")])
+        s1 = merge_triples_incremental(s0, delta)
+        assert s1.stats["fallback"] is False
+        assert s1.stats["influence_bounded"] is True
+        assert s1.stats["expand_iters"] <= 4  # 2p, never band closure
+        # adopt = {C0, v90, c0, c1}; context adds {c2, c3}; c4 beyond
+        assert s1.stats["affected_surfaces"] <= 4
+        assert s1.stats["context_surfaces"] <= 6
+        ids1 = _eids(s1)
+        assert ids1[self.C0] == self.CHAIN[0]  # min of its own 2-ball
+        for c in self.CHAIN:
+            assert ids1[c] == ids0[c]  # ring + beyond: labels preserved
+        _assert_equiv(s1, old, delta)
+
+    def test_min_entering_at_horizon_edge(self, spark):
+        # CMIN becomes the global minimum: labels change for the p-ball
+        # {CMIN, c0, c1} exactly; c2 (3 hops) keeps its own label
+        old = self._old(spark)
+        s0 = canonicalize_state(old)
+        delta = _t(spark, [(91, "e", 0, self.CMIN, "p", "v91")])
+        s1 = merge_triples_incremental(s0, delta)
+        assert s1.stats["fallback"] is False
+        ids1 = _eids(s1)
+        assert ids1[self.CMIN] == ids1[self.CHAIN[0]] == ids1[self.CHAIN[1]]
+        assert ids1[self.CHAIN[2]] == self.CHAIN[2]
+        assert ids1[self.CHAIN[3]] == self.CHAIN[2]
+        _assert_equiv(s1, old, delta)
+
+    def test_deep_deletion_splices_far_labels(self, spark):
+        # deleting the c0-end doc edits buckets at one end; c3/c4 labels
+        # splice through untouched
+        old = self._old(spark)
+        s0 = canonicalize_state(old)
+        deleted = spark.createDataFrame([(0,)], "doc_id long")
+        s1 = merge_triples_incremental(s0, _t(spark, []), deleted)
+        assert s1.stats["fallback"] is False
+        assert s1.stats["expand_iters"] <= 4
+        _assert_equiv(s1, old, _t(spark, []), deleted)
+
+    def test_closure_mode_same_answer(self, spark):
+        # influence_bounded=False restores the band-closure walk; both
+        # modes must emit identical state
+        old = self._old(spark)
+        s0 = canonicalize_state(old)
+        delta = _t(spark, [(92, "e", 0, self.CMIN, "p", "v92")])
+        sb = merge_triples_incremental(s0, delta)
+        sc = merge_triples_incremental(s0, delta, influence_bounded=False)
+        assert sc.stats["influence_bounded"] is False
+        # closure walks the whole component; bounded stops at the ball
+        assert sc.stats["affected_surfaces"] >= sb.stats["affected_surfaces"]
+        assert _rows(sb.resolved) == _rows(sc.resolved)
+        assert _rows(sb.vertices) == _rows(sc.vertices)
+        assert _rows(sb.edges_full) == _rows(sc.edges_full)
+        _assert_equiv(sb, old, delta)
+
+    def test_bounded_avoids_closure_fallback(self, spark):
+        # a component larger than max_affected: the closure walk MUST
+        # fall back; the bounded walk stays inside the 2p ball and
+        # completes incrementally with the same answer
+        old = self._old(spark)
+        s0 = canonicalize_state(old)
+        delta = _t(spark, [(93, "e", 0, self.C0, "p", "v93")])
+        sb = merge_triples_incremental(s0, delta, max_affected=6)
+        assert sb.stats["fallback"] is False
+        sc = merge_triples_incremental(
+            s0, delta, max_affected=6, influence_bounded=False
+        )
+        assert sc.stats["fallback"] is True
+        assert _rows(sb.resolved) == _rows(sc.resolved)
+        assert _rows(sb.vertices) == _rows(sc.vertices)
+        _assert_equiv(sb, old, delta)
+
+    def test_chained_bounded_batches_equal_cold(self, spark):
+        old = self._old(spark)
+        st = canonicalize_state(old)
+        b1 = _t(spark, [(94, "e", 0, self.C0, "p", "v94")])
+        b2 = _t(spark, [(95, "e", 0, self.CMIN, "p", "v95")])
+        b3_del = spark.createDataFrame([(94,)], "doc_id long")
+        st = merge_triples_incremental(st, b1)
+        st = merge_triples_incremental(st, b2)
+        st = merge_triples_incremental(st, _t(spark, []), b3_del)
+        final = old.unionByName(b2).filter("doc_id != 94").unionByName(
+            b1.filter("doc_id != 94")
+        )
+        cold = canonicalize_state(final)
+        assert _rows(st.resolved) == _rows(cold.resolved)
+        assert _rows(st.vertices) == _rows(cold.vertices)
+        assert _rows(st.edges_full) == _rows(cold.edges_full)
+        assert _rows(st.membership) == _rows(cold.membership)
