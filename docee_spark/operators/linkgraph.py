@@ -24,6 +24,18 @@ iterations; edges are checkpointed once up front. The edge table is the
 big side and is shuffled ONCE (to its join partitioning), never
 re-materialized.
 
+Multigraphs are collapsed ONCE up front to ``(src, dst, w)`` weighted
+pairs, and every pass works on the collapsed table. This is bit-exact,
+not approximate: the per-edge contribution ``fdiv(rank(u), outdeg(u))``
+is constant across the w parallel copies of an edge u→v, so their sum
+is exactly ``w · fdiv(rank(u), outdeg(u))`` with ``outdeg = Σ w`` —
+the floor happens per SOURCE, before the multiplicity factor. On a
+KG edge table (one row per extracted mention pair) the collapse shrinks
+the per-pass join input by the mention multiplicity (~12× at the 1M-doc
+scale record in BENCH.md §kg-analytics) while the python reference,
+pytest goldens and DuckDB oracles — all defined over the RAW multi-edge
+list — stay bit-identical.
+
 The fixed-point floors make ranks drift from float PageRank by < 10⁻⁶
 per iteration — irrelevant for ordering, and exactness is what makes
 the result verifiable across engines.
@@ -53,9 +65,12 @@ def pagerank(
     """→ ``(node, rank_e9)`` for every node appearing in ``edges``
     (either side). Damping is fixed at 0.85 (as 85/100 integer) to keep
     the cross-engine contract closed over integers."""
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).localCheckpoint()
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+        .localCheckpoint()
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -63,7 +78,7 @@ def pagerank(
         .localCheckpoint()
     )
     n_total = nodes.agg(F.count("*").alias("n_nodes"))
-    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    outdeg = e.groupBy("src").agg(F.sum("w").alias("outdeg"))
 
     ranks = (
         nodes.crossJoin(F.broadcast(n_total))
@@ -74,10 +89,14 @@ def pagerank(
         r = ranks.join(outdeg, ranks["node"] == outdeg["src"], "left").select(
             "node", "rank_e9", "outdeg"
         )
+        # outdeg ≥ w, so w·fdiv(rank, outdeg) ≤ rank ≤ ~1e9: no overflow
         contrib = (
             r.filter(F.col("outdeg").isNotNull())
             .join(e, F.col("node") == e["src"])
-            .select("dst", _fdiv(F.col("rank_e9"), F.col("outdeg")).alias("c"))
+            .select(
+                "dst",
+                (F.col("w") * _fdiv(F.col("rank_e9"), F.col("outdeg"))).alias("c"),
+            )
             .groupBy("dst")
             .agg(F.sum("c").alias("in_sum"))
         )
@@ -356,9 +375,14 @@ def hits(
     localCheckpoint to cap lineage — identical movement to ``pagerank``.
     Nodes without out-links have hub 0; without in-links auth 0.
     """
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).localCheckpoint()
+    # multigraph collapse (exact: Σ over w parallel edges of s(u) is
+    # w·s(u); weights enter the raw sums BEFORE any normalization floor)
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+        .localCheckpoint()
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -386,7 +410,7 @@ def hits(
         raw_a = (
             hub.join(e, hub["node"] == e["src"])
             .groupBy("dst")
-            .agg(F.sum("s").alias("raw"))
+            .agg(F.sum(F.col("w") * F.col("s")).alias("raw"))
         )
         ta = raw_a.agg(F.sum("raw").alias("t"))
         auth = (
@@ -403,7 +427,7 @@ def hits(
         raw_h = (
             auth.join(e, auth["node"] == e["dst"])
             .groupBy("src")
-            .agg(F.sum("s").alias("raw"))
+            .agg(F.sum(F.col("w") * F.col("s")).alias("raw"))
         )
         th = raw_h.agg(F.sum("raw").alias("t"))
         hub = (
@@ -513,16 +537,20 @@ def personalized_pagerank(
         raise ValueError("personalized_pagerank needs >= 1 seed")
     s_list = sorted(set(seeds))
     n_seeds = len(s_list)
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).localCheckpoint()
+    # multigraph collapse — same exactness argument as ``pagerank``
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+        .localCheckpoint()
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
         .localCheckpoint()
     )
-    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    outdeg = e.groupBy("src").agg(F.sum("w").alias("outdeg"))
     is_seed = F.col("node").isin(s_list)
 
     ranks = nodes.select(
@@ -538,7 +566,10 @@ def personalized_pagerank(
         contrib = (
             r.filter(F.col("outdeg").isNotNull())
             .join(e, F.col("node") == e["src"])
-            .select("dst", _fdiv(F.col("rank_e9"), F.col("outdeg")).alias("c"))
+            .select(
+                "dst",
+                (F.col("w") * _fdiv(F.col("rank_e9"), F.col("outdeg"))).alias("c"),
+            )
             .groupBy("dst")
             .agg(F.sum("c").alias("in_sum"))
         )
