@@ -56,21 +56,48 @@ def _fdiv(a, b):
     return ((a - F.pmod(a, b)) / b).cast("long")
 
 
+def _collapsed(
+    edges: DataFrame, src_col: str, dst_col: str, weight_col: str | None
+) -> DataFrame:
+    """``(src, dst, w)`` weighted simple digraph, localCheckpointed.
+
+    ``weight_col=None`` counts parallel ``(src, dst)`` rows — the
+    multigraph collapse (bit-exact for the three iterative ops: the
+    per-edge contribution is constant per source, so w parallel copies
+    sum to exactly w times one copy). A caller whose edge table already
+    carries integer multiplicities (e.g. a host graph pre-collapsed
+    upstream, or ``extract_links``→``host_edges`` output aggregated per
+    crawl batch) passes ``weight_col`` and the weights are summed
+    instead — semantically identical to expanding each row into w
+    parallel edges, without materializing them. NULL / non-positive
+    weights are dropped (a zero-weight edge is no edge)."""
+    s, d = F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    if weight_col is None:
+        g = edges.select(s, d).groupBy("src", "dst").agg(
+            F.count("*").alias("w")
+        )
+    else:
+        g = (
+            edges.select(s, d, F.col(weight_col).cast("long").alias("w"))
+            .filter(F.col("w") > 0)
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+        )
+    return g.localCheckpoint()
+
+
 def pagerank(
     edges: DataFrame,
     n_iter: int = 8,
     src_col: str = "src",
     dst_col: str = "dst",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """→ ``(node, rank_e9)`` for every node appearing in ``edges``
     (either side). Damping is fixed at 0.85 (as 85/100 integer) to keep
-    the cross-engine contract closed over integers."""
-    e = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count("*").alias("w"))
-        .localCheckpoint()
-    )
+    the cross-engine contract closed over integers. ``weight_col``
+    treats each row as that many parallel edges (see ``_collapsed``)."""
+    e = _collapsed(edges, src_col, dst_col, weight_col)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -350,6 +377,7 @@ def hits(
     n_iter: int = 4,
     src_col: str = "src",
     dst_col: str = "dst",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Kleinberg HITS → ``(node, hub_e9, auth_e9)`` for every node on
     either side of ``edges``. The companion signal to ``pagerank`` on
@@ -377,12 +405,7 @@ def hits(
     """
     # multigraph collapse (exact: Σ over w parallel edges of s(u) is
     # w·s(u); weights enter the raw sums BEFORE any normalization floor)
-    e = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count("*").alias("w"))
-        .localCheckpoint()
-    )
+    e = _collapsed(edges, src_col, dst_col, weight_col)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -519,6 +542,7 @@ def personalized_pagerank(
     n_iter: int = 8,
     src_col: str = "src",
     dst_col: str = "dst",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Random-walk-with-restart → ``(node, rank_e9)``: PageRank whose
     teleport mass returns to the SEED set instead of the whole graph —
@@ -538,12 +562,7 @@ def personalized_pagerank(
     s_list = sorted(set(seeds))
     n_seeds = len(s_list)
     # multigraph collapse — same exactness argument as ``pagerank``
-    e = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count("*").alias("w"))
-        .localCheckpoint()
-    )
+    e = _collapsed(edges, src_col, dst_col, weight_col)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))

@@ -238,3 +238,66 @@ class TestAnchorSurfaces:
         assert srcs == {"https://kb.example.org/acme"}
         vs = {r["entity_id"] for r in vertices.collect()}
         assert "https://kb.example.org/acme" in vs
+
+
+class TestWeightedInput:
+    """weight_col: a pre-collapsed weighted edge table must produce the
+    SAME integers as the expanded multi-edge list — for all three
+    iterative ops (the _collapsed contract: a weight-w row ≡ w parallel
+    edges). Also pins the drop rule for NULL / non-positive weights."""
+
+    # (src, dst, w) with skew, a dangling sink (4), and a self-loop
+    WEIGHTED = [(0, 1, 3), (0, 2, 1), (1, 2, 5), (2, 0, 2),
+                (3, 2, 1), (2, 4, 2), (5, 5, 4), (5, 2, 1)]
+
+    def _frames(self, spark):
+        wdf = spark.createDataFrame(
+            self.WEIGHTED, "src long, dst long, w long"
+        )
+        expanded = [(u, v) for u, v, w in self.WEIGHTED for _ in range(w)]
+        edf = spark.createDataFrame(expanded, "src long, dst long")
+        return wdf, edf
+
+    def test_pagerank_weighted_equals_expanded(self, spark):
+        wdf, edf = self._frames(spark)
+        got = {r["node"]: r["rank_e9"]
+               for r in pagerank(wdf, n_iter=6, weight_col="w").collect()}
+        want = {r["node"]: r["rank_e9"]
+                for r in pagerank(edf, n_iter=6).collect()}
+        assert got == want
+
+    def test_hits_weighted_equals_expanded(self, spark):
+        from docee_spark.operators.linkgraph import hits
+
+        wdf, edf = self._frames(spark)
+        got = {r["node"]: (r["hub_e9"], r["auth_e9"])
+               for r in hits(wdf, n_iter=3, weight_col="w").collect()}
+        want = {r["node"]: (r["hub_e9"], r["auth_e9"])
+                for r in hits(edf, n_iter=3).collect()}
+        assert got == want
+
+    def test_ppr_weighted_equals_expanded(self, spark):
+        from docee_spark.operators.linkgraph import personalized_pagerank
+
+        wdf, edf = self._frames(spark)
+        got = {r["node"]: r["rank_e9"]
+               for r in personalized_pagerank(
+                   wdf, [0, 3], n_iter=6, weight_col="w").collect()}
+        want = {r["node"]: r["rank_e9"]
+                for r in personalized_pagerank(edf, [0, 3], n_iter=6).collect()}
+        assert got == want
+
+    def test_nonpositive_and_null_weights_drop(self, spark):
+        rows = [(0, 1, 2), (1, 0, 1), (0, 2, 0), (2, 0, -3), (3, 0, None)]
+        wdf = spark.createDataFrame(rows, "src long, dst long, w long")
+        kept = spark.createDataFrame(
+            [(0, 1), (0, 1), (1, 0)], "src long, dst long"
+        )
+        got = {r["node"]: r["rank_e9"]
+               for r in pagerank(wdf, n_iter=4, weight_col="w").collect()}
+        want = {r["node"]: r["rank_e9"]
+                for r in pagerank(kept, n_iter=4).collect()}
+        # zero/negative/NULL-weight rows contribute no edge — but nodes
+        # 2 and 3 vanish entirely with their only (dropped) edges
+        assert set(got) == {0, 1}
+        assert got == want
