@@ -184,7 +184,15 @@ def streaming_minhash_candidates(
     belong to batch compaction, exactly like ``streaming_exact_dedup``'s
     watermark), and a bucket stops emitting after ``max_bucket`` members
     (the boilerplate-bucket skew guard; the batch pass sees everything
-    and applies its own observable cap)."""
+    and applies its own observable cap).
+
+    Trigger caveat: with ``ProcessingTimeTimeout`` Spark's
+    ``shouldRunAnotherBatch`` is true whenever processing time advanced,
+    so a ``trigger(availableNow=True)`` run keeps scheduling timer-only
+    batches and never self-terminates.  This operator is meant for a
+    continuously running ingest query (the production shape); a bounded
+    drain must stop the query explicitly once the source is exhausted
+    (observable via ``numInputRows`` in the progress feed)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 

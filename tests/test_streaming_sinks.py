@@ -339,6 +339,38 @@ class TestStatefulHostCrawl:
                 assert finals and all(r["over_budget"] for r in finals)
 
 
+def _drain_and_stop(q, n_input_rows, timeout=120):
+    """Wait until the streaming source is exhausted, then stop the query.
+
+    ``availableNow`` + ``ProcessingTimeTimeout`` never terminates on its
+    own: Spark's ``shouldRunAnotherBatch`` is unconditionally true while
+    processing-time timers exist, so ``awaitTermination(t)`` just burns
+    its full timeout and leaves a zombie query saturating the shared
+    session.  Source exhaustion is observable instead: the cumulative
+    ``numInputRows`` across distinct batches reaches the known input
+    size and a trailing no-data batch has committed (so every data
+    batch's emissions are already in the sink).
+    """
+    import time
+
+    t0 = time.time()
+    seen: dict[int, int] = {}
+    try:
+        while time.time() - t0 < timeout:
+            for p in q.recentProgress:
+                seen[p["batchId"]] = p["numInputRows"]
+            if sum(seen.values()) >= n_input_rows and seen and seen[
+                max(seen)
+            ] == 0:
+                return
+            time.sleep(0.5)
+        raise AssertionError(
+            f"source not exhausted after {timeout}s: batches={seen}"
+        )
+    finally:
+        q.stop()
+
+
 class TestStreamingMinhashCandidates:
     def test_collisions_emit_star_pairs_across_batches(self, spark, tmp_path):
         """Stream-time near-dup candidates: exact-dup bodies collide in
@@ -376,7 +408,7 @@ class TestStreamingMinhashCandidates:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        _drain_and_stop(q, n_input_rows=4)
         rows = spark.sql("select * from mh_cand").collect()
         pairs = {(r["doc_a"], r["doc_b"]) for r in rows}
         docs = {d for p in pairs for d in p}
@@ -405,7 +437,7 @@ class TestStreamingMinhashCandidates:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        _drain_and_stop(q, n_input_rows=3)
         pairs = {
             (r["doc_a"], r["doc_b"])
             for r in spark.sql("select * from mh_cap").collect()
