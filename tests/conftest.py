@@ -12,7 +12,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def spark():
     from docee_spark.session import get_spark
 
-    s = get_spark("tests", cores=4, shuffle_partitions=4)
+    # 12 of the 32 host cores: enough to overlap the thread-pooled
+    # oracle prefetch and iterative canonicalization jobs, while leaving
+    # headroom for the spark-submit subprocess tests' own JVMs. Shuffle
+    # partitions stay at 4 — test inputs are tiny and fewer tasks per
+    # stage beats idle parallelism.
+    s = get_spark("tests", cores=12, shuffle_partitions=4)
     yield s
 
 

@@ -66,9 +66,9 @@ def prefetched(spark):
         except Exception as exc:
             return name, None, f"duckdb: {exc!r}"
 
-    with ThreadPoolExecutor(8) as ex:
+    with ThreadPoolExecutor(12) as ex:
         spark_res = {n: (v, e) for n, v, e in ex.map(run_spark, ORACLE_QUERIES)}
-    with ThreadPoolExecutor(8) as ex:
+    with ThreadPoolExecutor(12) as ex:
         duck_res = {n: (v, e) for n, v, e in ex.map(run_duck, ORACLE_QUERIES)}
     return spark_res, duck_res
 
