@@ -240,6 +240,10 @@ def run_bench(cpus: int = CPUS, sf_dir: str = SF_DIR) -> dict:
                 mode="clique",
                 adjacency="sentence",
                 use_html=False,
+                # deep fusion for the model slot too (r5): one Arrow UDF
+                # for segment+tag+decode, row-identical to the staged
+                # path (tests/test_fused.py), ~1.5x on this battery
+                fused="deep",
                 n_partitions=2 * cpus,
             )
 

@@ -669,8 +669,17 @@ def run_pipeline(
         # tables): chained Python UDFs anti-scale, and every column that
         # crosses the Arrow boundary costs serialization — fused="deep"
         # keeps even the sentences array inside the UDF (stages/fused.py)
-        if gold is not None or adjacency == "gold" or store is not None or model is not None:
-            raise ValueError("fused requires the heuristic, store-less path")
+        if gold is not None or adjacency == "gold" or store is not None:
+            raise ValueError("fused requires the heuristic or model, store-less path")
+        if model is not None and (
+            fused != "deep" or adj_scorer is not None or adjacency != "sentence"
+        ):
+            # the model slot fuses only at full depth (segment+tag+decode)
+            # and with the sentence adjacency the staged model path uses
+            raise ValueError(
+                "fused model path requires fused='deep', sentence adjacency, "
+                "and no adj_scorer"
+            )
         # Partitioning: round-robin only when the scan is under-split —
         # NOT length-bucketed (bucketing groups the heavy long-tail docs
         # into the same partitions, which is right for fixed-shape model
@@ -678,9 +687,25 @@ def run_pipeline(
         # at all when the source already has enough even splits (an
         # exchange of 1M nested rows costs more than it balances).
         from ..operators.dedup import ensure_parallelism
-        from .fused import segment_tag_decode_fused, tag_decode_fused
+        from .fused import (
+            segment_tag_decode_fused,
+            segment_tag_decode_fused_model,
+            tag_decode_fused,
+        )
 
-        if fused == "deep":
+        if fused == "deep" and model is not None:
+            decoded = segment_tag_decode_fused_model(
+                ensure_parallelism(
+                    ingest(webtext, langs=langs, use_html=use_html), nparts
+                ),
+                model,
+                mode=mode,
+                ent_fix_mode=ent_fix_mode,
+                event_types=event_types,
+                type_keywords=type_keywords,
+                num_triggers=num_triggers,
+            )
+        elif fused == "deep":
             decoded = segment_tag_decode_fused(
                 ensure_parallelism(
                     ingest(webtext, langs=langs, use_html=use_html), nparts

@@ -214,3 +214,54 @@ def test_get_event_template_registry():
 
     with _pytest.raises(ValueError, match="unknown event template"):
         get_event_template("nope")
+
+
+def test_fused_model_matches_staged(spark, web_df):
+    """segment_tag_decode_fused_model must produce the SAME triples as
+    the staged model pipeline (segment → tag_model → decode): same
+    trained tagger, sentence adjacency, exact_fields=True on both."""
+    from docee_spark.golden import ensure_tagger
+
+    tagger = ensure_tagger()
+    staged = run_pipeline(
+        web_df, model=tagger, mode="clique", adjacency="sentence",
+        use_html=False,
+    )["triples"]
+    fused = run_pipeline(
+        web_df, model=tagger, mode="clique", adjacency="sentence",
+        use_html=False, fused="deep",
+    )["triples"]
+    key = ["doc_id", "event_type", "recguid", "subj", "pred", "obj"]
+    a = sorted(tuple(r) for r in staged.select(*key).collect())
+    b = sorted(tuple(r) for r in fused.select(*key).collect())
+    assert a == b
+    assert a  # non-degenerate: the model found events on this corpus
+
+
+def test_fused_model_edag_and_fix_mode_match_staged(spark, web_df):
+    """The fused model path must thread mode= and ent_fix_mode= exactly
+    like the staged path — EDAG decode with J4 snapping ('f') included."""
+    from docee_spark.golden import ensure_tagger
+
+    tagger = ensure_tagger()
+    kw = dict(model=tagger, adjacency="sentence", use_html=False,
+              mode="edag", ent_fix_mode="f")
+    staged = run_pipeline(web_df, **kw)["triples"]
+    fused = run_pipeline(web_df, fused="deep", **kw)["triples"]
+    key = ["doc_id", "event_type", "recguid", "subj", "pred", "obj"]
+    assert sorted(map(tuple, staged.select(*key).collect())) == sorted(
+        map(tuple, fused.select(*key).collect())
+    )
+
+
+def test_fused_model_rejects_partial_fusion_and_scorer(spark, web_df):
+    from docee_spark.golden import ensure_tagger
+
+    tagger = ensure_tagger()
+    with pytest.raises(ValueError, match="fused model path"):
+        run_pipeline(web_df, model=tagger, use_html=False, fused=True)
+    with pytest.raises(ValueError, match="fused model path"):
+        run_pipeline(
+            web_df, model=tagger, use_html=False, fused="deep",
+            adjacency="matrix",
+        )
