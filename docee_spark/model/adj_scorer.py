@@ -127,13 +127,12 @@ def load_scorer(path: str) -> AdjScorer:
         return AdjScorer.from_arrays(z)
 
 
-def train_adj_scorer(
-    train_docs: list[dict], epochs: int = 30, lr: float = 0.5, seed: int = 17
-) -> AdjScorer:
-    """Logistic regression on gold pair labels (gold adjacency revealed
-    from records — arg_rel.py:270-277 semantics via
-    pyref.graph.adjacency_from_records). Seeded full-batch gradient
-    steps; deterministic."""
+def training_matrix(train_docs: list[dict]) -> tuple[np.ndarray, np.ndarray]:
+    """(X, y) for :func:`train_adj_scorer` — gold adjacency revealed from
+    records (arg_rel.py:270-277 semantics via
+    pyref.graph.adjacency_from_records), featurized per pair. Exposed so
+    the SQL training witness (tests/test_training_witness.py) replays
+    gradient descent on the EXACT matrix the shipped artifact saw."""
     from ..pyref.graph import adjacency_from_records
 
     X_all: list[np.ndarray] = []
@@ -158,8 +157,15 @@ def train_adj_scorer(
         y = np.array([gold[i][j] for i, j in pairs], dtype=np.float32)
         X_all.append(X)
         y_all.append(y)
-    X = np.concatenate(X_all)
-    y = np.concatenate(y_all)
+    return np.concatenate(X_all), np.concatenate(y_all)
+
+
+def train_adj_scorer(
+    train_docs: list[dict], epochs: int = 30, lr: float = 0.5, seed: int = 17
+) -> AdjScorer:
+    """Logistic regression on gold pair labels. Seeded full-batch
+    gradient steps; deterministic."""
+    X, y = training_matrix(train_docs)
 
     rng = np.random.default_rng(seed)
     w = rng.normal(0.0, 0.01, size=X.shape[1]).astype(np.float32)

@@ -246,6 +246,22 @@ def synth_corpus(n_per_class: int = 1500, seed: int = 42):
     return [docs[i] for i in order], np.array([labels[i] for i in order])
 
 
+def training_features(docs: list[str], d: int = D_BUCKETS) -> np.ndarray:
+    """Mean-of-bucket feature matrix for :func:`train_quality_clf`.
+    Exposed so the SQL training witness (tests/test_training_witness.py)
+    replays gradient descent on the EXACT matrix the shipped artifact
+    saw."""
+    feats = np.zeros((len(docs), d), dtype=np.float64)
+    for i, t in enumerate(docs):
+        gs = grams_py(t)
+        if not gs:
+            continue
+        for g in gs:
+            feats[i, bucket_py(g, d)] += 1.0
+        feats[i] /= len(gs)
+    return feats
+
+
 def train_quality_clf(
     docs: list[str],
     labels: np.ndarray,
@@ -258,14 +274,7 @@ def train_quality_clf(
     logistic gradient, numpy only; quantizes to e6 at the end (the
     quantized integers ARE the shipped model)."""
     n_docs = len(docs)
-    feats = np.zeros((n_docs, d), dtype=np.float64)
-    for i, t in enumerate(docs):
-        gs = grams_py(t)
-        if not gs:
-            continue
-        for g in gs:
-            feats[i, bucket_py(g, d)] += 1.0
-        feats[i] /= len(gs)
+    feats = training_features(docs, d)
     y = labels.astype(np.float64)
     w = np.zeros(d)
     b = 0.0
