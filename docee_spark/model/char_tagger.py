@@ -255,24 +255,15 @@ def _build_vocab(docs: list[list[str]]) -> dict[str, int]:
     return vocab
 
 
-def train_char_tagger(
-    train_docs: list[dict],
-    epochs: int = 8,
-    lr: float = 0.2,
-    seed: int = 13,
-    offsets: tuple[int, ...] = DEFAULT_OFFSETS,
-    batch_sents: int = 256,
-    label2id: dict[str, int] | None = None,
-) -> CharTagger:
-    """Train on gold-annotated docs (fixtures shape: sentences + spans).
-
-    Per-char softmax cross-entropy over the BIO label set; SGD over
-    shuffled sentence minibatches. All updates are np.add.at scatters —
-    single-threaded, order-fixed, bit-reproducible for a given seed.
-    ``label2id``: non-default BIO label space (e.g. a WikiEvents corpus
-    index) — must follow the O/B-x/I-x interleaving the Viterbi
-    transition mask assumes (B at odd ids, I at even, dee.py:215-220)."""
+def training_sentences(
+    train_docs: list[dict], label2id: dict[str, int] | None = None
+) -> tuple[list[str], list[list[int]], list[str]]:
+    """(sentences, per-char gold label ids, label list) — the flattened
+    gold-labeled sentence stream :func:`train_char_tagger` consumes.
+    Exposed so the SQL training witness (tests/test_training_witness.py)
+    replays SGD on the EXACT stream the shipped artifact saw."""
     from ..config import label_index
+    from ..pyref.spans import labels_from_spans
 
     if label2id is None:
         l2i = label_index()
@@ -290,11 +281,30 @@ def train_char_tagger(
             (sp["text"], sp["field"], [tuple(d) if not isinstance(d, dict) else (d["sent_idx"], d["char_s"], d["char_e"]) for d in sp["dranges"]])
             for sp in g["spans"]
         ]
-        from ..pyref.spans import labels_from_spans
-
         doc_labels = labels_from_spans(g["sentences"], span_tuples, l2i)
         sents_all.extend(g["sentences"])
         labs_all.extend(doc_labels)
+    return sents_all, labs_all, labels
+
+
+def train_char_tagger(
+    train_docs: list[dict],
+    epochs: int = 8,
+    lr: float = 0.2,
+    seed: int = 13,
+    offsets: tuple[int, ...] = DEFAULT_OFFSETS,
+    batch_sents: int = 256,
+    label2id: dict[str, int] | None = None,
+) -> CharTagger:
+    """Train on gold-annotated docs (fixtures shape: sentences + spans).
+
+    Per-char softmax cross-entropy over the BIO label set; SGD over
+    shuffled sentence minibatches. All updates are np.add.at scatters —
+    single-threaded, order-fixed, bit-reproducible for a given seed.
+    ``label2id``: non-default BIO label space (e.g. a WikiEvents corpus
+    index) — must follow the O/B-x/I-x interleaving the Viterbi
+    transition mask assumes (B at odd ids, I at even, dee.py:215-220)."""
+    sents_all, labs_all, labels = training_sentences(train_docs, label2id)
 
     vocab = _build_vocab([[s] for s in sents_all])
     V = len(vocab) + 2
