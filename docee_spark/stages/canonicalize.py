@@ -501,6 +501,56 @@ class CanonState:
     def edges(self) -> DataFrame:
         return self.edges_full.select(*EDGE_COLS)
 
+    def materialize(self) -> "CanonState":
+        """Force every state table's lazy checkpoint NOW (one job).
+
+        The state tables are lazily checkpointed — computed and cached at
+        first use, so a caller that only reads ``edges`` never pays for
+        ``vertices`` or the merged triples. A commit point (persisting
+        the state between recrawl batches) or a benchmark timing boundary
+        wants the eager semantics back: call this inside the timed /
+        committed region."""
+        frames = {
+            "triples": self.triples,
+            "resolved": self.resolved,
+            "membership": self.membership,
+            "vertices": self.vertices,
+            "edges_full": self.edges_full,
+        }
+        if self.band_sizes is not None:
+            frames["band_sizes"] = self.band_sizes
+        self.stats.setdefault("materialized_rows", _counts_one_job(frames))
+        return self
+
+
+def _ckpt(df: DataFrame) -> DataFrame:
+    """Lineage-capped cache WITHOUT an eager materialization job.
+
+    The stateful merge chains ~25 checkpoints; eager ``localCheckpoint``
+    turns each into its own serialized driver-blocking job (measured at
+    sf0.1: the eager chain roughly doubled the wall vs the compute
+    itself). Lazy keeps the lineage cap and the compute-once reuse but
+    materializes at first use, fusing the chains into downstream jobs."""
+    return df.localCheckpoint(eager=False)
+
+
+def _counts_one_job(named: dict[str, DataFrame]) -> dict[str, int]:
+    """Row counts for several (already cached) frames in ONE Spark job.
+
+    The stats block previously issued one ``count()`` action per frame —
+    8 serialized jobs of pure scheduling overhead on checkpointed data.
+    A tagged union + groupBy counts them all at once; absent tags are
+    zero-row frames."""
+    parts = [df.select(F.lit(name).alias("k")) for name, df in named.items()]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionAll(p)
+    got = {
+        r["k"]: r["n"]
+        for r in u.groupBy("k").agg(F.count("*").alias("n")).collect()
+    }
+    return {name: int(got.get(name, 0)) for name in named}
+
 
 def canonicalize_state(
     triples_df: DataFrame,
@@ -521,37 +571,33 @@ def canonicalize_state(
     makes the incremental merge's affected region delta-local instead of
     percolating through boilerplate hub buckets. The bucket-size table
     is kept in the state and maintained incrementally."""
-    triples = triples_df.localCheckpoint()
-    surfaces = _surface_vocab(triples).localCheckpoint()
-    membership = _membership_for(surfaces, k, bands).localCheckpoint()
+    triples = _ckpt(triples_df)
+    surfaces = _ckpt(_surface_vocab(triples))
+    membership = _ckpt(_membership_for(surfaces, k, bands))
     band_sizes = None
     if max_bucket is not None:
-        band_sizes = (
-            membership.groupBy("band")
-            .agg(F.count("*").alias("bsz"))
-            .localCheckpoint()
+        band_sizes = _ckpt(
+            membership.groupBy("band").agg(F.count("*").alias("bsz"))
         )
-    resolved = (
+    resolved = _ckpt(
         _entity_ids(
             _cluster_reps(
                 surfaces, membership, closure_passes, max_bucket, band_sizes
             ),
             entity_dict,
-        )
-        .select("surface", "norm", "n_mentions", "lsh_rep", "entity_id")
-        .localCheckpoint()
+        ).select("surface", "norm", "n_mentions", "lsh_rep", "entity_id")
     )
-    vertices = (
-        resolved.groupBy("entity_id")
-        .agg(
+    vertices = _ckpt(
+        resolved.groupBy("entity_id").agg(
             F.min("surface").alias("surface"),
             F.sum("n_mentions").alias("n_mentions"),
         )
-        .localCheckpoint()
     )
-    edges_full = _edge_join(
-        triples, resolved.select("surface", "entity_id"), keep_surfaces=True
-    ).localCheckpoint()
+    edges_full = _ckpt(
+        _edge_join(
+            triples, resolved.select("surface", "entity_id"), keep_surfaces=True
+        )
+    )
     return CanonState(
         triples,
         resolved,
@@ -653,57 +699,51 @@ def merge_triples_incremental(
         dele = deleted_docs.select("doc_id")
         changed = changed.unionByName(dele).distinct()
         delta_triples = delta_triples.join(dele, "doc_id", "left_anti")
-    changed = changed.localCheckpoint()
-    delta_triples = delta_triples.select(*state.triples.columns).localCheckpoint()
+    changed = _ckpt(changed)
+    delta_triples = _ckpt(delta_triples.select(*state.triples.columns))
 
     old = state.triples
     survivors = old.join(changed, "doc_id", "left_anti")
-    merged = survivors.unionByName(delta_triples).localCheckpoint()
+    merged = _ckpt(survivors.unionByName(delta_triples))
 
     # ── 1. mention-count deltas (removed side = the changed docs' OLD
     # triples, selected by an AQE-broadcast semi join) ──────────────────
     removed_mentions = _mentions(old.join(changed, "doc_id", "left_semi"))
     added_mentions = _mentions(delta_triples)
-    delta_counts = (
+    delta_counts = _ckpt(
         added_mentions.select("surface", F.lit(1).alias("d"))
         .unionAll(removed_mentions.select("surface", F.lit(-1).alias("d")))
         .groupBy("surface")
         .agg(F.sum("d").alias("d"))
         .filter(F.col("d") != 0)
-        .localCheckpoint()
     )
 
     # ── 2. touched vocabulary: continuing / removed / brand-new ────────
-    touched_existing = (
+    touched_existing = _ckpt(
         state.resolved.join(F.broadcast(delta_counts), "surface", "left")
         .filter(F.col("d").isNotNull())
-        .localCheckpoint()
     )
-    removed_s = touched_existing.filter(
-        F.col("n_mentions") + F.col("d") == 0
-    ).localCheckpoint()
-    brand_new = (
+    removed_s = _ckpt(
+        touched_existing.filter(F.col("n_mentions") + F.col("d") == 0)
+    )
+    brand_new = _ckpt(
         delta_counts.join(
             F.broadcast(touched_existing.select("surface")),
             "surface",
             "left_anti",
-        )
-        .withColumn("norm", normalize_surface(F.col("surface")))
-        .localCheckpoint()
+        ).withColumn("norm", normalize_surface(F.col("surface")))
     )
-    new_membership = _membership_for(brand_new, k, bands).localCheckpoint()
+    new_membership = _ckpt(_membership_for(brand_new, k, bands))
 
     # new-graph membership = stored minus removed plus new. One linear
     # map-only pass (the merge-on-read write in a real lakehouse).
     removed_membership = state.membership.join(
         F.broadcast(removed_s.select("surface")), "surface", "left_semi"
     )
-    membership2 = (
+    membership2 = _ckpt(
         state.membership.join(
             F.broadcast(removed_s.select("surface")), "surface", "left_anti"
-        )
-        .unionByName(new_membership)
-        .localCheckpoint()
+        ).unionByName(new_membership)
     )
 
     capped = state.max_bucket is not None
@@ -712,29 +752,29 @@ def merge_triples_incremental(
         # maintain the bucket-size table incrementally: only bands of
         # changed surfaces move; everything else is carried on the
         # stream side of a broadcast join (no corpus shuffle)
-        bdelta = (
+        bdelta = _ckpt(
             new_membership.select("band", F.lit(1).alias("bd"))
             .unionAll(removed_membership.select("band", F.lit(-1).alias("bd")))
             .groupBy("band")
             .agg(F.sum("bd").alias("bd"))
             .filter(F.col("bd") != 0)
-            .localCheckpoint()
         )
         sized = state.band_sizes.join(F.broadcast(bdelta), "band", "left")
-        known_bands = sized.filter(F.col("bd").isNotNull()).select(
-            "band", F.col("bsz").alias("bsz_old")
-        ).localCheckpoint()
+        known_bands = _ckpt(
+            sized.filter(F.col("bd").isNotNull()).select(
+                "band", F.col("bsz").alias("bsz_old")
+            )
+        )
         fresh_bands = bdelta.join(
             F.broadcast(known_bands.select("band")), "band", "left_anti"
         ).select("band", F.col("bd").alias("bsz"))
-        band_sizes2 = (
+        band_sizes2 = _ckpt(
             sized.withColumn(
                 "bsz", F.col("bsz") + F.coalesce(F.col("bd"), F.lit(0))
             )
             .select("band", "bsz")
             .filter(F.col("bsz") > 0)
             .unionByName(fresh_bands)
-            .localCheckpoint()
         )
 
     def _active_only(cand_bands: DataFrame) -> DataFrame:
@@ -755,17 +795,16 @@ def merge_triples_incremental(
     # hub buckets over the cap in both carry no connectivity before or
     # after, so the BFS never walks through them — this is what keeps
     # the affected region delta-local on boilerplate-heavy vocabularies.
-    seed_bands_all = (
+    seed_bands_all = _ckpt(
         new_membership.select("band")
         .unionByName(removed_membership.select("band"))
         .distinct()
-        .localCheckpoint()
     )
     if capped:
         new_sz = band_sizes2.join(
             F.broadcast(seed_bands_all), "band", "left_semi"
         ).select("band", F.col("bsz").alias("bsz_new"))
-        seed_bands = (
+        seed_bands = _ckpt(
             seed_bands_all.join(known_bands, "band", "left")
             .join(new_sz, "band", "left")
             .filter(
@@ -773,11 +812,10 @@ def merge_triples_incremental(
                 | (F.col("bsz_new") <= state.max_bucket)
             )
             .select("band")
-            .localCheckpoint()
         )
     else:
         seed_bands = seed_bands_all
-    affected = new_membership.select("surface").distinct().localCheckpoint()
+    affected = _ckpt(new_membership.select("surface").distinct())
     # adopt = surfaces whose labels are TAKEN from the restricted
     # propagation: the brand-new surfaces plus everything within
     # `passes` hops of an edit. In band-closure mode adopt == affected.
@@ -792,27 +830,34 @@ def merge_triples_incremental(
     depth = min(depth, max_expand_iters)
     converged = seed_bands.isEmpty()
     if not converged:
+        # the ring sets are pairwise disjoint by construction (anti-join
+        # against the running union), so the max_affected guard tracks
+        # the total as a driver-side sum of per-round counts — ONE small
+        # action per round instead of isEmpty + a full recount
+        n_affected = affected.count()
         for expand_iters in range(1, depth + 1):
             hit = (
                 membership2.join(F.broadcast(frontier_bands), "band", "left_semi")
                 .select("surface")
                 .distinct()
             )
-            new_aff = hit.join(
-                F.broadcast(affected), "surface", "left_anti"
-            ).localCheckpoint()
-            if new_aff.isEmpty():
+            new_aff = _ckpt(
+                hit.join(F.broadcast(affected), "surface", "left_anti")
+            )
+            n_new = new_aff.count()
+            if n_new == 0:
                 converged = True
                 break
-            affected = affected.unionByName(new_aff).localCheckpoint()
+            affected = _ckpt(affected.unionByName(new_aff))
             if expand_iters <= eff_passes:
                 adopt = affected
-            if affected.count() > max_affected:
+            n_affected += n_new
+            if n_affected > max_affected:
                 fallback = True
                 break
             if expand_iters == depth:
                 break
-            frontier_bands = (
+            frontier_bands = _ckpt(
                 frontier_bands.unionByName(
                     _active_only(
                         membership2.join(
@@ -821,9 +866,7 @@ def merge_triples_incremental(
                         .select("band")
                         .distinct()
                     )
-                )
-                .distinct()
-                .localCheckpoint()
+                ).distinct()
             )
         if influence_bounded:
             # a bounded walk needs no convergence — only a 2p ball it
@@ -864,14 +907,14 @@ def merge_triples_incremental(
         F.broadcast(affected), "surface", "left_semi"
     )
     if capped:
-        aff_bands = membership_aff.select("band").distinct().localCheckpoint()
+        aff_bands = membership_aff.select("band").distinct().localCheckpoint(eager=False)
         membership_aff = membership_aff.join(
             F.broadcast(_active_only(aff_bands)), "band", "left_semi"
         )
     rep_aff = (
         _propagate(membership_aff, passes)
         .withColumnRenamed("lsh_rep", "rep2")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     # ── 5. splice the resolved vocabulary ───────────────────────────────
@@ -918,7 +961,7 @@ def merge_triples_incremental(
     rep_changed = (
         cont.filter(F.col("entity_id") != F.col("old_entity_id"))
         .select("surface")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     new_rows = (
@@ -936,7 +979,7 @@ def merge_triples_incremental(
     resolved2 = (
         cont.select(*res_cols)
         .unionByName(new_rows.select(*res_cols))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     # ── 6. vertex splice: recompute only entity ids whose member set or
@@ -944,7 +987,7 @@ def merge_triples_incremental(
     touched_surf = (
         adopt.unionByName(delta_counts.select("surface"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     changed_eids = (
         state.resolved.join(F.broadcast(touched_surf), "surface", "left_semi")
@@ -955,7 +998,7 @@ def merge_triples_incremental(
             ).select("entity_id")
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     vertices = (
         state.vertices.join(
@@ -969,7 +1012,7 @@ def merge_triples_incremental(
                 F.sum("n_mentions").alias("n_mentions"),
             )
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     # ── 7. edge splice: drop changed docs' edges and edges touching a
@@ -1000,7 +1043,7 @@ def merge_triples_incremental(
         .filter(F.col("_h1").isNotNull() | F.col("_h2").isNotNull())
         .select(*delta_triples.columns)
     )
-    need = surv_touched.unionByName(delta_triples).localCheckpoint()
+    need = surv_touched.unionByName(delta_triples).localCheckpoint(eager=False)
     need_surf = (
         need.select(F.col("subj").alias("surface"))
         .unionByName(need.select(F.col("obj").alias("surface")))
@@ -1010,27 +1053,30 @@ def merge_triples_incremental(
     lookup = (
         resolved2.join(F.broadcast(need_surf), "surface", "left_semi")
         .select("surface", "entity_id")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     new_edges = _edge_join(need, F.broadcast(lookup), keep_surfaces=True)
-    edges_full = surviving_edges.unionByName(new_edges).localCheckpoint()
+    edges_full = surviving_edges.unionByName(new_edges).localCheckpoint(eager=False)
 
+    count_frames = {
+        "changed_docs": changed,
+        "delta_triples": delta_triples,
+        "new_surfaces": brand_new,
+        "removed_surfaces": removed_s,
+        "affected_surfaces": adopt,
+        "context_surfaces": affected,
+        "rep_changed_surfaces": rep_changed,
+    }
+    if capped:
+        count_frames["seed_bands_active"] = seed_bands
+        count_frames["seed_bands_total"] = seed_bands_all
     stats = {
         "mode": "incremental",
         "fallback": False,
         "expand_iters": expand_iters,
-        "changed_docs": changed.count(),
-        "delta_triples": delta_triples.count(),
-        "new_surfaces": brand_new.count(),
-        "removed_surfaces": removed_s.count(),
-        "affected_surfaces": adopt.count(),
-        "context_surfaces": affected.count(),
         "influence_bounded": influence_bounded,
-        "rep_changed_surfaces": rep_changed.count(),
+        **_counts_one_job(count_frames),
     }
-    if capped:
-        stats["seed_bands_active"] = seed_bands.count()
-        stats["seed_bands_total"] = seed_bands_all.count()
     return CanonState(
         merged,
         resolved2,

@@ -128,8 +128,11 @@ def main() -> int:
     triples = synth_triples(spark, args.docs).localCheckpoint()
     n_triples = triples.count()
 
+    # .materialize(): the state tables are lazily checkpointed (r5) —
+    # force them inside the timed region so cold_sec measures the build,
+    # not the first batch's incidental materialization
     t0 = time.perf_counter()
-    state = canonicalize_state(triples, max_bucket=args.max_bucket)
+    state = canonicalize_state(triples, max_bucket=args.max_bucket).materialize()
     cold_sec = round(time.perf_counter() - t0, 1)
     n_surfaces = state.resolved.count()
 
@@ -145,7 +148,7 @@ def main() -> int:
         full_sec = round(time.perf_counter() - t0, 1)
 
         t0 = time.perf_counter()
-        st2 = merge_triples_incremental(state, delta)
+        st2 = merge_triples_incremental(state, delta).materialize()
         incr_sec = round(time.perf_counter() - t0, 1)
         incr_counts = (st2.vertices.count(), st2.edges_full.count())
 
