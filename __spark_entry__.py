@@ -2556,7 +2556,7 @@ def _minhash_sql(k: int = 4) -> str:
     toks = _TOKENS.format(c="text")
     sh = _SHINGLES3.format(t="toks")
     sigs = ", ".join(
-        f"list_min(list_transform(sh, s -> md5('{i}|' || s))) as m{i}"
+        f"list_min(list_transform(sh, s -> substring(md5('{i // 4}|' || s), {8 * (i % 4) + 1}, 8))) as m{i}"
         for i in range(k)
     )
     return f"""
@@ -2577,7 +2577,7 @@ def _minhash_verified_sql(k: int = 4, threshold_e4: int = 5000) -> str:
     toks = _TOKENS.format(c="text")
     sh = _SHINGLES3.format(t="toks")
     sigs = ", ".join(
-        f"list_min(list_transform(sh, s -> md5('{i}|' || s))) as m{i}"
+        f"list_min(list_transform(sh, s -> substring(md5('{i // 4}|' || s), {8 * (i % 4) + 1}, 8))) as m{i}"
         for i in range(k)
     )
     return f"""
@@ -3324,7 +3324,7 @@ def _entity_link_sql() -> str:
         "i -> substring(p, cast(i as int), 3)))"
     )
     m_cols = ",\n      ".join(
-        f"list_min(list_transform(sh, s -> md5('{i}|' || s))) as m{i}"
+        f"list_min(list_transform(sh, s -> substring(md5('{i // 4}|' || s), {8 * (i % 4) + 1}, 8))) as m{i}"
         for i in range(8)
     )
     mbands = "\n    union all ".join(
@@ -5345,12 +5345,12 @@ cliques as materialized (
 def _canon_rep_ctes(trips_rel: str) -> str:
     """Generic CTE block: an independent DuckDB re-implementation of
     stages.canonicalize's LSH clustering (minhash = lexicographic min of
-    md5 hex; 8 hashes, 4 bands × 2 rows, 2 label-propagation passes)
+    md5-lane hex; 8 lanes from 2 md5s, 4 bands × 2 rows, 2 label-propagation passes)
     over a relation ``{trips_rel}(…, subj, obj, …)`` already in scope.
     Emits ``surfaces(surface, n_mentions, norm)`` and
     ``rep2(surface, lsh_rep)``."""
     m_cols = ",\n    ".join(
-        f"list_min(list_transform(shingles, s -> md5('{i}|' || s))) as m{i}"
+        f"list_min(list_transform(shingles, s -> substring(md5('{i // 4}|' || s), {8 * (i % 4) + 1}, 8))) as m{i}"
         for i in range(8)
     )
     bands = "\n  union all ".join(
@@ -5786,7 +5786,7 @@ def _docee_vertices_verified_sql() -> str:
     assert base.lstrip().startswith("with ")
     base = base.replace("with ", "with recursive ", 1)
     m_cols = ",\n    ".join(
-        f"list_min(list_transform(shingles, s -> md5('{i}|' || s))) as m{i}"
+        f"list_min(list_transform(shingles, s -> substring(md5('{i // 4}|' || s), {8 * (i % 4) + 1}, 8))) as m{i}"
         for i in range(8)
     )
     vbands = "\n  union all ".join(

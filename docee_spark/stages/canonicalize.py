@@ -13,10 +13,13 @@ all documents are canonicalized by
      dictionary wins over LSH clusters (broadcast hash join, no shuffle on
      the big side).
 
-Everything is built-in expressions: the MinHash signature is
-``array_min(transform(shingles, s -> md5(seed || s)))`` — lexicographic min
-of md5 hex digests, k independent permutations via k seeds. JVM-side,
-codegen'd, and byte-identical to the DuckDB oracle formulation.
+Everything is built-in expressions: the MinHash signature is k
+lexicographic-min 32-bit hex lanes, four lanes per md5 (lane i =
+``min(substring(md5((i//4) || '|' || s), 8*(i%4)+1, 8))`` — the same
+one-hash/k-lanes derivation as the HLL/CM sketches, so k=8 costs 2
+hashes per shingle). JVM-side, codegen'd on the hot path
+(``_membership_for`` hashes each shingle once), and byte-identical to
+the DuckDB oracle formulation.
 """
 
 from __future__ import annotations
@@ -43,13 +46,25 @@ def shingles(col: Column, n: int = 3) -> Column:
 
 
 def minhash_cols(shingle_col: Column, k: int = 8) -> list[Column]:
-    """k md5-min hashes (hex strings) of the shingle set, as separate
-    columns — never index a signature array with element_at (projection
-    collapse re-evaluates the array per reference; measured 10× blowup)."""
-    return [
-        F.array_min(
-            F.transform(shingle_col, lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))
+    """k MinHash lanes (8-hex-char strings) as separate columns — never
+    index a signature array with element_at (projection collapse
+    re-evaluates the array per reference; measured 10× blowup).
+
+    Lane spec — identical to ``operators.dedup.minhash_cols`` and every
+    generated DuckDB oracle: lane i = min over shingles of
+    ``substring(md5(concat(i//4, '|', s)), 8*(i%4)+1, 8)``; one md5 feeds
+    four 32-bit lanes, so k=8 costs 2 hashes per shingle instead of 8.
+    Hot batch paths go through ``_membership_for``, which hashes each
+    shingle exactly once in whole-stage codegen."""
+    def _lane(g: int, off: int):
+        # one-arg lambda via closure: PySpark would turn default-arg
+        # bindings into extra lambda variables
+        return lambda s: F.substring(
+            F.md5(F.concat(F.lit(f"{g}|"), s)), off, 8
         )
+
+    return [
+        F.array_min(F.transform(shingle_col, _lane(i // 4, 8 * (i % 4) + 1)))
         for i in range(k)
     ]
 
@@ -98,9 +113,10 @@ def _membership_for(df: DataFrame, k: int, bands: int) -> DataFrame:
     membership rows are immutable — the property the incremental merge
     relies on to reuse stored membership verbatim."""
     rows = max(1, k // bands)
-    mh = minhash_cols(shingles(F.col("norm")), k=k)
-    sigd = df.select(
-        "surface", "norm", *[m.alias(f"m{i}") for i, m in enumerate(mh)]
+    from ..operators.dedup import minhash_sig_frame
+
+    sigd = minhash_sig_frame(
+        df.select("surface", "norm"), ["surface", "norm"], shingles(F.col("norm")), k
     )
     return sigd.withColumn("band", F.explode(band_keys(bands, rows))).select(
         "surface", "norm", "band"
