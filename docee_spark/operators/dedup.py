@@ -761,12 +761,15 @@ def duplicate_clusters(
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
     )
-    edges = edges.localCheckpoint()
+    # lazy checkpoints: same lineage cap and compute-once reuse, but the
+    # materialization fuses into each pass's convergence-count job
+    # instead of running as its own serialized driver-blocking job
+    edges = edges.localCheckpoint(eager=False)
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iters):
         nbr_min = (
@@ -799,7 +802,7 @@ def duplicate_clusters(
                 "label", F.coalesce("label_label", F.col("label"))
             ).alias("label"),
         )
-        new_labels = flat.localCheckpoint()
+        new_labels = flat.localCheckpoint(eager=False)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
