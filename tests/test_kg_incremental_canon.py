@@ -14,6 +14,11 @@ Fixture surfaces were chosen empirically so the scenarios genuinely
 exercise the claimed topology (k=8, bands=4, rows=2 band collisions):
 X ~ B and B ~ Y collide but X !~ Y (B is a true bridge); AEN collides
 with the ZEN cluster and sorts before its current representative.
+Collisions are hash-derivation-specific: these surfaces were re-searched
+for the one-md5-four-lanes derivation (lane i = substring(md5((i//4)|s),
+8*(i%4)+1, 8)) when it replaced one-md5-per-lane; any future lane-spec
+change must re-search them (tools: replicate minhash_cols in pure
+Python over distinct 3-gram shingles and test band-key intersection).
 """
 
 from __future__ import annotations
@@ -32,9 +37,9 @@ pytestmark = pytest.mark.slow
 
 COLS = "doc_id long, event_type string, recguid long, subj string, pred string, obj string"
 
-X = "alpha beta gamma delta epsilon zeta"
-B = "gamma delta epsilon zeta eta theta"  # bridges X and Y
-Y = "delta epsilon zeta eta theta iota"
+X = "psi vector xi neutron iota tau"
+B = "xi neutron iota tau matrix eta"  # bridges X and Y
+Y = "neutron iota tau matrix eta rho"
 ZEN = "zenith quantum holdings group"
 ZEN2 = "zenith quantum holdings groupx"
 AEN = "aenith quantum holdings group"  # collides with ZEN*, sorts first
@@ -297,8 +302,14 @@ class TestBucketCaps:
     """max_bucket: over-cap hub buckets are dropped deterministically in
     cold and incremental alike; cap ACTIVATION (bucket shrinks to ≤ cap)
     and DEACTIVATION (bucket grows past it) splice exactly. The suffix
-    family F+str(i) mutually collides on all 4 bands, so the family size
-    IS the bucket size — crossing the cap flips the whole cluster."""
+    family F+str(i) shares all 4 band keys for i ≤ 4 and "zz" (verified
+    under the one-md5-four-lanes derivation), so for the ≤6-member cap
+    scenarios the family size IS the bucket size — crossing the cap
+    flips the whole cluster. Larger-i members may additionally land a
+    private band off a suffix shingle; the 30-member hub test's asserts
+    (zz singleton, seeds inactive, small affected region) hold because
+    every shared bucket is far over cap and private buckets are
+    singleton or near-singleton."""
 
     FAM = "acme corporation limited shanghai branch"
 
@@ -406,8 +417,8 @@ class TestBucketCaps:
 
 
 _CHAIN_WORDS = (
-    "amber birch cedar dogwood acorn fir ginkgo hazel ironwood "
-    "juniper katsura larch maple nutmeg oak pecan"
+    "alder nutmeg cherry mulberry acacia basswood ginkgo locust "
+    "magnolia sassafras elm willow yew oak buckeye hemlock"
 ).split()
 _CHAIN_SURFACES = [" ".join(_CHAIN_WORDS[2 * i : 2 * i + 6]) for i in range(6)]
 
@@ -426,8 +437,8 @@ class TestBoundedInfluence:
     horizon, proving splice-through of untouched labels."""
 
     CHAIN = _CHAIN_SURFACES
-    C0 = "amber birch cedar zulu acorn fir"  # collides with CHAIN[0] only, sorts high
-    CMIN = "aaber birch cedar zulu acorn fir"  # ditto, sorts below everything
+    C0 = "alder nutmeg cherry zulu acacia basswood"  # collides with CHAIN[0] only, sorts high
+    CMIN = "aader nutmeg cherry zulu acacia basswood"  # ditto, sorts below everything
 
     def _old(self, spark):
         return _t(
