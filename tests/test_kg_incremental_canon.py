@@ -17,8 +17,9 @@ with the ZEN cluster and sorts before its current representative.
 Collisions are hash-derivation-specific: these surfaces were re-searched
 for the one-md5-four-lanes derivation (lane i = substring(md5((i//4)|s),
 8*(i%4)+1, 8)) when it replaced one-md5-per-lane; any future lane-spec
-change must re-search them (tools: replicate minhash_cols in pure
-Python over distinct 3-gram shingles and test band-key intersection).
+change must re-search them with tools/band_fixture_search.py (verify /
+replica / xby / chain modes — the replica is asserted lane-identical to
+minhash_sig_frame before searching).
 """
 
 from __future__ import annotations
