@@ -584,6 +584,27 @@ def q_decontaminate(spark, sf):
     )
 
 
+def q_decontaminate_bloom(spark, sf):
+    """Bloom-compressed decontamination (r5): same %50 eval split and
+    3-gram grammar as `decontaminate`, but the eval-gram set is folded
+    into a 2¹⁶-bit Bloom literal so corpus scoring is map-only — zero
+    joins, zero shuffle (plan-asserted in tests/test_plans.py). The
+    oracle re-derives membership from the set-bit position set
+    relationally; md5-lane determinism makes even false positives
+    bit-identical across engines."""
+    from pyspark.sql import functions as F
+
+    from docee_spark.operators.dedup import decontaminate_bloom
+
+    docs = _read(spark, sf, "documents")
+    return decontaminate_bloom(
+        docs.where(F.col("doc_id") % 50 != 0),
+        docs.where(F.col("doc_id") % 50 == 0),
+        n=3,
+        m_bits=1 << 16,
+    )
+
+
 def q_stratified_sample(spark, sf):
     """Quality-weighted deterministic downsampling: per-lang keep rates
     applied through md5-hash selection (reproducible under retries and
@@ -2381,7 +2402,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_links": q_extract_links,
         "repetition": q_repetition,
         "c4_filters": q_c4_filters,
-        "vocab_topk": q_vocab_topk,
+        # r5-new: Bloom-compressed decontamination — map-only corpus
+        # scoring (zero joins/shuffles), the 100 TB sibling of
+        # `decontaminate` below; in-window so the driver hash-checks
+        # the new path in its only eligible round. Slot yielded by
+        # vocab_topk (green r4; its token-explode+agg shape stays
+        # in-window via hll_tokens and bm25, and keywords in the tail).
+        "decontaminate_bloom": q_decontaminate_bloom,
         "host_filter": q_host_filter,
         "triangles": q_triangles,
         "dedup_clusters": q_dedup_clusters,
@@ -2439,6 +2466,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "mixture_cap": q_mixture_cap,
         # ---- end of the 50-entry driver-recorded window ----
+        # vocab_topk — green r4; yielded its slot to decontaminate_bloom
+        # (r5-new, never recorded); its token-explode+agg shape keeps
+        # in-window coverage via hll_tokens and bm25
+        "vocab_topk": q_vocab_topk,
         # evidence-saturated demotions (green >=2 prior driver rounds,
         # code unchanged; see the policy comment above)
         "langid": q_langid,
@@ -2903,6 +2934,35 @@ select corp.doc_id,
        cast(coalesce(hits.n, 0) as bigint) as n_contaminated,
        cast(case when coalesce(hits.n, 0) > 0 then 1 else 0 end as int)
          as contaminated
+from corp left join hits on hits.doc_id = corp.doc_id
+""".format(g=_ngram_list_sql("toks", n))
+
+
+def _decontaminate_bloom_sql(n: int = 3, mod: int = 50, m: int = 1 << 16) -> str:
+    """The Bloom variant re-derived WITHOUT the bit-array literal: a
+    gram is a Bloom hit iff all four of its md5-lane positions (mod m)
+    appear in the distinct position set of the eval grams — exactly the
+    membership the engine's literal encodes, derived relationally, so
+    false positives reproduce bit-identically."""
+    toks = _TOKENS.format(c="text")
+    lanes = "cross join (select unnest([0, 1, 2, 3]) as j) lanes"
+    pos = f"cast(('0x' || substring(md5(g), 8 * j + 1, 8)) as bigint) % {m}"
+    return f"""
+with t as (select doc_id, {toks} as toks from documents),
+dg as (select doc_id, list_distinct({{g}}) as grams from t),
+ev as (select distinct unnest(grams) as g from dg where doc_id % {mod} = 0),
+pos as (select distinct {pos} as p from ev {lanes}),
+corp as (select doc_id, grams from dg where doc_id % {mod} != 0),
+cg as (select doc_id, unnest(grams) as g from corp),
+cp as (select doc_id, g, {pos} as p from cg {lanes}),
+hitg as (select doc_id, g from cp join pos using (p)
+         group by doc_id, g having count(*) = 4),
+hits as (select doc_id, count(*) as nh from hitg group by doc_id)
+select corp.doc_id,
+       cast(len(corp.grams) as bigint) as n_grams,
+       cast(coalesce(hits.nh, 0) as bigint) as n_bloom_hits,
+       cast(case when coalesce(hits.nh, 0) > 0 then 1 else 0 end as int)
+         as flagged
 from corp left join hits on hits.doc_id = corp.doc_id
 """.format(g=_ngram_list_sql("toks", n))
 
@@ -6339,6 +6399,7 @@ from documents group by 1
         "lm_surprisal": _lm_surprisal_sql(),
         "pii_scrub": _pii_sql(),
         "decontaminate": _decontaminate_sql(),
+        "decontaminate_bloom": _decontaminate_bloom_sql(),
         "stratified_sample": _stratified_sample_sql(),
         "mixture_cap": _mixture_cap_sql(),
         "dedup_ngram": _ngram_sql(),

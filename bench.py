@@ -59,6 +59,9 @@ HEADLINE = [
     "dedup_embed",
     "dedup_semantic",
     "decontaminate",
+    # r5: the map-only Bloom variant — timed next to the broadcast-join
+    # formulation it replaces at scale
+    "decontaminate_bloom",
     "pii_scrub",
     "dsir",
     "extract_links",

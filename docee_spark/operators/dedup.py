@@ -927,6 +927,114 @@ def decontaminate(
     )
 
 
+BLOOM_K = 4  # one md5 digest = four disjoint 32-bit lanes (minhash_cols' derivation)
+
+
+def _bloom_positions(gram: Column, m_bits: int) -> list[Column]:
+    """The gram's ``BLOOM_K`` Bloom bit positions: the four disjoint
+    32-bit hex lanes of ONE md5, each reduced mod ``m_bits`` — the same
+    one-digest/four-lane trick as ``minhash_cols`` (lanes of a strong
+    digest are independent), and the same Spark↔DuckDB portable
+    ``conv(substring(md5 ...), 16, 10)`` arithmetic as ``hash_sample``."""
+    digest = F.md5(gram)
+    return [
+        (F.conv(F.substring(digest, 8 * j + 1, 8), 16, 10).cast("long") % m_bits)
+        for j in range(BLOOM_K)
+    ]
+
+
+def bloom_bits(
+    eval_df: DataFrame,
+    n: int = 13,
+    m_bits: int = 1 << 20,
+    text_col: str = "text",
+) -> str:
+    """Compress an eval suite's distinct word n-grams into a Bloom bit
+    array, returned as a ``'0'``/``'1'`` string of length ``m_bits``.
+
+    The only driver-side materialization is the set of SET bit
+    positions — bounded by the CONSTANT ``m_bits`` regardless of eval
+    size (this is filter *construction* over the tiny eval side, not a
+    corpus collect; same inherent-and-bounded shape as BPE's per-round
+    top-1)."""
+    from .textstats import token_ngrams, tokens
+
+    grams = (
+        ensure_parallelism(eval_df)
+        .select(
+            F.explode(
+                F.array_distinct(token_ngrams(tokens(F.col(text_col)), n))
+            ).alias("g")
+        )
+        .distinct()
+    )
+    pos = (
+        grams.select(
+            F.explode(F.array(*_bloom_positions(F.col("g"), m_bits))).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    bits = ["0"] * m_bits
+    for r in pos:
+        bits[r["p"]] = "1"
+    return "".join(bits)
+
+
+def decontaminate_bloom(
+    df: DataFrame,
+    eval_df: DataFrame,
+    n: int = 13,
+    m_bits: int = 1 << 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """``decontaminate``'s 100 TB fast path: identical flag semantics,
+    but the broadcast eval-gram SET is replaced by a constant-size Bloom
+    bit array embedded as one literal — corpus scoring becomes pure
+    map-side expression work with NO join and NO shuffle of any kind
+    (plan-asserted), where even the broadcast-join formulation still
+    pays an exchange-free but hashtable-probing join per gram.
+
+    Error is one-sided and safe for decontamination: a clean document
+    may be flagged (per-gram false-positive ≈ (1−e^{−k·|eval|/m})^k,
+    k = ``BLOOM_K``), a contaminated one is NEVER missed — flagged is a
+    superset of ``decontaminate``'s contaminated (recall 1.0, pinned by
+    pytest). Size ``m_bits ≈ 20×`` the distinct eval-gram count for
+    ~0.2% per-gram fp; the default 2²⁰ bits (1 MiB literal) covers a
+    ~50k-gram suite at <1e-5. Deterministic: both engines derive the
+    same positions from the same md5 lanes, so false positives
+    themselves reproduce bit-identically (the DuckDB oracle re-derives
+    membership from the position set relationally).
+
+    → ``(doc_id, n_grams, n_bloom_hits, flagged)`` — the
+    ``decontaminate`` spine with Bloom-filter hits."""
+    from .textstats import token_ngrams, tokens
+
+    blit = F.lit(bloom_bits(eval_df, n=n, m_bits=m_bits, text_col=text_col))
+
+    def hit(g: Column) -> Column:
+        conds = [
+            F.substring(blit, (p + 1).cast("int"), 1) == "1"
+            for p in _bloom_positions(g, m_bits)
+        ]
+        out = conds[0]
+        for c in conds[1:]:
+            out = out & c
+        return out
+
+    grams = F.array_distinct(token_ngrams(tokens(F.col(text_col)), n))
+    return (
+        ensure_parallelism(df)
+        .select("doc_id", grams.alias("grams"))
+        .select(
+            "doc_id",
+            F.size("grams").cast("long").alias("n_grams"),
+            F.size(F.filter("grams", hit)).cast("long").alias("n_bloom_hits"),
+        )
+        .withColumn("flagged", (F.col("n_bloom_hits") > 0).cast("int"))
+    )
+
+
 def chunk_dedup(
     df: DataFrame,
     text_col: str = "text",

@@ -345,6 +345,11 @@ def test_query_registry_invariants():
         "docee_triples_model_edag",
         # green-r3 demotions from the r4.2 session
         "embed_lsh_topk_mp", "multimodal_features",
+        # r5: yielded its window slot to decontaminate_bloom (the new
+        # map-only Bloom decontamination path, which would otherwise
+        # never get a driver row) — green r4, shape covered in-window
+        # by hll_tokens/bm25 and in this tail by keywords
+        "vocab_topk",
         # r5 demotions: green in >=2 driver rounds; their slots went to
         # the 18 never-driver-recorded entries (see queries() policy)
         "embed_ivf_topk",            # green r2+r3+r4
@@ -398,8 +403,8 @@ def test_query_registry_invariants():
         "triangles", "collocations", "recrawl_churn", "dedup_clusters",
         "dedup_chunks", "decontaminate", "pii_scrub",
         "hll_tokens", "bm25",
-        # r5-new operator: its only chance at a driver row
-        "kg_incremental_state",
+        # r5-new operators: their only chance at a driver row
+        "kg_incremental_state", "decontaminate_bloom",
     } <= window
 
 

@@ -673,6 +673,86 @@ class TestDecontaminate:
         assert explained.count("BroadcastHashJoin") >= 2
 
 
+class TestDecontaminateBloom:
+    def test_exact_at_low_load_and_superset_always(self, spark):
+        """At generous m the Bloom answer equals the exact one; at ANY m
+        flagged must be a superset of contaminated (one-sided error)."""
+        from docee_spark.operators.dedup import decontaminate, decontaminate_bloom
+
+        evald = spark.createDataFrame(
+            [(100, "the quick brown fox jumps")], "doc_id long, text string"
+        )
+        corpus = spark.createDataFrame(
+            [
+                (1, "copy of the quick brown fox here"),
+                (2, "completely unrelated text tokens"),
+                (3, "quick brown fox appears again"),
+                (4, "fox the brown quick"),
+            ],
+            "doc_id long, text string",
+        )
+        exact = {
+            r["doc_id"]: r for r in decontaminate(corpus, evald, n=3).collect()
+        }
+        generous = {
+            r["doc_id"]: r
+            for r in decontaminate_bloom(
+                corpus, evald, n=3, m_bits=1 << 16
+            ).collect()
+        }
+        for d, x in exact.items():
+            assert generous[d]["n_grams"] == x["n_grams"]
+            assert generous[d]["n_bloom_hits"] == x["n_contaminated"]
+            assert generous[d]["flagged"] == x["contaminated"]
+        # tiny filter → saturated → false positives allowed, misses never
+        for m in (16, 64):
+            tiny = {
+                r["doc_id"]: r
+                for r in decontaminate_bloom(
+                    corpus, evald, n=3, m_bits=m
+                ).collect()
+            }
+            for d, x in exact.items():
+                assert tiny[d]["n_bloom_hits"] >= x["n_contaminated"]
+                assert tiny[d]["flagged"] >= x["contaminated"]
+
+    def test_deterministic_across_runs(self, spark):
+        """False positives come from md5 lanes, not a seeded RNG — two
+        independent builds produce byte-identical outputs."""
+        from docee_spark.operators.dedup import decontaminate_bloom
+
+        evald = spark.createDataFrame(
+            [(9, "a b c d e f g h")], "doc_id long, text string"
+        )
+        corpus = spark.createDataFrame(
+            [(i, f"w{i} x{i} a b c y{i} z{i}") for i in range(20)],
+            "doc_id long, text string",
+        )
+        a = sorted(
+            map(tuple, decontaminate_bloom(corpus, evald, n=3, m_bits=32).collect())
+        )
+        b = sorted(
+            map(tuple, decontaminate_bloom(corpus, evald, n=3, m_bits=32).collect())
+        )
+        assert a == b
+
+    def test_scoring_plan_is_map_only(self, spark):
+        """The whole point vs `decontaminate`: corpus scoring carries NO
+        join and NO exchange of any kind — one literal, pure codegen."""
+        from docee_spark.operators.dedup import decontaminate_bloom
+
+        evald = spark.createDataFrame([(9, "a b c d")], "doc_id long, text string")
+        corpus = spark.createDataFrame(
+            [(1, "a b c d e")], "doc_id long, text string"
+        )
+        df = decontaminate_bloom(corpus, evald, n=3, m_bits=1 << 10)
+        explained = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "Join" not in explained
+        assert "Exchange" not in explained
+
+
 class TestSampling:
     def test_hash_sample_deterministic_and_monotone(self, spark):
         from docee_spark.operators.sampling import hash_sample
