@@ -882,6 +882,7 @@ def decontaminate(
     eval_df: DataFrame,
     n: int = 13,
     text_col: str = "text",
+    prefilter_m_bits: int | None = None,
 ) -> DataFrame:
     """Benchmark decontamination (the GPT-3/Pile rule): flag corpus
     documents that share any word ``n``-gram with an evaluation set
@@ -897,7 +898,18 @@ def decontaminate(
     ONLY matches, the per-doc match count groups a near-empty stream,
     and the counts join back to the corpus spine as a second broadcast
     (contaminated docs are rare by construction). The corpus itself
-    never shuffles — both joins are map-side."""
+    never shuffles — both joins are map-side.
+
+    ``prefilter_m_bits`` composes the Bloom path EXACTNESS-PRESERVING:
+    the dominant per-row cost above is the gram explode feeding the
+    hash join (≈ one row per corpus token); with a Bloom prefilter of
+    that many bits, only docs with at least one Bloom-hit gram (true
+    matches + the ~(1−e^{−k·|eval|/m})^k false-positive sliver) explode
+    at all — the rest short-circuit on a map-side `exists` over the
+    gram array. Bloom misses are impossible, so the exact join then
+    removes exactly the false positives: output is row-identical to the
+    plain path (pinned by pytest), only the explode volume shrinks from
+    O(corpus tokens) to O(flagged-doc tokens)."""
     from .textstats import token_ngrams, tokens
 
     def grams(col):
@@ -911,8 +923,25 @@ def decontaminate(
     base = ensure_parallelism(df).select(
         "doc_id", grams(text_col).alias("grams")
     )
+    suspect = base
+    if prefilter_m_bits is not None:
+        blit = F.lit(
+            bloom_bits(eval_df, n=n, m_bits=prefilter_m_bits, text_col=text_col)
+        )
+
+        def bloom_hit(g: Column) -> Column:
+            conds = [
+                F.substring(blit, (p + 1).cast("int"), 1) == "1"
+                for p in _bloom_positions(g, prefilter_m_bits)
+            ]
+            out = conds[0]
+            for c in conds[1:]:
+                out = out & c
+            return out
+
+        suspect = base.where(F.exists("grams", bloom_hit))
     hits = (
-        base.select("doc_id", F.explode("grams").alias("g"))
+        suspect.select("doc_id", F.explode("grams").alias("g"))
         .join(F.broadcast(eval_grams), "g")
         .groupBy("doc_id")
         .agg(F.count("*").cast("long").alias("n_contaminated"))

@@ -28,7 +28,9 @@ gates first so expensive stages see fewer rows):
 
 Scale notes: clean/quality/pii are map-only against the scan (quality is
 a single projection — no flag-frame joins); the dedup stages shuffle
-only fingerprints/candidates; decontaminate broadcasts the eval grams;
+only fingerprints/candidates; decontaminate Bloom-prefilters map-side so
+only flagged docs explode into the broadcast eval-gram join (exactness
+preserved — misses impossible, false positives removed by the join);
 the corpus itself crosses an exchange exactly where run_pipeline's
 tagger needs its length-bucketed batches.
 """
@@ -206,6 +208,7 @@ def run_refinery(
     n_partitions: int | None = None,
     use_html: bool = False,
     decontam_n: int = 13,
+    decontam_prefilter_m_bits: int | None = 1 << 20,
     jaccard_threshold_e4: int = 5000,
     agent: str = "*",
     rank_iters: int = 8,
@@ -340,7 +343,16 @@ def run_refinery(
 
         def build_decontam(obs: Observation | None) -> DataFrame:
             contaminated = _observe(
-                decontaminate(near, eval_df, n=decontam_n)
+                decontaminate(
+                    near,
+                    eval_df,
+                    n=decontam_n,
+                    # Bloom prefilter: only docs with a Bloom-hit gram
+                    # explode into the exact join — output identical
+                    # (misses impossible; fps removed by the join), the
+                    # O(corpus-tokens) explode shrinks to flagged docs
+                    prefilter_m_bits=decontam_prefilter_m_bits,
+                )
                 .filter(F.col("contaminated") == 1)
                 .select("doc_id"),
                 obs,

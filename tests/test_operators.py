@@ -673,6 +673,61 @@ class TestDecontaminate:
         assert explained.count("BroadcastHashJoin") >= 2
 
 
+class TestDecontaminatePrefilter:
+    def test_prefiltered_row_identical_to_plain(self, spark):
+        """prefilter_m_bits must never change the answer: at saturating
+        m (=8, nearly every gram a Bloom fp) the exact join still
+        removes every false positive; at generous m the prefilter is a
+        pure volume cut. Row-identical in both regimes."""
+        from docee_spark.operators.dedup import decontaminate
+
+        evald = spark.createDataFrame(
+            [(100, "the quick brown fox jumps"), (101, "a b c d")],
+            "doc_id long, text string",
+        )
+        corpus = spark.createDataFrame(
+            [
+                (1, "copy of the quick brown fox here"),
+                (2, "completely unrelated text tokens"),
+                (3, "quick brown fox appears again"),
+                (4, "fox the brown quick"),
+                (5, "x y a b c d z"),
+                (6, "a b"),
+            ],
+            "doc_id long, text string",
+        )
+        plain = sorted(
+            map(tuple, decontaminate(corpus, evald, n=3).collect())
+        )
+        for m in (8, 1 << 16):
+            pre = sorted(
+                map(
+                    tuple,
+                    decontaminate(
+                        corpus, evald, n=3, prefilter_m_bits=m
+                    ).collect(),
+                )
+            )
+            assert pre == plain, m
+
+    def test_prefilter_keeps_broadcast_shape(self, spark):
+        """The prefilter adds a map-side exists() filter, nothing else:
+        still 2× BroadcastHashJoin, still no corpus exchange."""
+        from docee_spark.operators.dedup import decontaminate
+
+        evald = spark.createDataFrame([(9, "a b c d")], "doc_id long, text string")
+        corpus = spark.createDataFrame(
+            [(1, "a b c d e")], "doc_id long, text string"
+        )
+        df = decontaminate(corpus, evald, n=3, prefilter_m_bits=1 << 10)
+        explained = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert explained.count("BroadcastHashJoin") >= 2
+        assert "SortMergeJoin" not in explained
+        assert "Exchange hashpartitioning" not in explained
+
+
 class TestDecontaminateBloom:
     def test_exact_at_low_load_and_superset_always(self, spark):
         """At generous m the Bloom answer equals the exact one; at ANY m
