@@ -286,3 +286,38 @@ def streaming_exact_dedup(
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["fingerprint"])
     )
+
+
+def streaming_decontaminate(
+    stream: DataFrame,
+    eval_df: DataFrame,
+    n: int = 13,
+    m_bits: int = 1 << 20,
+    id_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination ON the stream: the Bloom literal
+    (``dedup.decontaminate_bloom``) turns the GPT-3/Pile gram-overlap
+    check into a STATELESS map-side projection — no state store, no
+    watermark, no stream-static join (the broadcast-set formulation
+    would re-probe a stream-static join every micro-batch; the literal
+    resolves once at plan time from the static eval side). Works under
+    any output mode and composes before/after the stateful operators.
+
+    Same one-sided error as the batch Bloom path: flagged is a superset
+    of truly contaminated — route flagged docs to the exact batch check
+    at compaction time if fp-free drops are required (the standard
+    streaming-ingest + batch-compaction split, as in
+    ``streaming_exact_dedup``).
+
+    → ``(id_col, n_grams, n_bloom_hits, flagged)``."""
+    from ..operators.dedup import decontaminate_bloom
+
+    flagged = decontaminate_bloom(
+        stream.withColumn("doc_id", F.col(id_col)),
+        eval_df,
+        n=n,
+        m_bits=m_bits,
+        text_col=text_col,
+    )
+    return flagged.withColumnRenamed("doc_id", id_col)

@@ -490,3 +490,62 @@ class TestStreamingExactDedup:
         # one row per distinct normalized content, first-seen url kept
         assert [r["url"] for r in got] == ["u1", "u4"]
         assert len({r["fingerprint"] for r in got}) == 2
+
+
+class TestStreamingDecontaminate:
+    def test_stateless_plan_and_batch_parity(self, spark, tmp_path):
+        """The Bloom literal makes stream-time decontamination a pure
+        projection: the streaming plan must carry NO stateful operator
+        and NO stream-static join, and per-row output must equal the
+        batch decontaminate_bloom on the same rows."""
+        from datetime import datetime
+
+        from docee_spark.operators.dedup import decontaminate_bloom
+        from docee_spark.schema import WEBTEXT
+        from docee_spark.streaming.incremental import (
+            stream_webtext,
+            streaming_decontaminate,
+        )
+
+        t0 = datetime(2024, 1, 1, 12, 0, 0)
+        rows = [
+            ("u1", t0, None, "copy of the quick brown fox here", "en"),
+            ("u2", t0, None, "completely unrelated text tokens", "en"),
+            ("u3", t0, None, "quick brown fox appears again", "en"),
+        ]
+        src = str(tmp_path / "decon_src")
+        spark.createDataFrame(rows, WEBTEXT).coalesce(1).write.parquet(src)
+        evald = spark.createDataFrame(
+            [(100, "the quick brown fox jumps")], "doc_id long, text string"
+        )
+
+        flagged = streaming_decontaminate(
+            stream_webtext(spark, src), evald, n=3, m_bits=1 << 14
+        )
+        plan = flagged._jdf.queryExecution().analyzed().toString()
+        for stateful in ("Deduplicate", "Join", "Aggregate", "FlatMapGroups"):
+            assert stateful not in plan, stateful
+
+        q = (
+            flagged.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("stream_decon")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["url"]: (r["n_grams"], r["n_bloom_hits"], r["flagged"])
+            for r in spark.sql("select * from stream_decon").collect()
+        }
+        batch = {
+            r["doc_id"]: (r["n_grams"], r["n_bloom_hits"], r["flagged"])
+            for r in decontaminate_bloom(
+                spark.read.parquet(src).withColumnRenamed("url", "doc_id"),
+                evald,
+                n=3,
+                m_bits=1 << 14,
+            ).collect()
+        }
+        assert got == batch
+        assert got["u1"][2] == 1 and got["u2"][2] == 0
