@@ -901,15 +901,21 @@ def decontaminate(
     never shuffles — both joins are map-side.
 
     ``prefilter_m_bits`` composes the Bloom path EXACTNESS-PRESERVING:
-    the dominant per-row cost above is the gram explode feeding the
-    hash join (≈ one row per corpus token); with a Bloom prefilter of
-    that many bits, only docs with at least one Bloom-hit gram (true
-    matches + the ~(1−e^{−k·|eval|/m})^k false-positive sliver) explode
-    at all — the rest short-circuit on a map-side `exists` over the
+    only docs with at least one Bloom-hit gram (true matches + the
+    ~(1−e^{−k·|eval|/m})^k false-positive sliver) explode into the join
+    at all — the rest short-circuit on a map-side ``exists`` over the
     gram array. Bloom misses are impossible, so the exact join then
     removes exactly the false positives: output is row-identical to the
-    plain path (pinned by pytest), only the explode volume shrinks from
-    O(corpus tokens) to O(flagged-doc tokens)."""
+    plain path (pinned by pytest at fixture scale AND 0 mismatches on a
+    1M-doc run). Measured HONESTLY at 1M short docs / 32 cores it is
+    cost-NEUTRAL (10.6 vs 10.8 s): the per-gram Bloom probe ≈ the
+    per-gram join probe it replaces, so skipping the explode for the
+    ~99% clean docs only pays off where the explode itself is the
+    bottleneck — long documents (gram rows ≫ input rows, spill
+    pressure) or an eval-gram set too large to broadcast as a join
+    hashtable while its Bloom compression still fits a literal. Use
+    ``decontaminate_bloom`` (3× faster, one-sided error) when exact
+    counts aren't required."""
     from .textstats import token_ngrams, tokens
 
     def grams(col):
@@ -925,14 +931,25 @@ def decontaminate(
     )
     suspect = base
     if prefilter_m_bits is not None:
+        # xxhash positions: the prefilter's correctness doesn't depend
+        # on WHICH hash sets the bits (the exact join below removes
+        # every false positive), so take the cheap JVM hash. BINARY
+        # literal, not string — string substring walks codepoints,
+        # O(position) per probe (see decontaminate_bloom's docstring)
         blit = F.lit(
-            bloom_bits(eval_df, n=n, m_bits=prefilter_m_bits, text_col=text_col)
+            bloom_bits(
+                eval_df,
+                n=n,
+                m_bits=prefilter_m_bits,
+                text_col=text_col,
+                hash_mode="xxhash",
+            ).encode("ascii")
         )
 
         def bloom_hit(g: Column) -> Column:
             conds = [
-                F.substring(blit, (p + 1).cast("int"), 1) == "1"
-                for p in _bloom_positions(g, prefilter_m_bits)
+                F.substring(blit, (p + 1).cast("int"), 1) == F.lit(b"1")
+                for p in _bloom_positions(g, prefilter_m_bits, "xxhash")
             ]
             out = conds[0]
             for c in conds[1:]:
@@ -959,12 +976,29 @@ def decontaminate(
 BLOOM_K = 4  # one md5 digest = four disjoint 32-bit lanes (minhash_cols' derivation)
 
 
-def _bloom_positions(gram: Column, m_bits: int) -> list[Column]:
-    """The gram's ``BLOOM_K`` Bloom bit positions: the four disjoint
-    32-bit hex lanes of ONE md5, each reduced mod ``m_bits`` — the same
-    one-digest/four-lane trick as ``minhash_cols`` (lanes of a strong
-    digest are independent), and the same Spark↔DuckDB portable
-    ``conv(substring(md5 ...), 16, 10)`` arithmetic as ``hash_sample``."""
+def _bloom_positions(
+    gram: Column, m_bits: int, hash_mode: str = "md5"
+) -> list[Column]:
+    """The gram's ``BLOOM_K`` Bloom bit positions.
+
+    ``md5``: the four disjoint 32-bit hex lanes of ONE md5, each reduced
+    mod ``m_bits`` — the same one-digest/four-lane trick as
+    ``minhash_cols``, and the same Spark↔DuckDB portable
+    ``conv(substring(md5 ...), 16, 10)`` arithmetic as ``hash_sample``.
+    Use when the positions must reproduce in the SQL oracle.
+
+    ``xxhash``: one ``xxhash64`` split into (h1, h2) halves, position j
+    = (h1 + j·h2) mod m — the Kirsch–Mitzenmacher derivation the
+    Count-Min sketch uses. Cheaper per gram than md5+conv (no crypto
+    digest, no hex decode) but NOT cross-engine: use only where
+    downstream exactness doesn't depend on the positions (the
+    ``decontaminate`` prefilter, where the exact join removes every
+    false positive regardless of hash)."""
+    if hash_mode == "xxhash":
+        h = F.xxhash64(gram)
+        h1 = h.bitwiseAND(F.lit((1 << 32) - 1))
+        h2 = F.shiftrightunsigned(h, 32)
+        return [((h1 + F.lit(j) * h2) % m_bits) for j in range(BLOOM_K)]
     digest = F.md5(gram)
     return [
         (F.conv(F.substring(digest, 8 * j + 1, 8), 16, 10).cast("long") % m_bits)
@@ -977,6 +1011,7 @@ def bloom_bits(
     n: int = 13,
     m_bits: int = 1 << 20,
     text_col: str = "text",
+    hash_mode: str = "md5",
 ) -> str:
     """Compress an eval suite's distinct word n-grams into a Bloom bit
     array, returned as a ``'0'``/``'1'`` string of length ``m_bits``.
@@ -999,7 +1034,9 @@ def bloom_bits(
     )
     pos = (
         grams.select(
-            F.explode(F.array(*_bloom_positions(F.col("g"), m_bits))).alias("p")
+            F.explode(
+                F.array(*_bloom_positions(F.col("g"), m_bits, hash_mode))
+            ).alias("p")
         )
         .distinct()
         .collect()
@@ -1021,8 +1058,15 @@ def decontaminate_bloom(
     but the broadcast eval-gram SET is replaced by a constant-size Bloom
     bit array embedded as one literal — corpus scoring becomes pure
     map-side expression work with NO join and NO shuffle of any kind
-    (plan-asserted), where even the broadcast-join formulation still
-    pays an exchange-free but hashtable-probing join per gram.
+    (plan-asserted). Measured at 1M docs / 32 cores: 2.1-3.9 s vs
+    6.3-10.2 s for the broadcast-join formulation (the join pays the
+    gram row-explode plus a hashtable probe per gram).
+
+    The literal is BINARY, not string, and that is load-bearing:
+    ``substring`` on a string column walks codepoints — O(position) per
+    probe, which at m = 2²⁰ means ~0.5 MB scanned PER PROBE and turned
+    this exact operator into 100+ s at 1M docs; the binary slice is an
+    O(1) offset copy (measured 117 s → 2.3 s, BENCH.md §decontam-bloom).
 
     Error is one-sided and safe for decontamination: a clean document
     may be flagged (per-gram false-positive ≈ (1−e^{−k·|eval|/m})^k,
@@ -1039,11 +1083,13 @@ def decontaminate_bloom(
     ``decontaminate`` spine with Bloom-filter hits."""
     from .textstats import token_ngrams, tokens
 
-    blit = F.lit(bloom_bits(eval_df, n=n, m_bits=m_bits, text_col=text_col))
+    blit = F.lit(
+        bloom_bits(eval_df, n=n, m_bits=m_bits, text_col=text_col).encode("ascii")
+    )
 
     def hit(g: Column) -> Column:
         conds = [
-            F.substring(blit, (p + 1).cast("int"), 1) == "1"
+            F.substring(blit, (p + 1).cast("int"), 1) == F.lit(b"1")
             for p in _bloom_positions(g, m_bits)
         ]
         out = conds[0]
