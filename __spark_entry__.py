@@ -1179,6 +1179,42 @@ def q_kg_bgp(spark, sf):
     )
 
 
+def q_join_interval(spark, sf):
+    """Interval-containment join (operators/temporal.py:interval_join,
+    r5): events with event_id%97==0 open per-user incident windows of
+    (event_id%13+1) minutes; every other event of the SAME user inside
+    a window matches. Binned equi-join (10-minute bins), never a
+    nested-loop — the oracle is DuckDB's own IEJoin over the plain
+    BETWEEN formulation. Microsecond-epoch integer arithmetic on both
+    sides keeps the hash exact."""
+    from docee_spark.operators.temporal import interval_join
+
+    ev = _read(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    iv = ev.where(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("iv_id"),
+        F.col("user_id").alias("iv_user"),
+        F.col("ts_us").alias("s_us"),
+        (
+            F.col("ts_us")
+            + (F.col("event_id") % 13 + 1) * F.lit(3_600_000_000)
+        ).alias("e_us"),
+    )
+    return interval_join(
+        ev.where(F.col("event_id") % 97 != 0),
+        iv,
+        event_ts="ts_us",
+        start="s_us",
+        end="e_us",
+        bin_width=3600 * 1_000_000,
+        keys=[("user_id", "iv_user")],
+    )
+
+
 def q_join_asof(spark, sf):
     """Point-in-time attribution (operators/temporal.py:join_as_of):
     each purchase event joined to the same user's most recent view at or
@@ -2400,7 +2436,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substr": q_dedup_substr,
         "entity_link": q_entity_link,
         "extract_links": q_extract_links,
-        "repetition": q_repetition,
+        # r5-new: binned interval-containment join — in-window so the
+        # driver hash-checks the new operator in its only eligible
+        # round (oracle = DuckDB's native IEJoin, an independent
+        # algorithm). Slot yielded by repetition (green r4; its
+        # _gram_stats expression shape stays exercised by the refinery
+        # quality gate and the repetition pytest battery).
+        "join_interval": q_join_interval,
         "c4_filters": q_c4_filters,
         # r5-new: Bloom-compressed decontamination — map-only corpus
         # scoring (zero joins/shuffles), the 100 TB sibling of
@@ -2466,6 +2508,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "mixture_cap": q_mixture_cap,
         # ---- end of the 50-entry driver-recorded window ----
+        # repetition — green r4; yielded its slot to join_interval
+        # (r5-new, never recorded); Gopher-repetition coverage stays via
+        # the refinery quality gate + pytest goldens
+        "repetition": q_repetition,
         # vocab_topk — green r4; yielded its slot to decontaminate_bloom
         # (r5-new, never recorded); its token-explode+agg shape keeps
         # in-window coverage via hll_tokens and bm25
@@ -3841,6 +3887,25 @@ from e e1
 join e e2 on e2.src = e1.dst and e2.pred = 'status' and e2.dst = 'F'
 join e e3 on e3.src = e1.src and e3.pred = 'in_nation'
 where e1.pred = 'placed'
+"""
+
+
+def _join_interval_sql() -> str:
+    """The interval join re-derived as DuckDB's native range join (its
+    optimizer plans BETWEEN joins as IEJoin) — a fully independent
+    algorithm from the engine's binned equi-join reduction."""
+    return """
+with ev as (select event_id, user_id, event_type,
+                   epoch_us(cast(ts as timestamp)) as ts_us
+            from events),
+iv as (select event_id as iv_id, user_id as iv_user, ts_us as s_us,
+              ts_us + (event_id % 13 + 1) * 3600000000 as e_us
+       from ev where event_id % 97 = 0)
+select ev.event_id, ev.user_id, ev.event_type, ev.ts_us,
+       iv.iv_id, iv.iv_user, iv.s_us, iv.e_us
+from ev join iv
+  on ev.user_id = iv.iv_user and ev.ts_us between iv.s_us and iv.e_us
+where ev.event_id % 97 != 0
 """
 
 
@@ -6392,6 +6457,7 @@ from documents group by 1
         "kg_path_2hop": _kg_path_2hop_sql(),
         "kg_bgp": _kg_bgp_sql(),
         "join_asof": _join_asof_sql(),
+        "join_interval": _join_interval_sql(),
         "kg_khop": _kg_khop_sql(),
         "host_filter": _host_filter_sql(),
         "bpe_merges": _bpe_merges_sql(),

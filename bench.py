@@ -45,6 +45,8 @@ HEADLINE = [
     "kg_incremental_state",
     "kg_bgp",
     "join_asof",
+    # r5: binned interval-containment join
+    "join_interval",
     "triangles",
     "collocations",
     "recrawl_churn",

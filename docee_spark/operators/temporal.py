@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 from pyspark.sql.window import Window
 
-__all__ = ["join_as_of", "scd2_history"]
+__all__ = ["join_as_of", "scd2_history", "interval_join"]
 
 #: internal column names; double-underscore-prefixed so they cannot
 #: collide with payload columns (validated below anyway).
@@ -204,4 +204,84 @@ def scd2_history(
         F.lead("valid_from").over(wk).alias("valid_to"),
         F.lead("valid_from").over(wk).isNull().alias("is_current"),
         "n_captures",
+    )
+
+
+def interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    event_ts: str,
+    start: str,
+    end: str,
+    bin_width: int,
+    keys: list[tuple[str, str]] | None = None,
+    max_bins: int = 1024,
+) -> DataFrame:
+    """Interval-containment join: every (event, interval) pair with
+    ``start <= event_ts <= end`` (inclusive both ends), optionally also
+    matching on equi-``keys`` [(event_col, interval_col), ...].
+
+    Spark has no native interval join — ``events JOIN intervals ON ts
+    BETWEEN s AND e`` plans as BroadcastNestedLoopJoin (every event
+    tested against every interval: O(|events|·|intervals|), a
+    scale-killer past toy sizes). This is the standard BINNING
+    reduction instead: both sides map to fixed-width time bins
+    (events to ⌊ts/w⌋ — exactly one bin per event, so no dedup pass is
+    needed; intervals explode to the ⌊s/w⌋..⌊e/w⌋ range they cover),
+    the bin (+ keys) equi-join prunes to co-binned candidates, and the
+    exact BETWEEN predicate keeps true matches. Plan-asserted: a hash
+    equi-join, never a nested-loop/cartesian.
+
+    Cost model: interval replication = interval length / ``bin_width``
+    (pick w ≈ typical interval length: replication O(1) per interval
+    while each event meets only intervals within ±w of its bin).
+    Intervals covering more than ``max_bins`` bins are DROPPED FROM
+    PAIRING, never exploded — same observable-cap discipline as the
+    dedup bucket caps (named observe metrics ``n_dropped_intervals``,
+    ``n_dropped_bins``; an over-cap interval is a caller's w mismatch,
+    not silent data loss). Timestamps bin via a cast to double epoch
+    seconds — monotone, so binning is conservative and the exact
+    predicate on the ORIGINAL columns decides membership.
+
+    Returns all ``events`` columns plus all ``intervals`` columns
+    (collision-checked). Both inputs shuffle once, on (bin, keys);
+    skewed bins (everything in one hour) cost their true match volume —
+    AQE skew-join splits apply since it is a plain equi-join."""
+    from .dedup import _metric_name
+
+    keys = keys or []
+    clash = set(intervals.columns) & set(events.columns)
+    if clash:
+        raise ValueError(
+            f"interval columns collide with event columns: {sorted(clash)}; "
+            "rename before joining"
+        )
+    bin_of = lambda c: F.floor(F.col(c).cast("double") / F.lit(bin_width))  # noqa: E731
+
+    n_bins = bin_of(end) - bin_of(start) + 1
+    iv = intervals.withColumn("__nb", n_bins)
+    iv = iv.observe(
+        _metric_name("interval_join"),
+        F.sum(F.when(F.col("__nb") > max_bins, 1).otherwise(0)).alias(
+            "n_dropped_intervals"
+        ),
+        F.sum(F.when(F.col("__nb") > max_bins, F.col("__nb")).otherwise(0)).alias(
+            "n_dropped_bins"
+        ),
+    )
+    iv = (
+        iv.filter(F.col("__nb") <= max_bins)
+        .withColumn(
+            "__bin", F.explode(F.sequence(bin_of(start), bin_of(end)))
+        )
+        .drop("__nb")
+    )
+    ev = events.withColumn("__bin", bin_of(event_ts))
+    cond = [ev["__bin"] == iv["__bin"]]
+    cond += [ev[a] == iv[b] for a, b in keys]
+    cond.append(ev[event_ts].between(iv[start], iv[end]))
+    joined = ev.join(iv, cond, "inner")
+    return joined.select(
+        *[ev[c] for c in events.columns],
+        *[iv[c] for c in intervals.columns],
     )

@@ -9,7 +9,7 @@ import random
 import pytest
 from pyspark.sql import functions as F
 
-from docee_spark.operators.temporal import join_as_of
+from docee_spark.operators.temporal import interval_join, join_as_of
 
 
 def brute_asof(lrows, rrows, tolerance=None):
@@ -123,3 +123,95 @@ class TestJoinAsOf:
         # exchange below the window, and no join operator at all
         assert "Join" not in plan
         assert plan.count("Exchange hashpartitioning") == 1
+
+
+def brute_interval(erows, irows):
+    """Reference: every (event_id, iv_id) with iv_user == user and
+    s <= ts <= e, inclusive both ends."""
+    return {
+        (eid, vid)
+        for eid, u, ts in erows
+        for vid, vu, s, e in irows
+        if u == vu and s <= ts <= e
+    }
+
+
+class TestIntervalJoin:
+    def _frames(self, spark, seed=7, n_ev=400, n_iv=40, span=10_000):
+        rng = random.Random(seed)
+        erows = [
+            (i, rng.randrange(5), rng.randrange(span)) for i in range(n_ev)
+        ]
+        irows = []
+        for j in range(n_iv):
+            s = rng.randrange(span)
+            irows.append(
+                (1000 + j, rng.randrange(5), s, s + rng.randrange(1, span // 4))
+            )
+        ev = spark.createDataFrame(erows, "event_id long, user_id long, ts long")
+        iv = spark.createDataFrame(
+            irows, "iv_id long, iv_user long, s long, e long"
+        )
+        return erows, irows, ev, iv
+
+    @pytest.mark.parametrize("bin_width", [1, 97, 1000, 100_000])
+    def test_matches_bruteforce_at_any_bin_width(self, spark, bin_width):
+        """With the cap out of the way, the bin width is a COST knob,
+        never a semantics knob: the exact residual predicate decides
+        membership at w=1 (every interval explodes wide) through w=100k
+        (everything co-binned)."""
+        erows, irows, ev, iv = self._frames(spark)
+        got = {
+            (r["event_id"], r["iv_id"])
+            for r in interval_join(
+                ev, iv, "ts", "s", "e", bin_width,
+                keys=[("user_id", "iv_user")], max_bins=10_000,
+            ).collect()
+        }
+        assert got == brute_interval(erows, irows)
+
+    def test_boundaries_inclusive_both_ends(self, spark):
+        ev = spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 9), (4, 21)], "event_id long, ts long"
+        )
+        iv = spark.createDataFrame([(9, 10, 20)], "iv_id long, s long, e long")
+        got = sorted(
+            r["event_id"]
+            for r in interval_join(ev, iv, "ts", "s", "e", 5).collect()
+        )
+        assert got == [1, 2]
+
+    def test_over_cap_interval_dropped_never_exploded(self, spark):
+        """An interval longer than max_bins*w never explodes: it drops
+        from pairing (the dedup-cap rule — a 10^6-bin explode would be
+        the scale-killer), and the drop is observable: the plan carries
+        the named CollectMetrics node with both drop counters."""
+        ev = spark.createDataFrame([(1, 50)], "event_id long, ts long")
+        iv = spark.createDataFrame(
+            [(9, 0, 100), (10, 0, 10_000_000)], "iv_id long, s long, e long"
+        )
+        out = interval_join(ev, iv, "ts", "s", "e", 10, max_bins=100)
+        assert [r["iv_id"] for r in out.collect()] == [9]
+        plan = out._jdf.queryExecution().analyzed().toString()
+        assert "n_dropped_intervals" in plan and "n_dropped_bins" in plan
+        # generous cap: the long interval pairs again
+        back = interval_join(ev, iv, "ts", "s", "e", 10, max_bins=2_000_000)
+        assert sorted(r["iv_id"] for r in back.collect()) == [9, 10]
+
+    def test_plan_is_hash_equi_join_never_nested_loop(self, spark):
+        _, _, ev, iv = self._frames(spark)
+        df = interval_join(
+            ev, iv, "ts", "s", "e", 1000, keys=[("user_id", "iv_user")]
+        )
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+    def test_column_clash_raises(self, spark):
+        ev = spark.createDataFrame([(1, 5)], "event_id long, ts long")
+        iv = spark.createDataFrame([(9, 0, 9)], "event_id long, s long, e long")
+        with pytest.raises(ValueError, match="collide"):
+            interval_join(ev, iv, "ts", "s", "e", 10)

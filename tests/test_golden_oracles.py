@@ -350,6 +350,11 @@ def test_query_registry_invariants():
         # never get a driver row) — green r4, shape covered in-window
         # by hll_tokens/bm25 and in this tail by keywords
         "vocab_topk",
+        # r5: yielded its window slot to join_interval (the new binned
+        # interval-containment join, its only eligible round) — green
+        # r4; Gopher-repetition coverage stays via the refinery quality
+        # gate and the repetition pytest goldens
+        "repetition",
         # r5 demotions: green in >=2 driver rounds; their slots went to
         # the 18 never-driver-recorded entries (see queries() policy)
         "embed_ivf_topk",            # green r2+r3+r4
@@ -404,7 +409,7 @@ def test_query_registry_invariants():
         "dedup_chunks", "decontaminate", "pii_scrub",
         "hll_tokens", "bm25",
         # r5-new operators: their only chance at a driver row
-        "kg_incremental_state", "decontaminate_bloom",
+        "kg_incremental_state", "decontaminate_bloom", "join_interval",
     } <= window
 
 
