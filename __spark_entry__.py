@@ -605,6 +605,29 @@ def q_decontaminate_bloom(spark, sf):
     )
 
 
+def q_decontaminate_fuzzy(spark, sf):
+    """Fuzzy (Jaccard-threshold) decontamination (r5): same %50 eval
+    split and 3-gram grammar as `decontaminate`, but scored — a doc is
+    contaminated iff its gram-set Jaccard with SOME eval doc reaches
+    tau = 0.1, and the best-matching eval doc is reported (the
+    Llama-2/PaLM near-dup rule; the synthetic corpus plants genuine
+    near-dups at J ≈ 0.96-0.99 while the cross-doc background sits at
+    J ≤ 0.03, so the threshold separates cleanly at every SF). Exact
+    bigint floor(|∩|·10⁶/|∪|) on both engines; the oracle re-derives
+    the pairwise scores and the per-doc argmax relationally."""
+    from pyspark.sql import functions as F
+
+    from docee_spark.operators.dedup import decontaminate_fuzzy
+
+    docs = _read(spark, sf, "documents")
+    return decontaminate_fuzzy(
+        docs.where(F.col("doc_id") % 50 != 0),
+        docs.where(F.col("doc_id") % 50 == 0),
+        n=3,
+        tau_e6=100_000,
+    )
+
+
 def q_stratified_sample(spark, sf):
     """Quality-weighted deterministic downsampling: per-lang keep rates
     applied through md5-hash selection (reproducible under retries and
@@ -734,6 +757,53 @@ def q_extract_links(spark, sf):
         "url", "href", "anchor",
         F.coalesce("dst_url", F.lit("")).alias("dst_url"),
     )
+
+
+def q_anchor_surfaces(spark, sf):
+    """Anchor-text entity dictionary (operators/linkgraph.py:
+    anchor_surfaces, r5): aggregate link anchor texts into
+    (surface, entity_id, n_anchors) — anchor text is how the web NAMES
+    an entity, the link target identifies it; the output feeds
+    stages/canonicalize.canonicalize(entity_dict=...). Deterministic
+    synthetic pages plant, per doc_id: a majority vote ("entity k" →
+    e<k> from every doc, a 1-in-3 minority alt<k> vote the majority must
+    beat), a messy-markup variant (case + nested <b> + double spaces
+    that must normalize into the same surface), an all-ties surface
+    ("rare page", every dst distinct → lexicographically smallest wins),
+    a singleton surface dropped by min_anchors=2, and a fragment link
+    whose NULL dst must be filtered before it votes. The oracle
+    re-derives the planted (surface, dst) ground truth from doc_id
+    arithmetic alone — fully independent of the engine's HTML parse and
+    normalization chain."""
+    from docee_spark.operators.linkgraph import anchor_surfaces, extract_links
+
+    i = F.col("doc_id")
+
+    def s(c):
+        return c.cast("string")
+
+    def seg(cond, *parts):
+        return F.when(cond, F.concat(*parts)).otherwise(F.lit(""))
+
+    d = _read(spark, sf, "documents").select("doc_id")
+    k, k1 = s(i % 20), s((i + 1) % 20)
+    url = F.concat(F.lit("https://src"), s(i % 50), F.lit(".example.com/p/"), s(i))
+    html = F.concat(
+        F.lit('<html><body><a href="https://e'), k,
+        F.lit('.example.org/page">Entity '), k, F.lit("</a>"),
+        seg(i % 3 == 0, F.lit('<a href="https://alt'), k,
+            F.lit('.example.org/x">entity '), k, F.lit("</a>")),
+        seg(i % 7 == 0, F.lit('<a href="https://e'), k1,
+            F.lit('.example.org/page">ENTITY  <b>'), k1, F.lit("</b></a>")),
+        seg(i % 11 == 0, F.lit('<a href="https://rare'), s(i),
+            F.lit('.example.org/">rare page</a>')),
+        seg(i % 13 == 0, F.lit('<a href="https://once'), s(i),
+            F.lit('.example.org/">once '), s(i), F.lit("</a>")),
+        seg(i % 5 == 0, F.lit('<a href="#frag">skip me</a>')),
+        F.lit("</body></html>"),
+    )
+    links = extract_links(d.select(url.alias("url"), html.alias("html")))
+    return anchor_surfaces(links, min_anchors=2)
 
 
 def q_kg_incremental(spark, sf):
@@ -2435,7 +2505,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "dedup_substr": q_dedup_substr,
         "entity_link": q_entity_link,
-        "extract_links": q_extract_links,
+        # r5-new: anchor-text entity dictionary — the web-KG surface
+        # mining step entity linking consumes; in-window so the driver
+        # hash-checks the new operator in its only eligible round
+        # (oracle = planted ground truth from doc_id arithmetic, fully
+        # independent of the parse chain). Slot yielded by its upstream
+        # extract_links (green r4; the same extraction runs verbatim
+        # inside this query, and the resolution-branch grammar keeps
+        # its own oracle in the tail).
+        "anchor_surfaces": q_anchor_surfaces,
         # r5-new: binned interval-containment join — in-window so the
         # driver hash-checks the new operator in its only eligible
         # round (oracle = DuckDB's native IEJoin, an independent
@@ -2456,7 +2534,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_chunks": q_dedup_chunks,
         "kg_bgp": q_kg_bgp,
-        "decontaminate": q_decontaminate,
+        # r5-new: fuzzy (Jaccard-scored) decontamination — the
+        # Llama-2/PaLM near-dup rule completing the decontamination
+        # trio (exact / Bloom / fuzzy); in-window so the driver
+        # hash-checks the new operator in its only eligible round. Slot
+        # yielded by decontaminate (green r4; its exact any-overlap
+        # flag semantics stay in-window through decontaminate_bloom,
+        # whose flag is a pinned superset, and its two-broadcast plan
+        # skeleton runs verbatim inside this query).
+        "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "pii_scrub": q_pii_scrub,
         "collocations": q_collocations,
         "join_asof": q_join_asof,
@@ -2516,6 +2602,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (r5-new, never recorded); its token-explode+agg shape keeps
         # in-window coverage via hll_tokens and bm25
         "vocab_topk": q_vocab_topk,
+        # extract_links — green r4; yielded its slot to anchor_surfaces
+        # (r5-new, never recorded), which runs the identical extraction
+        # chain verbatim upstream of the vote; the resolution-branch
+        # regex/RFC-3986 oracle stays here in the tail
+        "extract_links": q_extract_links,
+        # decontaminate — green r4; yielded its slot to
+        # decontaminate_fuzzy (r5-new, never recorded), which reuses
+        # its two-broadcast plan skeleton and gram grammar; the exact
+        # any-overlap flag stays in-window via decontaminate_bloom
+        "decontaminate": q_decontaminate,
         # evidence-saturated demotions (green >=2 prior driver rounds,
         # code unchanged; see the policy comment above)
         "langid": q_langid,
@@ -3011,6 +3107,85 @@ select corp.doc_id,
          as flagged
 from corp left join hits on hits.doc_id = corp.doc_id
 """.format(g=_ngram_list_sql("toks", n))
+
+
+def _decontaminate_fuzzy_sql(
+    n: int = 3, mod: int = 50, tau_e6: int = 100_000
+) -> str:
+    """The fuzzy variant re-derived relationally: every (corpus, eval)
+    gram-overlap pair scored floor(|∩|·10⁶/|∪|) in exact bigint
+    arithmetic (`//` on positives ≡ Spark's `div`), per-doc argmax via a
+    (−j, eval_id) sort — the same deterministic tie-break the engine's
+    min_by(struct) encodes."""
+    toks = _TOKENS.format(c="text")
+    return f"""
+with t as (select doc_id, {toks} as toks from documents),
+dg as (select doc_id, list_distinct({{g}}) as grams from t),
+ev as (select doc_id as eval_id, grams as egrams from dg
+       where doc_id % {mod} = 0),
+corp as (select doc_id, grams from dg where doc_id % {mod} != 0),
+cg as (select doc_id, len(grams) as n_doc, unnest(grams) as g from corp),
+eg as (select eval_id, len(egrams) as n_eval, unnest(egrams) as g from ev),
+pairs as (select doc_id, eval_id, max(n_doc) as n_doc,
+                 max(n_eval) as n_eval, count(*) as inter
+          from cg join eg using (g) group by 1, 2),
+scored as (select doc_id, eval_id,
+                  (inter * 1000000) // (n_doc + n_eval - inter) as j_e6
+           from pairs),
+best as (select doc_id, eval_id as best_eval_id, j_e6,
+                row_number() over (partition by doc_id
+                                   order by j_e6 desc, eval_id asc) as rn
+         from scored)
+select corp.doc_id,
+       cast(len(corp.grams) as bigint) as n_grams,
+       cast(best.best_eval_id as bigint) as best_eval_id,
+       cast(coalesce(best.j_e6, 0) as bigint) as jaccard_e6,
+       cast(case when coalesce(best.j_e6, 0) >= {tau_e6} then 1 else 0 end
+            as int) as contaminated
+from corp left join best on best.doc_id = corp.doc_id and best.rn = 1
+""".format(g=_ngram_list_sql("toks", n))
+
+
+def _anchor_surfaces_sql(min_anchors: int = 2) -> str:
+    """Planted-ground-truth oracle for q_anchor_surfaces: the (surface,
+    dst) link pairs are reconstructed from doc_id arithmetic alone — no
+    HTML, no regexes — so the comparison independently verifies the
+    engine's whole parse → resolve → normalize → two-level-vote chain.
+    The messy-markup variant ('ENTITY  <b>k</b>') and the clean anchor
+    both reduce to the surface 'entity k'; fragment links (NULL dst)
+    never appear; the per-surface winner is max count, ties broken by
+    lexicographically smallest dst — the same order the engine's
+    min_by(struct(-cnt, dst)) encodes."""
+    return f"""
+with d as (select doc_id from documents),
+pairs as (
+  select 'entity ' || (doc_id % 20) as surface,
+         'https://e' || (doc_id % 20) || '.example.org/page' as dst from d
+  union all
+  select 'entity ' || (doc_id % 20),
+         'https://alt' || (doc_id % 20) || '.example.org/x'
+  from d where doc_id % 3 = 0
+  union all
+  select 'entity ' || ((doc_id + 1) % 20),
+         'https://e' || ((doc_id + 1) % 20) || '.example.org/page'
+  from d where doc_id % 7 = 0
+  union all
+  select 'rare page', 'https://rare' || doc_id || '.example.org/'
+  from d where doc_id % 11 = 0
+  union all
+  select 'once ' || doc_id, 'https://once' || doc_id || '.example.org/'
+  from d where doc_id % 13 = 0
+),
+per as (select surface, dst, count(*) as cnt from pairs group by 1, 2),
+best as (
+  select surface, dst as entity_id,
+         row_number() over (partition by surface
+                            order by cnt desc, dst asc) as rn,
+         sum(cnt) over (partition by surface) as n_anchors
+  from per)
+select surface, entity_id, cast(n_anchors as bigint) as n_anchors
+from best where rn = 1 and n_anchors >= {min_anchors}
+"""
 
 
 def _ngram_list_sql(toks: str, n: int) -> str:
@@ -6466,6 +6641,8 @@ from documents group by 1
         "pii_scrub": _pii_sql(),
         "decontaminate": _decontaminate_sql(),
         "decontaminate_bloom": _decontaminate_bloom_sql(),
+        "decontaminate_fuzzy": _decontaminate_fuzzy_sql(),
+        "anchor_surfaces": _anchor_surfaces_sql(),
         "stratified_sample": _stratified_sample_sql(),
         "mixture_cap": _mixture_cap_sql(),
         "dedup_ngram": _ngram_sql(),

@@ -1110,6 +1110,103 @@ def decontaminate_bloom(
     )
 
 
+def decontaminate_fuzzy(
+    df: DataFrame,
+    eval_df: DataFrame,
+    n: int = 3,
+    tau_e6: int = 100_000,
+    text_col: str = "text",
+) -> DataFrame:
+    """FUZZY benchmark decontamination (the Llama-2 / PaLM appendix
+    rule): flag corpus documents whose word-``n``-gram Jaccard
+    similarity with ANY eval document reaches ``tau`` — catches
+    paraphrased or partially-copied benchmark items that exact-overlap
+    decontamination (``decontaminate``'s any-shared-13-gram rule) scores
+    but cannot rank, and that ``decontaminate_bloom`` can only flag.
+
+    → ``(doc_id, n_grams, best_eval_id, jaccard_e6, contaminated)`` —
+    one row per corpus document; ``best_eval_id`` is the eval document
+    with the highest Jaccard (ties → smallest eval doc_id,
+    deterministic; NULL when no gram is shared), ``jaccard_e6`` =
+    ``floor(|∩|·10⁶ / |∪|)`` in exact bigint arithmetic (never a
+    double, so scores are bit-identical across engines), and
+    ``contaminated`` = 1 iff ``jaccard_e6 ≥ tau_e6``.
+
+    Scale shape — the same two-broadcast skeleton as ``decontaminate``:
+    the exploded distinct eval grams (carrying ``(eval_id, |eval|)``)
+    broadcast; corpus grams explode map-side into a broadcast-hash
+    inner join that emits ONLY matching grams, so the per-(doc, eval)
+    intersection count groups a stream bounded by the gram-overlap
+    volume, never the corpus. The per-doc ``max`` then re-groups that
+    same small stream, and the result joins back to the corpus spine as
+    a second broadcast. The corpus itself never shuffles — both its
+    joins are map-side (plan-asserted in tests/test_plans.py). The
+    per-doc gram count rides the explode projection, so no
+    corpus-vs-corpus join ever forms."""
+    from .textstats import token_ngrams, tokens
+
+    def grams(col):
+        return F.array_distinct(token_ngrams(tokens(F.col(col)), n))
+
+    ev = ensure_parallelism(eval_df).select(
+        F.col("doc_id").alias("eval_id"), grams(text_col).alias("egrams")
+    )
+    ev_grams = ev.select(
+        "eval_id",
+        F.size("egrams").cast("long").alias("n_eval"),
+        F.explode("egrams").alias("g"),
+    )
+    base = ensure_parallelism(df).select(
+        "doc_id", grams(text_col).alias("grams")
+    )
+    pair = (
+        base.select(
+            "doc_id",
+            F.size("grams").cast("long").alias("n_doc"),
+            F.explode("grams").alias("g"),
+        )
+        .join(F.broadcast(ev_grams), "g")
+        .groupBy("doc_id", "eval_id")
+        .agg(
+            # n_doc / n_eval are constant within the group; max() is the
+            # cheapest deterministic way to carry them through
+            F.max("n_doc").alias("n_doc"),
+            F.max("n_eval").alias("n_eval"),
+            F.count("*").cast("long").alias("inter"),
+        )
+        .select(
+            "doc_id",
+            "eval_id",
+            F.expr(
+                "(inter * 1000000) div (n_doc + n_eval - inter)"
+            ).alias("j_e6"),
+        )
+    )
+    best = pair.groupBy("doc_id").agg(
+        F.min_by(
+            "eval_id",
+            F.struct(
+                (-F.col("j_e6")).alias("neg_j"),
+                F.col("eval_id").alias("eval_id"),
+            ),
+        ).alias("best_eval_id"),
+        F.max("j_e6").alias("jaccard_e6"),
+    )
+    return (
+        base.select("doc_id", F.size("grams").cast("long").alias("n_grams"))
+        .join(F.broadcast(best), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.col("best_eval_id").cast("long").alias("best_eval_id"),
+            F.coalesce("jaccard_e6", F.lit(0)).cast("long").alias("jaccard_e6"),
+            (F.coalesce("jaccard_e6", F.lit(0)) >= F.lit(tau_e6))
+            .cast("int")
+            .alias("contaminated"),
+        )
+    )
+
+
 def chunk_dedup(
     df: DataFrame,
     text_col: str = "text",

@@ -355,6 +355,17 @@ def test_query_registry_invariants():
         # r4; Gopher-repetition coverage stays via the refinery quality
         # gate and the repetition pytest goldens
         "repetition",
+        # r5: yielded its window slot to anchor_surfaces (the new
+        # anchor-text entity dictionary, its only eligible round) —
+        # green r4, and the identical extraction chain runs verbatim
+        # upstream inside the promoted query
+        "extract_links",
+        # r5: yielded its window slot to decontaminate_fuzzy (the new
+        # Jaccard-scored decontamination, its only eligible round) —
+        # green r4; the exact any-overlap flag stays in-window via
+        # decontaminate_bloom, and the fuzzy query reuses this one's
+        # two-broadcast plan skeleton
+        "decontaminate",
         # r5 demotions: green in >=2 driver rounds; their slots went to
         # the 18 never-driver-recorded entries (see queries() policy)
         "embed_ivf_topk",            # green r2+r3+r4
@@ -403,13 +414,14 @@ def test_query_registry_invariants():
         # green only in r4 — keep their slot for a second record
         "url_dedup", "quality_model", "pagerank", "kg_incremental",
         "robots", "bpe_merges", "lm_surprisal", "dsir", "pack_sequences",
-        "dedup_substr", "extract_links", "host_filter", "kg_path_2hop",
+        "dedup_substr", "host_filter", "kg_path_2hop",
         "kg_khop", "kg_ntriples", "entity_link", "kg_bgp", "join_asof",
         "triangles", "collocations", "recrawl_churn", "dedup_clusters",
-        "dedup_chunks", "decontaminate", "pii_scrub",
+        "dedup_chunks", "pii_scrub",
         "hll_tokens", "bm25",
         # r5-new operators: their only chance at a driver row
         "kg_incremental_state", "decontaminate_bloom", "join_interval",
+        "anchor_surfaces", "decontaminate_fuzzy",
     } <= window
 
 

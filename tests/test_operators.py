@@ -728,6 +728,77 @@ class TestDecontaminatePrefilter:
         assert "Exchange hashpartitioning" not in explained
 
 
+class TestDecontaminateFuzzy:
+    def test_planted_near_dup_scored_and_thresholded(self, spark):
+        """A near-copy scores high Jaccard and flags; a one-gram brush
+        scores low and does NOT flag; a clean doc gets NULL best match,
+        score 0. All scores exact bigint floor(|∩|·10⁶/|∪|)."""
+        from docee_spark.operators.dedup import decontaminate_fuzzy
+
+        evald = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string",
+        )
+        corpus = spark.createDataFrame(
+            [
+                # grams 1..7 of the eval doc (7 of its 7+… ) — near-dup
+                (1, "the quick brown fox jumps over the lazy dog indeed"),
+                (2, "a quick brown fox of another kind"),  # 1 shared gram
+                (3, "completely unrelated text tokens here"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in decontaminate_fuzzy(corpus, evald, n=3).collect()
+        }
+        # doc 1: 10 tokens → 8 distinct grams, 7 shared with eval's 7:
+        # J = 7 / (8 + 7 − 7) = 7/8 → 875000
+        assert rows[1]["jaccard_e6"] == 875_000
+        assert rows[1]["best_eval_id"] == 100 and rows[1]["contaminated"] == 1
+        # doc 2: shares only "quick brown fox": J = 1/(5+7−1) → 90909
+        assert rows[2]["jaccard_e6"] == 90_909
+        assert rows[2]["contaminated"] == 0  # below tau = 0.1
+        assert rows[3]["best_eval_id"] is None
+        assert rows[3]["jaccard_e6"] == 0 and rows[3]["contaminated"] == 0
+
+    def test_best_eval_tie_breaks_to_smallest_id_and_tau(self, spark):
+        """Two eval docs at identical Jaccard → smallest eval_id wins,
+        deterministically; raising tau past the score unflags."""
+        from docee_spark.operators.dedup import decontaminate_fuzzy
+
+        evald = spark.createDataFrame(
+            [(20, "b c d"), (10, "a b c")], "doc_id long, text string"
+        )
+        corpus = spark.createDataFrame(
+            [(1, "a b c d")], "doc_id long, text string"
+        )
+        row = decontaminate_fuzzy(corpus, evald, n=3).collect()[0]
+        # J vs both evals = 1/(2+1−1) = 0.5; tie → eval 10
+        assert row["best_eval_id"] == 10 and row["jaccard_e6"] == 500_000
+        assert row["contaminated"] == 1
+        strict = decontaminate_fuzzy(corpus, evald, n=3, tau_e6=600_000)
+        assert strict.collect()[0]["contaminated"] == 0
+
+    def test_plan_keeps_two_broadcast_shape(self, spark):
+        """Same skeleton as `decontaminate`: eval grams and the per-doc
+        best both reach the corpus as broadcasts — no sort-merge join
+        ever forms against the corpus (the tiny match stream may
+        exchange for its two groupBys; the corpus must not)."""
+        from docee_spark.operators.dedup import decontaminate_fuzzy
+
+        evald = spark.createDataFrame([(9, "a b c d")], "doc_id long, text string")
+        corpus = spark.createDataFrame(
+            [(1, "a b c d e")], "doc_id long, text string"
+        )
+        df = decontaminate_fuzzy(corpus, evald, n=3)
+        explained = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert explained.count("BroadcastHashJoin") >= 2
+        assert "SortMergeJoin" not in explained
+
+
 class TestDecontaminateBloom:
     def test_exact_at_low_load_and_superset_always(self, spark):
         """At generous m the Bloom answer equals the exact one; at ANY m
