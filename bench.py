@@ -64,9 +64,13 @@ HEADLINE = [
     # r5: the map-only Bloom variant — timed next to the broadcast-join
     # formulation it replaces at scale
     "decontaminate_bloom",
+    # r5: the Jaccard-scored near-dup rule, same two-broadcast skeleton
+    "decontaminate_fuzzy",
     "pii_scrub",
     "dsir",
     "extract_links",
+    # r5: anchor-text entity dictionary (extraction + two-level vote)
+    "anchor_surfaces",
     "pack_sequences",
     "embed_topk",
     "embed_lsh_topk",
