@@ -333,6 +333,33 @@ class TestRound4CrawlOpPlans:
         assert _n_nodes(plan, "Exchange") == 0, plan
         assert "Join" not in plan, plan
 
+    def test_anchor_surfaces_join_free_two_exchanges(self, spark):
+        """The anchor vote is two hash-partitioned groupBys over the
+        extracted (surface, dst) pairs — NO join anywhere (the
+        per-surface winner is a min_by aggregate, not a self-join), no
+        Python, and exactly the two exchanges the two aggregations
+        require. At 100 TB the exchanged stream is distinct
+        (surface, dst) pairs, already partially aggregated map-side —
+        never the raw link table."""
+        from docee_spark.operators.linkgraph import anchor_surfaces, extract_links
+
+        pages = spark.createDataFrame(
+            [("https://h.example.com/a/", '<a href="/x">x</a>')],
+            "url string, html string",
+        )
+        plan = _plan(anchor_surfaces(extract_links(pages)))
+        assert "EvalPython" not in plan
+        assert "Join" not in plan, plan
+        assert _n_nodes(plan, "Exchange") == 2, plan
+        # map-side partial aggregation before each exchange (the
+        # min_by vote compiles to ObjectHashAggregate, the counts to
+        # HashAggregate — partial+final of each = 4 aggregate nodes)
+        n_aggs = sum(
+            _n_nodes(plan, a)
+            for a in ("HashAggregate", "ObjectHashAggregate", "SortAggregate")
+        )
+        assert n_aggs >= 4, plan
+
     def test_dedup_substr_no_python_bounded_shuffles(self, spark):
         """ExactSubstr spans: window hashing + island merge are column
         expressions (no Python); the whole operator is 3 shuffles — the
