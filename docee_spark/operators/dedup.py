@@ -640,6 +640,121 @@ def simhash_near_duplicates(
     return pairs.select("p.doc_a", "p.doc_b", "p.hamming").distinct()
 
 
+_INTEGRAL_ELEMS = ("array<tinyint>", "array<smallint>", "array<int>", "array<bigint>")
+
+
+def _is_integral_vec(df: DataFrame, vec_col: str) -> bool:
+    """True iff ``vec_col`` is an integer-element array — the condition
+    under which the grouped-numpy cosine path below is bit-exact (all
+    dots/norms are integers < 2⁵³, so Spark's sequential double fold and
+    numpy's int64 matmul produce the same IEEE values regardless of
+    accumulation order; float elements would need Spark's exact fold
+    order and stay on the JVM expression path)."""
+    return dict(df.dtypes).get(vec_col) in _INTEGRAL_ELEMS
+
+
+def _grouped_cosine_pairs(threshold_e6: int, semantic: bool = False):
+    """Build the applyInPandas function for bucket-local pair cosines via
+    one numpy matmul per group — value-identical to the JVM self-join +
+    per-pair ``cosine_e6`` HOF chain it replaces (guide §4.2: hand whole
+    batches to vectorized native code), at O(n·d) Arrow bytes per bucket
+    instead of O(n²·d) join-expanded rows.
+
+    Input groups carry columns (id, vec) plus, for ``semantic``,
+    (cluster, cent). Emits one row per unordered in-group pair with
+    ``id_a < id_b`` and the pair's exact ``cosine_e6`` ≥ threshold,
+    replicating every edge of the expression semantics:
+      * either vector NULL, containing a NULL element, or zero-norm →
+        cosine 0 (the ``when(denom > 0)`` otherwise-branch, incl. the
+        NULL-denominator case);
+      * clean nonzero vectors of UNEQUAL length → dot NULL → pair
+        dropped (zip_with null padding nulls the fold);
+      * NULL ids never pair (``a.id < b.id`` is null-rejecting);
+      * duplicate ids: equal ids never pair, distinct rows keep join
+        multiplicity.
+    Exactness: integer vectors make every dot/norm-square an exact
+    integer < 2⁵³, so numpy's int64 matmul followed by the same
+    double-divide/floor reproduces Spark's sequential double fold
+    bit-for-bit (callers gate on :func:`_is_integral_vec`)."""
+    import numpy as np
+    import pandas as pd
+
+    out_cols = (
+        ["cluster", "id_a", "id_b", "cosine_e6", "drop_id"]
+        if semantic
+        else ["id_a", "id_b", "cosine_e6"]
+    )
+
+    def emit(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf[pdf["id"].notna()]
+        n = len(pdf)
+        rows: list[tuple] = []
+        if n >= 2:
+            ids = pdf["id"].to_numpy()
+            vecs = pdf["vec"].tolist()
+            if semantic:
+                cluster = pdf["cluster"].iloc[0]
+                cents = pdf["cent"].to_numpy(dtype=np.float64, na_value=np.nan)
+            by_len: dict[int, list[int]] = {}
+            zeroish: list[int] = []  # null vec, null element, or zero norm
+            for i, x in enumerate(vecs):
+                if x is None:
+                    zeroish.append(i)
+                    continue
+                a = np.asarray(x, dtype=np.float64)
+                if a.size == 0 or np.isnan(a).any() or not a.any():
+                    zeroish.append(i)
+                    continue
+                by_len.setdefault(a.size, []).append(i)
+
+            def put(i: int, j: int, cos: int) -> None:
+                a, b = (i, j) if ids[i] < ids[j] else (j, i)
+                if not semantic:
+                    rows.append((ids[a], ids[b], cos))
+                    return
+                ca, cb = cents[a], cents[b]
+                if ca > cb:
+                    drop = ids[a]
+                elif cb > ca:
+                    drop = ids[b]
+                else:  # ties AND null cents → greater id
+                    drop = ids[b]
+                rows.append((cluster, ids[a], ids[b], cos, drop))
+
+            for idx in by_len.values():
+                m = len(idx)
+                if m < 2:
+                    continue
+                sub = np.asarray(idx)
+                Q = np.stack([np.asarray(vecs[i], dtype=np.int64) for i in idx])
+                G = Q @ Q.T  # exact int64: |dot| ≤ d·(max|q|)² < 2⁶³
+                norms = np.sqrt(np.diag(G).astype(np.float64))
+                denom = np.outer(norms, norms)
+                cos = np.floor((G * 1_000_000).astype(np.float64) / denom)
+                iu, ju = np.triu_indices(m, 1)
+                keep = (cos[iu, ju] >= threshold_e6) & (
+                    ids[sub[iu]] != ids[sub[ju]]
+                )
+                for i, j, c in zip(
+                    sub[iu[keep]],
+                    sub[ju[keep]],
+                    cos[iu, ju][keep].astype(np.int64),
+                ):
+                    put(int(i), int(j), int(c))
+            if threshold_e6 <= 0 and zeroish:
+                # zero/null-ish rows pair with EVERYTHING at cosine 0 —
+                # only reachable when the threshold admits 0
+                zs = set(zeroish)
+                for i in zeroish:
+                    for j in range(n):
+                        if (j in zs and j <= i) or ids[i] == ids[j]:
+                            continue
+                        put(i, j, 0)
+        return pd.DataFrame(rows, columns=out_cols)
+
+    return emit
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     threshold_e6: int = 950_000,
@@ -684,6 +799,16 @@ def embedding_cosine_pairs(
         "bucket"
     )
     v = v.join(F.broadcast(keep), "bucket")
+    if probe_flips == 0 and _is_integral_vec(df, vec_col):
+        # integer-quantized vectors: bucket-local numpy matmul (exact —
+        # see _grouped_cosine_pairs) instead of the O(n²) self-join +
+        # per-pair interpreted-HOF cosine. One shuffle of the vectors,
+        # no pair materialization in the JVM.
+        id_dt = dict(df.dtypes)[id_col]
+        return v.groupBy("bucket").applyInPandas(
+            _grouped_cosine_pairs(threshold_e6),
+            schema=f"id_a {id_dt}, id_b {id_dt}, cosine_e6 long",
+        )
     if probe_flips > 0:
         # probe side: each vector appears under its base + flipped
         # buckets; base side keeps one bucket per vector, so a pair is
@@ -1307,19 +1432,73 @@ def semantic_dup_pairs(
     literal for a broadcast join on cluster id; the rest is unchanged."""
     from .similarity import cosine_e6, ivf_assign
 
-    cvecs = F.array(
-        *[F.array(*[F.lit(int(x)) for x in c]) for c in centroids]
-    )
-    v = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        ivf_assign(F.col(vec_col), centroids).alias("cluster"),
-    ).withColumn(
-        "cent_cos_e6",
-        cosine_e6(
-            F.col("vec"), F.element_at(cvecs, F.col("cluster") + F.lit(1))
-        ),
-    )
+    # r6: the per-row assignment + centroid-cosine expressions are the
+    # dominant cost and a small-file scan yields 1-2 splits — spread them
+    # across cores like every other CPU-heavy operator here (guide §2.5
+    # input skew; no-op at real scan widths)
+    df = ensure_parallelism(df)
+    if _is_integral_vec(df, vec_col):
+        # exact numpy assignment (guide §4.2): dots are exact int64, the
+        # argmax-first rule equals ivf_assign's strict-greater fold, and
+        # the centroid cosine repeats cosine_e6's double-divide/floor on
+        # exact integer operands. Null / wrong-dim vectors raise, like
+        # the JVM expression path (element_at index-0 / null fold).
+        import numpy as np
+
+        Cmat = np.asarray(centroids, dtype=np.int64)
+        id_dt = dict(df.dtypes)[id_col]
+        vec_dt = dict(df.dtypes)[vec_col]
+
+        def assign(it):
+            import pandas as pd
+
+            cn = np.sqrt(
+                np.einsum("ij,ij->i", Cmat, Cmat).astype(np.float64)
+            )
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                Q = np.stack(
+                    [np.asarray(x, np.int64) for x in pdf[vec_col].tolist()]
+                )
+                dots = Q @ Cmat.T
+                cl = np.argmax(dots, axis=1)
+                qn = np.sqrt(np.einsum("ij,ij->i", Q, Q).astype(np.float64))
+                sel = dots[np.arange(len(cl)), cl].astype(np.float64)
+                denom = qn * cn[cl]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cent = np.where(
+                        denom > 0, np.floor(sel * 1_000_000 / denom), 0.0
+                    ).astype(np.int64)
+                yield pd.DataFrame(
+                    {
+                        "id": pdf[id_col],
+                        "vec": pdf[vec_col],
+                        "cluster": cl.astype("int32"),
+                        "cent_cos_e6": cent,
+                    }
+                )
+
+        v = df.select(id_col, vec_col).mapInPandas(
+            assign,
+            schema=(
+                f"id {id_dt}, vec {vec_dt}, cluster int, cent_cos_e6 long"
+            ),
+        )
+    else:
+        cvecs = F.array(
+            *[F.array(*[F.lit(int(x)) for x in c]) for c in centroids]
+        )
+        v = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            ivf_assign(F.col(vec_col), centroids).alias("cluster"),
+        ).withColumn(
+            "cent_cos_e6",
+            cosine_e6(
+                F.col("vec"), F.element_at(cvecs, F.col("cluster") + F.lit(1))
+            ),
+        )
     counts = v.groupBy("cluster").agg(F.count("*").alias("_n"))
     counts = counts.observe(
         _metric_name("semantic_cluster_drops"),
@@ -1334,6 +1513,20 @@ def semantic_dup_pairs(
         (F.col("_n") >= 2) & (F.col("_n") <= max_cluster)
     ).select("cluster")
     v = v.join(F.broadcast(keep), "cluster")
+    if _is_integral_vec(df, vec_col):
+        # same numpy fast path as embedding_cosine_pairs (exact — see
+        # _grouped_cosine_pairs); the drop rule rides along on the
+        # per-row centroid cosines computed above
+        id_dt = dict(df.dtypes)[id_col]
+        return v.select(
+            "cluster", "id", "vec", F.col("cent_cos_e6").alias("cent")
+        ).groupBy("cluster").applyInPandas(
+            _grouped_cosine_pairs(threshold_e6, semantic=True),
+            schema=(
+                f"cluster int, id_a {id_dt}, id_b {id_dt}, "
+                f"cosine_e6 long, drop_id {id_dt}"
+            ),
+        )
     a, b = v.alias("a"), v.alias("b")
     pairs = a.join(
         b,

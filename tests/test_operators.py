@@ -53,6 +53,63 @@ class TestDedup:
         assert by_keep[0] >= 2
         assert by_keep.get(3, 1) == 1
 
+    def test_grouped_cosine_fast_path_matches_jvm(self, spark, monkeypatch):
+        """r6: integral vectors take the bucket-local numpy matmul path —
+        it must be row-identical to the JVM self-join + cosine_e6 HOF
+        path on every edge (null vec, null element, zero vector, mixed
+        lengths, threshold 0)."""
+        import numpy as np
+
+        import docee_spark.operators.dedup as D
+
+        rng = np.random.RandomState(11)
+        rows = []
+        for i in range(120):
+            dim = 12 if i % 7 else 6
+            v = [int(x) for x in rng.randint(-10000, 10000, size=dim)]
+            if i % 31 == 0:
+                v = [0] * dim
+            if i % 37 == 0:
+                v[0] = None
+            rows.append((i, None if i % 41 == 0 else v))
+        base = [int(x) for x in rng.randint(-10000, 10000, size=12)]
+        rows += [(200, base), (201, [x + 1 for x in base])]
+        df = spark.createDataFrame(rows, "vec_id long, qvec array<long>")
+        # the semantic input must be NULL-free: ivf_assign's JVM
+        # expression rejects null-ish vectors identically on both paths
+        clean = [
+            (i, v)
+            for i, v in rows
+            if v is not None and len(v) == 12 and None not in v
+        ]
+        df_s = spark.createDataFrame(clean, "vec_id long, qvec array<long>")
+        cents = rng.randint(-10000, 10000, size=(3, 12)).astype(np.int64)
+
+        def canon(d):
+            return sorted(tuple(r) for r in d.collect())
+
+        for thr in (300_000, 0):
+            fast_e = canon(
+                D.embedding_cosine_pairs(
+                    df, threshold_e6=thr, vec_col="qvec", n_sign_bits=6
+                )
+            )
+            fast_s = canon(
+                D.semantic_dup_pairs(df_s, cents, threshold_e6=thr, vec_col="qvec")
+            )
+            monkeypatch.setattr(D, "_is_integral_vec", lambda *a: False)
+            slow_e = canon(
+                D.embedding_cosine_pairs(
+                    df, threshold_e6=thr, vec_col="qvec", n_sign_bits=6
+                )
+            )
+            slow_s = canon(
+                D.semantic_dup_pairs(df_s, cents, threshold_e6=thr, vec_col="qvec")
+            )
+            monkeypatch.undo()
+            assert fast_e == slow_e
+            assert fast_s == slow_s
+
     def test_embedding_cosine_pairs(self, spark):
         from docee_spark.operators.dedup import embedding_cosine_pairs
 
