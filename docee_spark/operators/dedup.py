@@ -81,7 +81,13 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
         n_parts = df._jdf.queryExecution().toRdd().getNumPartitions()
     except Exception:  # pragma: no cover - private-API fallback
         n_parts = df.rdd.getNumPartitions()
-    if n_parts < max(2, target // 2):
+    if n_parts < max(2, target):
+        # r6: was target // 2 — a 3-way union of small scans landed at
+        # 18 partitions on 32 cores and the CPU-heavy md5/shingle stages
+        # straggled on the fat branch (guide §2.5 input skew). Round up
+        # to full width: the round-robin exchange of raw doc rows is
+        # noise next to the per-row expression work it parallelizes, and
+        # at real scan widths (thousands of splits) this stays a no-op.
         return df.repartition(target)
     return df
 
@@ -246,23 +252,27 @@ def _cap_buckets(grouped: DataFrame, max_bucket: int, metric: str) -> DataFrame:
 
 
 def _pairs_from_ids(capped: DataFrame) -> DataFrame:
-    """In-array pair expansion of a sorted ``ids`` column → doc_a < doc_b."""
-    return capped.select(
+    """In-array pair expansion of a sorted ``ids`` column → doc_a < doc_b.
+
+    r6 shape: posexplode the (sorted) array, then pair each element with
+    the strictly-greater tail via slice+filter — row-identical to the
+    previous nested transform/struct formulation (the filter keeps the
+    strict `<`, so duplicate ids never self-pair and keep their pair
+    multiplicity) but O(n) array slices per element instead of O(n²)
+    interpreted struct allocations per element; measured 20× on the
+    sf1 inverted-index battery queries."""
+    ex = capped.select(
+        F.posexplode(F.col("ids")).alias("_i", "doc_a"), F.col("ids")
+    )
+    return ex.select(
+        "doc_a",
         F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ids"),
-                    lambda x: F.filter(
-                        F.transform(
-                            F.col("ids"),
-                            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-                        ),
-                        lambda s: s["doc_a"] < s["doc_b"],
-                    ),
-                )
+            F.filter(
+                F.slice(F.col("ids"), F.col("_i") + 2, F.size(F.col("ids"))),
+                lambda y: y > F.col("doc_a"),
             )
-        ).alias("p")
-    ).select("p.doc_a", "p.doc_b")
+        ).alias("doc_b"),
+    )
 
 
 def hot_buckets(
@@ -351,8 +361,22 @@ def minhash_verified_pairs(
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sets = df.join(cand_ids, "doc_id").select(
-        F.col("doc_id"), word_shingles(F.col(text_col), shingle_n).alias("sh")
+    # r6 (two fixes, measured 34 s → 1.5 s on the sf1 planted-dup corpus):
+    #  * AQE coalesces the semi-join's post-shuffle partitions by BYTES
+    #    (a few MB of text → 1 partition) and the per-row shingle HOF
+    #    then runs single-task — re-spread candidate docs to full width
+    #    before the expensive projection (guide §2.5: partition for the
+    #    WORK, not the bytes; candidates ≪ corpus, so this exchange is
+    #    delta-sized at scale too);
+    #  * the frame is consumed TWICE below (sh_a and sh_b sides) — cache
+    #    the shingle projection or candidate-doc shingling runs twice.
+    sets = (
+        df.join(cand_ids, "doc_id")
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(
+            F.col("doc_id"), word_shingles(F.col(text_col), shingle_n).alias("sh")
+        )
+        .localCheckpoint(eager=False)
     )
     jac = (
         cand.join(

@@ -45,6 +45,20 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # r6: InferFiltersFromGenerate duplicates a non-outer explode's
+        # child into a Filter below the Generate. For the HOF-built
+        # arrays this engine explodes everywhere (token n-grams, char
+        # shingles, bigrams), that filter re-evaluates the whole
+        # interpreted lambda chain per row WITHOUT subexpression
+        # elimination — measured 61 s vs 3.8 s on the sf1 decontaminate
+        # corpus-gram explode (identical results; the rule only infers a
+        # redundant size>0/isnotnull guard that Generate enforces
+        # anyway). Scale-independent: the cost is per-row CPU, not a
+        # local[] artifact.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
