@@ -1483,12 +1483,15 @@ def q_hll_tokens(spark, sf):
     IEEE-division contract, so the DuckDB re-derivation (strpos nibble
     arithmetic, explicit 256-bucket spine — a different formulation)
     matches bit-for-bit."""
+    from docee_spark.operators.dedup import ensure_parallelism
     from docee_spark.operators.sketches import hll_distinct
     from docee_spark.operators.textstats import tokens
 
     # guard the oracle's '|' group-pack separator symmetrically (see
     # _hll_tokens_sql): drop pipe-carrying langs on both sides
-    d = _read(spark, sf, "documents").filter(~F.col("lang").contains("|"))
+    d = ensure_parallelism(
+        _read(spark, sf, "documents").filter(~F.col("lang").contains("|"))
+    )
     arr = tokens(F.lower(F.col("text")))
     uni = d.select(
         F.col("lang"), F.lit("uni").alias("gram"), F.explode(arr).alias("key")

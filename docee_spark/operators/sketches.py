@@ -119,8 +119,15 @@ def hll_registers(
     cell = F.element_at(
         F.transform(F.array(F.md5(F.col(key_col).cast("string"))), packed), 1
     )
+    # r6: the register is max-of-rank — idempotent in key multiplicity —
+    # so deduplicating (group, key) first is exact and moves the md5 +
+    # rank decode from once per occurrence to once per distinct key
+    # (same wordcount-shaped exchange note as cm_registers; the register
+    # table stays ≤ |groups|·256 rows regardless).
     return (
         df.filter(F.col(key_col).isNotNull())
+        .select(*group_cols, key_col)
+        .distinct()
         .select(*group_cols, cell.alias("cell"))
         .select(
             *group_cols,
@@ -295,6 +302,14 @@ def cm_registers(df: DataFrame, key_col: str, weight_col: str | None = None) -> 
     base = df.filter(F.col(key_col).isNotNull()).select(
         F.col(key_col).cast("string").alias("k"), w.alias("w")
     )
+    # r6: registers are LINEAR in the weights, so summing per distinct
+    # key first is exact — the md5 + nibble decode then runs once per
+    # distinct key instead of once per occurrence (token streams are
+    # Zipfian; measured 88,000× duplication on the sf1 corpus). The
+    # added exchange is wordcount-shaped: map-side combine bounds it by
+    # the per-partition vocabulary, and the register table stays ≤ d·w
+    # rows regardless.
+    base = base.groupBy("k").agg(F.sum("w").alias("w"))
 
     # evaluation-count discipline: the md5 is bound ONCE through a
     # 1-element-array lambda; the 16-branch nibble CASEs reference the
