@@ -540,13 +540,30 @@ class CanonState:
 
 
 def _ckpt(df: DataFrame) -> DataFrame:
-    """Lineage-capped cache WITHOUT an eager materialization job.
+    """Lineage CAP for batch-boundary state tables.
 
-    The stateful merge chains ~25 checkpoints; eager ``localCheckpoint``
-    turns each into its own serialized driver-blocking job (measured at
-    sf0.1: the eager chain roughly doubled the wall vs the compute
-    itself). Lazy keeps the lineage cap and the compute-once reuse but
-    materializes at first use, fusing the chains into downstream jobs."""
+    Kept as ``localCheckpoint(eager=False)`` — under AQE even the lazy
+    variant executes the shuffle stages below it at plan-build time
+    (materializing an adaptive plan runs its query stages), but chained
+    recrawl batches NEED the cap: every state table feeds the next
+    batch's plans, and uncapped lineage doubles per batch (measured: a
+    3-batch chain OOMed the driver just RENDERING the plan tree).
+    Restrict the cost to the handful of tables that cross a batch
+    boundary; everything merge-internal uses :func:`_reuse`."""
+    return df.localCheckpoint(eager=False)
+
+
+def _reuse(df: DataFrame) -> DataFrame:
+    """Compute-once cache for merge-INTERNAL intermediates.
+
+    Also a checkpoint: a plain ``persist()`` was tried in r6 and OOMed
+    the driver on plan-TREE rendering — Spark expands a multi-referenced
+    InMemoryRelation's child plan at EVERY reference when copying or
+    printing the tree, and this DAG's ~25 reuse points with fan-out 2-3
+    blow up exponentially without truncation, even inside a single
+    merge. The lazy localCheckpoint's construction-time AQE stage
+    materialization is the price of keeping every reuse point a LogicalRDD
+    leaf."""
     return df.localCheckpoint(eager=False)
 
 
@@ -588,7 +605,7 @@ def canonicalize_state(
     percolating through boilerplate hub buckets. The bucket-size table
     is kept in the state and maintained incrementally."""
     triples = _ckpt(triples_df)
-    surfaces = _ckpt(_surface_vocab(triples))
+    surfaces = _reuse(_surface_vocab(triples))
     membership = _ckpt(_membership_for(surfaces, k, bands))
     band_sizes = None
     if max_bucket is not None:
@@ -603,17 +620,21 @@ def canonicalize_state(
             entity_dict,
         ).select("surface", "norm", "n_mentions", "lsh_rep", "entity_id")
     )
-    vertices = _ckpt(
+    # r6: vertices/edges_full are DERIVED views over the checkpointed
+    # core (one groupBy / two joins over LogicalRDD leaves) — persist()
+    # instead of a checkpoint keeps them compute-once but truly LAZY: a
+    # consumer that never reads them (e.g. a merge batch that falls back
+    # and re-resolves the merged corpus itself) never pays the cold edge
+    # join at all, and their shallow plans can't blow up the tree.
+    vertices = (
         resolved.groupBy("entity_id").agg(
             F.min("surface").alias("surface"),
             F.sum("n_mentions").alias("n_mentions"),
         )
-    )
-    edges_full = _ckpt(
-        _edge_join(
-            triples, resolved.select("surface", "entity_id"), keep_surfaces=True
-        )
-    )
+    ).persist()
+    edges_full = _edge_join(
+        triples, resolved.select("surface", "entity_id"), keep_surfaces=True
+    ).persist()
     return CanonState(
         triples,
         resolved,
@@ -715,8 +736,8 @@ def merge_triples_incremental(
         dele = deleted_docs.select("doc_id")
         changed = changed.unionByName(dele).distinct()
         delta_triples = delta_triples.join(dele, "doc_id", "left_anti")
-    changed = _ckpt(changed)
-    delta_triples = _ckpt(delta_triples.select(*state.triples.columns))
+    changed = _reuse(changed)
+    delta_triples = _reuse(delta_triples.select(*state.triples.columns))
 
     old = state.triples
     survivors = old.join(changed, "doc_id", "left_anti")
@@ -726,7 +747,7 @@ def merge_triples_incremental(
     # triples, selected by an AQE-broadcast semi join) ──────────────────
     removed_mentions = _mentions(old.join(changed, "doc_id", "left_semi"))
     added_mentions = _mentions(delta_triples)
-    delta_counts = _ckpt(
+    delta_counts = _reuse(
         added_mentions.select("surface", F.lit(1).alias("d"))
         .unionAll(removed_mentions.select("surface", F.lit(-1).alias("d")))
         .groupBy("surface")
@@ -735,21 +756,21 @@ def merge_triples_incremental(
     )
 
     # ── 2. touched vocabulary: continuing / removed / brand-new ────────
-    touched_existing = _ckpt(
+    touched_existing = _reuse(
         state.resolved.join(F.broadcast(delta_counts), "surface", "left")
         .filter(F.col("d").isNotNull())
     )
-    removed_s = _ckpt(
+    removed_s = _reuse(
         touched_existing.filter(F.col("n_mentions") + F.col("d") == 0)
     )
-    brand_new = _ckpt(
+    brand_new = _reuse(
         delta_counts.join(
             F.broadcast(touched_existing.select("surface")),
             "surface",
             "left_anti",
         ).withColumn("norm", normalize_surface(F.col("surface")))
     )
-    new_membership = _ckpt(_membership_for(brand_new, k, bands))
+    new_membership = _reuse(_membership_for(brand_new, k, bands))
 
     # new-graph membership = stored minus removed plus new. One linear
     # map-only pass (the merge-on-read write in a real lakehouse).
@@ -768,7 +789,7 @@ def merge_triples_incremental(
         # maintain the bucket-size table incrementally: only bands of
         # changed surfaces move; everything else is carried on the
         # stream side of a broadcast join (no corpus shuffle)
-        bdelta = _ckpt(
+        bdelta = _reuse(
             new_membership.select("band", F.lit(1).alias("bd"))
             .unionAll(removed_membership.select("band", F.lit(-1).alias("bd")))
             .groupBy("band")
@@ -776,7 +797,7 @@ def merge_triples_incremental(
             .filter(F.col("bd") != 0)
         )
         sized = state.band_sizes.join(F.broadcast(bdelta), "band", "left")
-        known_bands = _ckpt(
+        known_bands = _reuse(
             sized.filter(F.col("bd").isNotNull()).select(
                 "band", F.col("bsz").alias("bsz_old")
             )
@@ -811,7 +832,7 @@ def merge_triples_incremental(
     # hub buckets over the cap in both carry no connectivity before or
     # after, so the BFS never walks through them — this is what keeps
     # the affected region delta-local on boilerplate-heavy vocabularies.
-    seed_bands_all = _ckpt(
+    seed_bands_all = _reuse(
         new_membership.select("band")
         .unionByName(removed_membership.select("band"))
         .distinct()
@@ -820,7 +841,7 @@ def merge_triples_incremental(
         new_sz = band_sizes2.join(
             F.broadcast(seed_bands_all), "band", "left_semi"
         ).select("band", F.col("bsz").alias("bsz_new"))
-        seed_bands = _ckpt(
+        seed_bands = _reuse(
             seed_bands_all.join(known_bands, "band", "left")
             .join(new_sz, "band", "left")
             .filter(
@@ -831,7 +852,7 @@ def merge_triples_incremental(
         )
     else:
         seed_bands = seed_bands_all
-    affected = _ckpt(new_membership.select("surface").distinct())
+    affected = _reuse(new_membership.select("surface").distinct())
     # adopt = surfaces whose labels are TAKEN from the restricted
     # propagation: the brand-new surfaces plus everything within
     # `passes` hops of an edit. In band-closure mode adopt == affected.
@@ -857,14 +878,14 @@ def merge_triples_incremental(
                 .select("surface")
                 .distinct()
             )
-            new_aff = _ckpt(
+            new_aff = _reuse(
                 hit.join(F.broadcast(affected), "surface", "left_anti")
             )
             n_new = new_aff.count()
             if n_new == 0:
                 converged = True
                 break
-            affected = _ckpt(affected.unionByName(new_aff))
+            affected = _reuse(affected.unionByName(new_aff))
             if expand_iters <= eff_passes:
                 adopt = affected
             n_affected += n_new
@@ -873,7 +894,7 @@ def merge_triples_incremental(
                 break
             if expand_iters == depth:
                 break
-            frontier_bands = _ckpt(
+            frontier_bands = _reuse(
                 frontier_bands.unionByName(
                     _active_only(
                         membership2.join(
@@ -893,21 +914,74 @@ def merge_triples_incremental(
             adopt = affected
 
     if fallback:
-        st = canonicalize_state(
+        # Full re-clustering, but NOT from scratch (r6): the expensive
+        # cold-build inputs are already maintained incrementally —
+        # ``membership2`` IS the merged corpus's band membership (bands
+        # depend only on the norm; stored minus removed plus new — the
+        # module invariant the non-fallback path relies on and the
+        # differential suite pins), and the merged vocabulary with exact
+        # counts is the same splice arithmetic as step 5. Reusing them
+        # skips the minhash re-hash of the whole vocabulary and the
+        # corpus-wide mention groupBy; the propagation, dictionary
+        # override, vertex aggregation and edge joins below are the
+        # verbatim cold-build tail, so the result is identical to
+        # canonicalize_state(merged) (pytest differential).
+        surfaces2 = (
+            state.resolved.join(
+                F.broadcast(removed_s.select("surface")), "surface", "left_anti"
+            )
+            .join(F.broadcast(delta_counts), "surface", "left")
+            .withColumn(
+                "n_mentions",
+                F.col("n_mentions") + F.coalesce(F.col("d"), F.lit(0)),
+            )
+            .select("surface", "norm", "n_mentions")
+            .unionByName(
+                brand_new.select(
+                    "surface", "norm", F.col("d").cast("long").alias("n_mentions")
+                )
+            )
+        )
+        resolved2 = _ckpt(
+            _entity_ids(
+                _cluster_reps(
+                    surfaces2, membership2, passes, state.max_bucket, band_sizes2
+                ),
+                state.entity_dict,
+            ).select("surface", "norm", "n_mentions", "lsh_rep", "entity_id")
+        )
+        vertices2 = _ckpt(
+            resolved2.groupBy("entity_id").agg(
+                F.min("surface").alias("surface"),
+                F.sum("n_mentions").alias("n_mentions"),
+            )
+        )
+        edges_full2 = _ckpt(
+            _edge_join(
+                merged,
+                resolved2.select("surface", "entity_id"),
+                keep_surfaces=True,
+            )
+        )
+        return CanonState(
             merged,
+            resolved2,
+            membership2,
+            vertices2,
+            edges_full2,
             entity_dict=state.entity_dict,
             k=k,
             bands=bands,
             closure_passes=passes,
             max_bucket=state.max_bucket,
+            band_sizes=band_sizes2,
+            stats={
+                "mode": "incremental",
+                "fallback": True,
+                "expand_iters": expand_iters,
+                "changed_docs": changed.count(),
+            },
         )
-        st.stats = {
-            "mode": "incremental",
-            "fallback": True,
-            "expand_iters": expand_iters,
-            "changed_docs": changed.count(),
-        }
-        return st
 
     # ── 4. re-cluster the affected region only. Labels are adopted for
     # ``adopt`` (the ``passes``-ball — the only labels that can move);
@@ -992,10 +1066,8 @@ def merge_triples_incremental(
     else:
         new_rows = new_rows.withColumn("entity_id", F.col("lsh_rep"))
     res_cols = ["surface", "norm", "n_mentions", "lsh_rep", "entity_id"]
-    resolved2 = (
-        cont.select(*res_cols)
-        .unionByName(new_rows.select(*res_cols))
-        .localCheckpoint(eager=False)
+    resolved2 = _ckpt(
+        cont.select(*res_cols).unionByName(new_rows.select(*res_cols))
     )
 
     # ── 6. vertex splice: recompute only entity ids whose member set or
@@ -1028,8 +1100,8 @@ def merge_triples_incremental(
                 F.sum("n_mentions").alias("n_mentions"),
             )
         )
-        .localCheckpoint(eager=False)
     )
+    vertices = _ckpt(vertices)
 
     # ── 7. edge splice: drop changed docs' edges and edges touching a
     # re-labeled surface; re-resolve exactly those triples ──────────────
@@ -1072,7 +1144,7 @@ def merge_triples_incremental(
         .localCheckpoint(eager=False)
     )
     new_edges = _edge_join(need, F.broadcast(lookup), keep_surfaces=True)
-    edges_full = surviving_edges.unionByName(new_edges).localCheckpoint(eager=False)
+    edges_full = _ckpt(surviving_edges.unionByName(new_edges))
 
     count_frames = {
         "changed_docs": changed,
