@@ -441,7 +441,9 @@ def q_url_keys(spark, sf):
     def s(c):
         return c.cast("string")
 
-    d = _read(spark, sf, "documents").select("doc_id")
+    from docee_spark.operators.dedup import ensure_parallelism
+
+    d = ensure_parallelism(_read(spark, sf, "documents").select("doc_id"))
     url = (
         F.when(i % 97 == 0, F.concat(F.lit("garbage url "), s(i)))
         .when(
@@ -547,7 +549,9 @@ def q_pii_scrub(spark, sf):
     def s(col):
         return col.cast("string")
 
-    planted = _read(spark, sf, "documents").withColumn(
+    from docee_spark.operators.dedup import ensure_parallelism
+
+    planted = ensure_parallelism(_read(spark, sf, "documents")).withColumn(
         "text",
         F.concat_ws(
             " ",

@@ -593,6 +593,7 @@ def simhash_near_duplicates(
     then verified with an exact ``bit_count(xor)`` popcount. Over-cap
     buckets (mass-produced near-identical boilerplate) are dropped with
     an observed counter, like every bucketed expansion here."""
+    df = ensure_parallelism(df)  # r6: spread per-row hash/shingle work (guide §2.5)
     secs = _simhash64_sections(F.col(text_col))
     # one band row per section, all four built from a SINGLE reference to
     # the sections array (bound as a lambda variable) — separate s{i}
@@ -640,28 +641,32 @@ def simhash_near_duplicates(
             out = out + F.bit_count(x[f"s{i}"].bitwiseXOR(y[f"s{i}"]))
         return out.cast("int")
 
-    pairs = capped.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ids"),
-                    lambda x: F.filter(
-                        F.transform(
-                            F.col("ids"),
-                            lambda y: F.struct(
-                                x["doc_id"].alias("doc_a"),
-                                y["doc_id"].alias("doc_b"),
-                                _hamming(x, y).alias("hamming"),
-                            ),
-                        ),
-                        lambda s: (s["doc_a"] < s["doc_b"])
-                        & (s["hamming"] <= max_hamming),
-                    ),
-                )
-            )
-        ).alias("p")
+    # r6: posexplode + strictly-greater tail (the _pairs_from_ids shape)
+    # instead of the nested transform/struct O(n²) interpreted
+    # allocation, and re-spread the byte-coalesced groupBy output before
+    # the in-bucket expansion (same AQE-coalesces-by-bytes trap as the
+    # minhash verify). Row-identical: the trailing distinct already
+    # collapsed multiplicity, strict doc_a < doc_b and the hamming cut
+    # are the same predicate, and hamming is deterministic.
+    capped = capped.repartition(
+        capped.sparkSession.sparkContext.defaultParallelism
     )
-    return pairs.select("p.doc_a", "p.doc_b", "p.hamming").distinct()
+    ex = capped.select(F.posexplode(F.col("ids")).alias("_i", "x"), F.col("ids"))
+    pairs = ex.select(
+        F.col("x"),
+        F.explode(
+            F.filter(
+                F.slice(F.col("ids"), F.col("_i") + 2, F.size(F.col("ids"))),
+                lambda y: (y["doc_id"] > F.col("x.doc_id"))
+                & (_hamming(F.col("x"), y) <= max_hamming),
+            )
+        ).alias("y"),
+    ).select(
+        F.col("x.doc_id").alias("doc_a"),
+        F.col("y.doc_id").alias("doc_b"),
+        _hamming(F.col("x"), F.col("y")).alias("hamming"),
+    )
+    return pairs.distinct()
 
 
 _INTEGRAL_ELEMS = ("array<tinyint>", "array<smallint>", "array<int>", "array<bigint>")
@@ -1378,6 +1383,7 @@ def chunk_dedup(
     chunks against the first-occurrence frame on the 128-bit hash (bytes
     kept small — the chunk text itself never shuffles twice), and one
     ``groupBy(doc_id)`` reassembly. Everything is keyed and linear."""
+    df = ensure_parallelism(df)  # r6: spread per-row hash/shingle work (guide §2.5)
     toks = tokens(F.col(text_col))
     n_chunks = F.ceil(F.size(toks) / F.lit(window)).cast("int")
     chunked = df.select(
@@ -1632,6 +1638,7 @@ def duplicated_spans(
     Islands: window starts p, q (p < q) merge iff q <= p + k (overlap or
     touch — the covered text [p, p+k) ∪ [q, q+k) is contiguous). Since
     positions are sorted, comparing each to its predecessor suffices."""
+    df = ensure_parallelism(df)  # r6: spread per-row hash/shingle work (guide §2.5)
     wins = window_hashes(df, text_col=text_col, k=k)
     dup_h = (
         wins.groupBy("h")
