@@ -112,7 +112,7 @@ def pagerank(
         .select("node", _fdiv(F.lit(E9), F.col("n_nodes")).alias("rank_e9"))
         .localCheckpoint()
     )
-    for _ in range(n_iter):
+    for it in range(n_iter):
         r = ranks.join(outdeg, ranks["node"] == outdeg["src"], "left").select(
             "node", "rank_e9", "outdeg"
         )
@@ -151,8 +151,13 @@ def pagerank(
                     )
                 ).alias("rank_e9"),
             )
-            .localCheckpoint()
         )
+        # r6: lineage cap every SECOND layer — one un-checkpointed layer
+        # only doubles the plan (ranks is referenced twice per layer),
+        # and halving the eager checkpoint jobs halves the per-iteration
+        # scheduling floor (values are checkpoint-transparent)
+        if it % 2 == 1 or it == n_iter - 1:
+            ranks = ranks.localCheckpoint()
     return ranks
 
 
@@ -445,7 +450,6 @@ def hits(
                 .otherwise(F.lit(0))
                 .alias("s"),
             )
-            .localCheckpoint()
         )
         raw_h = (
             auth.join(e, auth["node"] == e["dst"])
@@ -578,7 +582,7 @@ def personalized_pagerank(
         .otherwise(F.lit(0).cast("long"))
         .alias("rank_e9"),
     ).localCheckpoint()
-    for _ in range(n_iter):
+    for it in range(n_iter):
         r = ranks.join(outdeg, ranks["node"] == outdeg["src"], "left").select(
             "node", "rank_e9", "outdeg"
         )
@@ -620,8 +624,10 @@ def personalized_pagerank(
                     )
                 ).alias("rank_e9"),
             )
-            .localCheckpoint()
         )
+        # r6: cap lineage every second layer (see pagerank)
+        if it % 2 == 1 or it == n_iter - 1:
+            ranks = ranks.localCheckpoint()
     return ranks
 
 
