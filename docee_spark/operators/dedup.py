@@ -81,13 +81,19 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
         n_parts = df._jdf.queryExecution().toRdd().getNumPartitions()
     except Exception:  # pragma: no cover - private-API fallback
         n_parts = df.rdd.getNumPartitions()
-    if n_parts < max(2, target):
-        # r6: was target // 2 — a 3-way union of small scans landed at
-        # 18 partitions on 32 cores and the CPU-heavy md5/shingle stages
-        # straggled on the fat branch (guide §2.5 input skew). Round up
-        # to full width: the round-robin exchange of raw doc rows is
-        # noise next to the per-row expression work it parallelizes, and
-        # at real scan widths (thousands of splits) this stays a no-op.
+    # r6: the DEFAULT-width callers round up to full core width — a
+    # 3-way union of small scans landed at 18 partitions on 32 cores and
+    # the CPU-heavy md5/shingle stages straggled on the fat branch
+    # (guide §2.5 input skew); the round-robin exchange of raw doc rows
+    # is noise next to the per-row expression work it parallelizes, and
+    # at real scan widths (thousands of splits) this stays a no-op.
+    # Callers that PASS min_parts (the fused pipeline at 2×cores) keep
+    # the historical half-threshold: they are tuning an Arrow stage whose
+    # input may be nested rows, where an extra exchange costs more than
+    # the tail it balances (measured: the r5 pipeline regressed ~15%
+    # when its ~33-split scan was force-exchanged to 64).
+    slack = target // 2 if min_parts else target
+    if n_parts < max(2, slack):
         return df.repartition(target)
     return df
 
