@@ -413,9 +413,12 @@ class TestRound42AdditionPlans:
         keyed = docs.select(F.col("lang"), F.col("text").alias("key"))
         plan = _plan(hll_registers(keyed, "key", ["lang"]))
         assert "EvalPython" not in plan
-        # one groupBy on (group, bucket) with map-side combine: registers
-        # are the ONLY thing that ever shuffles
-        assert _n_nodes(plan, "Exchange") == 1
+        # r6 shape: a wordcount-shaped (group, key) dedup exchange (so
+        # the md5 + rank decode runs once per DISTINCT key — registers
+        # are max-idempotent) feeding the register groupBy; both
+        # aggregations keep map-side partial combine, and the register
+        # table still never exceeds |groups|·256 rows
+        assert _n_nodes(plan, "Exchange") == 2
         assert "partial_max" in plan
 
     def test_bm25_topk_no_sort_broadcast_dims(self, spark):
