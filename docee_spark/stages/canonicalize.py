@@ -499,6 +499,7 @@ class CanonState:
         max_bucket: int | None = None,
         band_sizes: DataFrame | None = None,
         stats: dict | None = None,
+        vocab: DataFrame | None = None,
     ) -> None:
         self.triples = triples
         self.resolved = resolved
@@ -511,11 +512,23 @@ class CanonState:
         self.closure_passes = closure_passes
         self.max_bucket = max_bucket
         self.band_sizes = band_sizes  # (band, bsz); kept iff max_bucket
+        # (surface, n_mentions, norm) WITHOUT the propagated labels --
+        # r6: readers that only need the vocabulary (the merge's
+        # mention-count splice, the fallback rebuild) go through
+        # ``vocab_frame`` so a falling-back batch never has to pay the
+        # cold build's label propagation just to read counts
+        self.vocab = vocab
         self.stats = stats or {}
 
     @property
     def edges(self) -> DataFrame:
         return self.edges_full.select(*EDGE_COLS)
+
+    def vocab_frame(self) -> DataFrame:
+        """(surface, n_mentions, norm): the label-free vocabulary."""
+        if self.vocab is not None:
+            return self.vocab
+        return self.resolved.select("surface", "n_mentions", "norm")
 
     def materialize(self) -> "CanonState":
         """Force every state table's lazy checkpoint NOW (one job).
@@ -605,20 +618,26 @@ def canonicalize_state(
     percolating through boilerplate hub buckets. The bucket-size table
     is kept in the state and maintained incrementally."""
     triples = _ckpt(triples_df)
-    surfaces = _reuse(_surface_vocab(triples))
+    # r6: the vocabulary is its own (checkpointed) state table; the
+    # label-carrying ``resolved`` is a lazily persisted view over it, so
+    # consumers that never read labels (a merge batch that falls back)
+    # never pay the cold propagation
+    surfaces = _ckpt(_surface_vocab(triples))
     membership = _ckpt(_membership_for(surfaces, k, bands))
     band_sizes = None
     if max_bucket is not None:
         band_sizes = _ckpt(
             membership.groupBy("band").agg(F.count("*").alias("bsz"))
         )
-    resolved = _ckpt(
+    resolved = (
         _entity_ids(
             _cluster_reps(
                 surfaces, membership, closure_passes, max_bucket, band_sizes
             ),
             entity_dict,
-        ).select("surface", "norm", "n_mentions", "lsh_rep", "entity_id")
+        )
+        .select("surface", "norm", "n_mentions", "lsh_rep", "entity_id")
+        .persist()
     )
     # r6: vertices/edges_full are DERIVED views over the checkpointed
     # core (one groupBy / two joins over LogicalRDD leaves) — persist()
@@ -648,6 +667,7 @@ def canonicalize_state(
         max_bucket=max_bucket,
         band_sizes=band_sizes,
         stats={"mode": "cold"},
+        vocab=surfaces,
     )
 
 
@@ -757,7 +777,8 @@ def merge_triples_incremental(
 
     # ── 2. touched vocabulary: continuing / removed / brand-new ────────
     touched_existing = _reuse(
-        state.resolved.join(F.broadcast(delta_counts), "surface", "left")
+        state.vocab_frame()
+        .join(F.broadcast(delta_counts), "surface", "left")
         .filter(F.col("d").isNotNull())
     )
     removed_s = _reuse(
@@ -927,7 +948,8 @@ def merge_triples_incremental(
         # verbatim cold-build tail, so the result is identical to
         # canonicalize_state(merged) (pytest differential).
         surfaces2 = (
-            state.resolved.join(
+            state.vocab_frame()
+            .join(
                 F.broadcast(removed_s.select("surface")), "surface", "left_anti"
             )
             .join(F.broadcast(delta_counts), "surface", "left")
